@@ -1,0 +1,297 @@
+"""Deterministic, ontology-driven triple extraction (the reference's L3 stage).
+
+The reference delegates per-document entity/relation extraction to an LLM
+(/root/reference/graphrag_sdk/steps/extract_data_step.py:119-176, prompt schema
+fixtures/prompts.py:248-334) and constrains the result to the ontology
+(extract_data_step.py:197-200,229-231). Here the same contract — per document,
+emit `entities: [{label, attributes}]` and `relations: [{label, source,
+target, attributes}]`, ontology-constrained — is met by a *deterministic*
+rule engine compiled from the ontology itself:
+
+- relation surface forms derive from the relation label
+  (``ACTED_IN -> "acted in"``), matched in active ("X acted in Y"), passive
+  ("Y was directed by X") and attributed ("X acted in Y as Z") voice;
+- mention spans are capitalized phrases (with of/the/and/in/a connectors);
+- entity labels come from the matched relation's (source, target) signature,
+  from copula typing sentences ("X is a Person"), and from attribute
+  sentences ("The release year of X is 1999") whose attribute name maps
+  uniquely to an ontology entity;
+- output is restricted to ontology labels by construction (P6/P7) — there is
+  nothing to drop afterwards, but `normalize.py` still applies the filter as
+  a safety net, mirroring the reference.
+
+No LLM, no network, byte-reproducible. Runs as `mapInPandas` over Arrow
+batches — zero per-row Python at the Spark level; regex work is per-document
+inside the batch exactly like the reference's per-document parse, but
+partition-parallel instead of driver-bound.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgforge.ontology import Ontology
+
+# mention = capitalized token, optionally extended by (connector* capitalized)+
+# (single-line: mentions never cross newlines, hence [ \t] not \s)
+_CAP = r"[A-Z0-9][\w'&.\-]*"
+_CONN = r"(?:of|the|and|in|a)"
+MENTION = rf"{_CAP}(?:[ \t]+(?:{_CONN}[ \t]+)*{_CAP})*"
+# split after ./!/? + whitespace, but not after an initial like "J." ; also
+# every newline is a sentence boundary
+_SENT_SPLIT = re.compile(r"(?<=[.!?])(?<![A-Z]\.)\s+|\n+")
+
+
+def _clean_key(key: str) -> str:
+    """Trim whitespace and a sentence-final period (kept on initials: 'J.')."""
+    key = key.strip()
+    if key.endswith("."):
+        last = key.rsplit(" ", 1)[-1]
+        if len(last) > 2:
+            key = key[:-1]
+    return key
+
+IR_ENTITY_TYPE = (
+    "array<struct<label:string,key:string,attributes:map<string,string>>>"
+)
+IR_RELATION_TYPE = (
+    "array<struct<label:string,src_label:string,src_key:string,"
+    "dst_label:string,dst_key:string,attributes:map<string,string>>>"
+)
+
+
+def compile_rules(onto: Ontology) -> dict:
+    """Ontology -> picklable rule set for the extraction UDF closure."""
+    entities = {}
+    for e in onto.entities:
+        uniq = e.unique_attributes()
+        entities[e.label] = {
+            "key_attr": uniq[0].name if uniq else "",
+            "attrs": {a.name: a.type for a in e.attributes},
+        }
+    relations = []
+    for r in onto.relations:
+        relations.append(
+            {
+                "label": r.label,
+                "verb": " ".join(r.label.lower().split("_")),
+                "src": r.source,
+                "dst": r.target,
+                "attrs": {a.name: a.type for a in r.attributes},
+            }
+        )
+    # attribute-name -> owning entity label, only when unambiguous
+    attr_owner: dict[str, list] = {}
+    for e in onto.entities:
+        for a in e.attributes:
+            if not a.unique:
+                attr_owner.setdefault(a.name, []).append((e.label, a.type))
+    attr_rules = {
+        name: owners[0] for name, owners in attr_owner.items() if len(owners) == 1
+    }
+    return {"entities": entities, "relations": relations, "attr_rules": attr_rules}
+
+
+class _CompiledRules:
+    """Regex-compiled form, built once per executor (cached by rules identity)."""
+
+    def __init__(self, rules: dict):
+        self.rules = rules
+        self.rel_patterns = []
+        for r in rules["relations"]:
+            verb = r["verb"].replace(" ", r"\s+")
+            active = re.compile(
+                rf"\b({MENTION})\s+{verb}\s+({MENTION})", re.UNICODE
+            )
+            passive = re.compile(
+                rf"\b({MENTION})\s+was\s+{verb}\s+by\s+({MENTION})", re.UNICODE
+            )
+            attributed = None
+            attr_name = next(iter(r["attrs"]), None)
+            if attr_name is not None:
+                attributed = re.compile(
+                    rf"\b({MENTION})\s+{verb}\s+({MENTION})\s+as\s+({MENTION})",
+                    re.UNICODE,
+                )
+            self.rel_patterns.append((r, active, passive, attributed, attr_name))
+        self.typing_patterns = [
+            (
+                label,
+                re.compile(rf"\b({MENTION})\s+is\s+an?\s+{label}\b"),
+            )
+            for label in rules["entities"]
+        ]
+        self.attr_patterns = [
+            (
+                attr_name,
+                owner_label,
+                attr_type,
+                re.compile(
+                    rf"\bthe\s+{re.escape(attr_name.replace('_', ' '))}\s+of\s+"
+                    rf"({MENTION})\s+is\s+([^.!?]+?)\s*[.!?]",
+                    re.IGNORECASE,
+                ),
+            )
+            for attr_name, (owner_label, attr_type) in rules["attr_rules"].items()
+        ]
+
+    # ------------------------------------------------------------------
+    def extract_document(self, text: str):
+        """One document -> (entities, relations) lists (reference IR shape)."""
+        rules = self.rules
+        ents: dict[tuple, dict] = {}  # (label, key) -> attributes dict
+        rels: dict[tuple, dict] = {}
+
+        def note_entity(label: str, key: str, extra: dict | None = None):
+            key = _clean_key(key)
+            if not key or label not in rules["entities"]:
+                return
+            key_attr = rules["entities"][label]["key_attr"]
+            cur = ents.setdefault((label, key), {})
+            if key_attr:
+                cur.setdefault(key_attr, key)
+            if extra:
+                cur.update(extra)
+
+        def note_relation(rel, src_key, dst_key, attrs=None):
+            src_key, dst_key = _clean_key(src_key), _clean_key(dst_key)
+            if not src_key or not dst_key:
+                return
+            k = (rel["label"], rel["src"], src_key, rel["dst"], dst_key)
+            cur = rels.setdefault(k, {})
+            if attrs:
+                cur.update(attrs)
+            note_entity(rel["src"], src_key)
+            note_entity(rel["dst"], dst_key)
+
+        for sentence in _SENT_SPLIT.split(text):
+            if not sentence or len(sentence) > 2000:
+                continue
+            for attr_name, owner_label, attr_type, pat in self.attr_patterns:
+                for m in pat.finditer(sentence):
+                    note_entity(
+                        owner_label, m.group(1), {attr_name: m.group(2).strip()}
+                    )
+            for label, pat in self.typing_patterns:
+                for m in pat.finditer(sentence):
+                    note_entity(label, m.group(1))
+            for rel, active, passive, attributed, attr_name in self.rel_patterns:
+                matched_attr = False
+                if attributed is not None:
+                    for m in attributed.finditer(sentence):
+                        note_relation(
+                            rel,
+                            m.group(1),
+                            m.group(2),
+                            {attr_name: _clean_key(m.group(3))},
+                        )
+                        matched_attr = True
+                if not matched_attr:
+                    for m in active.finditer(sentence):
+                        note_relation(rel, m.group(1), m.group(2))
+                for m in passive.finditer(sentence):
+                    note_relation(rel, m.group(2), m.group(1))
+
+        entities_out = [
+            {"label": label, "key": key, "attributes": attrs}
+            for (label, key), attrs in sorted(ents.items())
+        ]
+        relations_out = [
+            {
+                "label": k[0],
+                "src_label": k[1],
+                "src_key": k[2],
+                "dst_label": k[3],
+                "dst_key": k[4],
+                "attributes": attrs,
+            }
+            for k, attrs in sorted(rels.items())
+        ]
+        return entities_out, relations_out
+
+
+_COMPILED_CACHE: dict[str, _CompiledRules] = {}
+
+
+def _get_compiled(rules: dict) -> _CompiledRules:
+    import json
+
+    key = json.dumps(rules, sort_keys=True, default=str)
+    if key not in _COMPILED_CACHE:
+        _COMPILED_CACHE[key] = _CompiledRules(rules)
+    return _COMPILED_CACHE[key]
+
+
+def extract_ir(
+    df: DataFrame,
+    rules: dict,
+    text_col: str = "text",
+    max_chars: int = 500_000,
+) -> DataFrame:
+    """pages -> pages + nested `entities`/`relations` IR columns.
+
+    Reproduces the reference's input cap: content[:max_input_tokens] slices
+    *characters* despite the name, default 500,000
+    (extract_data_step.py:44,119) — P2 in SURVEY §2.2.
+    """
+    passthrough = [c for c in df.columns]
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f", entities {IR_ENTITY_TYPE}, relations {IR_RELATION_TYPE}"
+    )
+
+    def run(iterator):
+        compiled = _get_compiled(rules)
+        for pdf in iterator:
+            ents_col, rels_col = [], []
+            for text in pdf[text_col]:
+                if text is None or len(text) == 0:
+                    ents_col.append([])
+                    rels_col.append([])
+                    continue
+                e, r = compiled.extract_document(text[:max_chars])
+                ents_col.append(e)
+                rels_col.append(r)
+            pdf = pdf.copy()
+            pdf["entities"] = ents_col
+            pdf["relations"] = rels_col
+            yield pdf
+
+    # P1: empty-document filter (extract_data_step.py:67-74)
+    filtered = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+    return filtered.mapInPandas(run, schema=schema)
+
+
+def explode_ir(ir_df: DataFrame):
+    """Nested IR -> flat (mentions, raw_edges) DataFrames.
+
+    mentions(url, warc_ts, label, key, attributes)
+    raw_edges(url, warc_ts, label, src_label, src_key, dst_label, dst_key,
+              attributes)
+    """
+    base_cols = [c for c in ("url", "warc_ts") if c in ir_df.columns]
+    mentions = (
+        ir_df.select(*base_cols, F.explode("entities").alias("e"))
+        .select(
+            *base_cols,
+            F.col("e.label").alias("label"),
+            F.col("e.key").alias("key"),
+            F.col("e.attributes").alias("attributes"),
+        )
+    )
+    raw_edges = (
+        ir_df.select(*base_cols, F.explode("relations").alias("r"))
+        .select(
+            *base_cols,
+            F.col("r.label").alias("label"),
+            F.col("r.src_label").alias("src_label"),
+            F.col("r.src_key").alias("src_key"),
+            F.col("r.dst_label").alias("dst_label"),
+            F.col("r.dst_key").alias("dst_key"),
+            F.col("r.attributes").alias("attributes"),
+        )
+    )
+    return mentions, raw_edges

@@ -1,0 +1,221 @@
+"""End-to-end KG-construction pipeline (the reference's EP1, Spark-first).
+
+Replaces /root/reference/graphrag_sdk/kg.py:88-119 +
+steps/extract_data_step.py — where the reference flattens the whole corpus in
+driver memory, fans out to 16 threads, and issues one LLM call + O(entities)
+serial DB round-trips per document — with a staged DataFrame dataflow:
+
+    pages --(S3 text UDF)--> text --(L3 rules UDF)--> IR
+      --explode/normalize (P1-P8, J6/J7)--> mentions, raw_edges
+      --J8 LSH linking + J9 CC--> link map
+      --A1/A2 dedup + J1 resolution--> nodes, edges --> triples
+
+Every stage commits to parquet with lineage (plans/lineage.py), so a rerun
+resumes after the last complete stage. Stage boundaries are the checkpoints.
+
+Scale notes (SURVEY §4): the `html` column dies at the first stage; text
+stages repartition on url_host (bucket analogue); linking joins key on
+(label, band) — never a cross product; node/edge dedup is a hash aggregate
+with map-side partial agg; AQE handles skew splits and `hot_keys` salting is
+available in operators/skew.py for the heavy-hitter node ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge.ontology import Ontology
+from kgforge.operators import extract, link, materialize, normalize
+from kgforge.plans.lineage import RunContext
+from kgforge.sources.html import extract_text_udf
+
+
+def build_graph(
+    spark: SparkSession,
+    pages: DataFrame,
+    onto: Ontology,
+    lang_filter: list[str] | None = None,
+    reuse_text_col: bool = False,
+) -> dict:
+    """Pure-DataFrame composition of the pipeline (no checkpointing).
+
+    Used by `entry()` smoke paths and micro-benchmarks; `run_pipeline` is the
+    production staged/resumable variant with identical semantics.
+    """
+    rules = extract.compile_rules(onto)
+    key_attr_by_label = {
+        label: spec["key_attr"]
+        for label, spec in rules["entities"].items()
+        if spec["key_attr"]
+    }
+    df = pages
+    if lang_filter:
+        df = df.filter(F.col("lang").isin(lang_filter))
+    if reuse_text_col and "text" in df.columns:
+        text_df = df.select("url", "warc_ts", "text", "lang")
+    else:
+        text_df = df.select(
+            "url", "warc_ts", extract_text_udf(F.col("html")).alias("text"), "lang"
+        )
+    ir_df = extract.extract_ir(text_df, rules)
+    mentions, raw_edges = extract.explode_ir(ir_df)
+    mentions = normalize.sanitize_mentions(mentions)
+    raw_edges = normalize.sanitize_edges(raw_edges)
+    mentions, raw_edges = normalize.filter_to_ontology(
+        mentions, raw_edges, onto, spark
+    )
+    mentions, _quar = normalize.validate_attributes(mentions, onto)
+    endpoint_names = mentions.select("label", "key").unionByName(
+        raw_edges.select(F.col("src_label").alias("label"), F.col("src_key").alias("key"))
+    ).unionByName(
+        raw_edges.select(F.col("dst_label").alias("label"), F.col("dst_key").alias("key"))
+    )
+    links = link.link_map(endpoint_names)
+    mentions_c, edges_c = materialize.apply_link_map(mentions, raw_edges, links)
+    nodes = materialize.build_nodes(mentions_c, key_attr_by_label)
+    edges = materialize.build_edges(edges_c, nodes)
+    triples = materialize.triples_view(edges)
+    return {
+        "text": text_df,
+        "mentions": mentions,
+        "raw_edges": raw_edges,
+        "links": links,
+        "nodes": nodes,
+        "edges": edges,
+        "triples": triples,
+    }
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    onto: Ontology,
+    out_dir: str,
+    run_id: str | None = None,
+    lang_filter: list[str] | None = None,
+    reuse_text_col: bool = False,
+) -> dict:
+    """Run (or resume) the full pipeline; returns dict of output DataFrames."""
+    ctx = (
+        RunContext(spark, out_dir, run_id)
+        if run_id
+        else RunContext(spark, out_dir)
+    )
+    rules = extract.compile_rules(onto)
+    key_attr_by_label = {
+        label: spec["key_attr"]
+        for label, spec in rules["entities"].items()
+        if spec["key_attr"]
+    }
+
+    # ---- stage 1: text extraction (M0) --------------------------------
+    def build_text():
+        df = pages
+        if lang_filter:
+            df = df.filter(F.col("lang").isin(lang_filter))
+        if reuse_text_col and "text" in df.columns:
+            out = df.select("url", "warc_ts", "text", "lang")
+        else:
+            out = df.select(
+                "url",
+                "warc_ts",
+                extract_text_udf(F.col("html")).alias("text"),
+                "lang",
+            )
+        return out.withColumn("url_host", F.parse_url("url", F.lit("HOST")))
+
+    text_df = ctx.run_stage("01_text", build_text, repartition_col="url_host")
+
+    # ---- stage 2: extraction IR (M2) ----------------------------------
+    def build_ir():
+        return extract.extract_ir(text_df, rules)
+
+    ir_df = ctx.run_stage("02_ir", build_ir)
+
+    # ---- stage 3: flatten + normalize + validate ----------------------
+    def build_mentions():
+        mentions, _ = extract.explode_ir(ir_df)
+        mentions = normalize.sanitize_mentions(mentions)
+        mentions, _edges_unused = normalize.filter_to_ontology(
+            mentions, _edges_unused_placeholder(spark), onto, spark
+        )
+        valid, _quarantine = normalize.validate_attributes(mentions, onto)
+        return valid
+
+    def build_raw_edges():
+        _, raw_edges = extract.explode_ir(ir_df)
+        raw_edges = normalize.sanitize_edges(raw_edges)
+        _m, edges_ok = normalize.filter_to_ontology(
+            _mentions_unused_placeholder(spark), raw_edges, onto, spark
+        )
+        return edges_ok
+
+    mentions_df = ctx.run_stage("03_mentions", build_mentions)
+    raw_edges_df = ctx.run_stage("04_raw_edges", build_raw_edges)
+
+    # ---- stage 4: entity linking (M4: J8 + J9) ------------------------
+    def build_links():
+        endpoint_names = mentions_df.select("label", "key").unionByName(
+            raw_edges_df.select(
+                F.col("src_label").alias("label"), F.col("src_key").alias("key")
+            )
+        ).unionByName(
+            raw_edges_df.select(
+                F.col("dst_label").alias("label"), F.col("dst_key").alias("key")
+            )
+        )
+        return link.link_map(endpoint_names)
+
+    links_df = ctx.run_stage("05_links", build_links)
+
+    # ---- stage 5: materialize (A1/A2 + J1 + S8/S9) --------------------
+    def build_nodes():
+        mentions_c, _ = materialize.apply_link_map(
+            mentions_df, raw_edges_df, links_df
+        )
+        return materialize.build_nodes(mentions_c, key_attr_by_label)
+
+    nodes_df = ctx.run_stage("06_nodes", build_nodes)
+
+    def build_edges():
+        _, edges_c = materialize.apply_link_map(
+            mentions_df, raw_edges_df, links_df
+        )
+        return materialize.build_edges(edges_c, nodes_df)
+
+    edges_df = ctx.run_stage("07_edges", build_edges)
+
+    def build_triples():
+        return materialize.triples_view(edges_df)
+
+    triples_df = ctx.run_stage("08_triples", build_triples)
+
+    return {
+        "ctx": ctx,
+        "text": text_df,
+        "ir": ir_df,
+        "mentions": mentions_df,
+        "raw_edges": raw_edges_df,
+        "links": links_df,
+        "nodes": nodes_df,
+        "edges": edges_df,
+        "triples": triples_df,
+    }
+
+
+def _edges_unused_placeholder(spark):
+    return spark.createDataFrame(
+        [],
+        "url string, warc_ts timestamp, label string, src_label string, "
+        "src_key string, dst_label string, dst_key string, "
+        "attributes map<string,string>",
+    )
+
+
+def _mentions_unused_placeholder(spark):
+    return spark.createDataFrame(
+        [],
+        "url string, warc_ts timestamp, label string, key string, "
+        "attributes map<string,string>",
+    )

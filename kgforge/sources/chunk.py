@@ -1,0 +1,79 @@
+"""Row-chunking loaders (CSV / JSONL) with reference floor-drop parity.
+
+Reference semantics (/root/reference/graphrag_sdk/document_loaders/csv.py:15-32,
+jsonl.py:14-27): read all rows, emit documents of `rows_per_document` rows
+joined by "\\n" (CSV cells re-joined by ","); ``num_documents = num_rows //
+rows_per_document`` — the tail remainder is silently DROPPED. Factory defaults:
+50 rows/doc (source.py:150,160); loader default 500.
+
+Spark realization: a window row_number over an explicit order column gives a
+stable global row index; ``floor(rn / k)`` groups rows into chunks;
+``count == k`` filter reproduces the remainder drop. The global window is a
+single-partition sort — fine for the loader path (file-sized inputs); at 100 TB
+chunking is done per-file via the `part_col` argument, which windows
+*within* each file (partitionBy) and keeps the sort distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_rows(
+    df: DataFrame,
+    text_col: str,
+    order_col: str,
+    rows_per_document: int = 50,
+    part_col: str | None = None,
+    out_col: str = "content",
+) -> DataFrame:
+    """Group consecutive rows into documents of exactly `rows_per_document`.
+
+    Returns (part_col?, chunk_id, content) with the remainder chunk dropped.
+    """
+    if part_col is None:
+        w = Window.orderBy(order_col)
+        keys = []
+    else:
+        w = Window.partitionBy(part_col).orderBy(order_col)
+        keys = [part_col]
+    chunked = df.withColumn("_rn", F.row_number().over(w) - F.lit(1)).withColumn(
+        "chunk_id", (F.col("_rn") / rows_per_document).cast("long")
+    )
+    agg = (
+        chunked.groupBy(*keys, "chunk_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.array_sort(F.collect_list(F.struct("_rn", text_col))).getField(
+                    text_col
+                )
+            ).alias(out_col),
+            F.count("*").alias("_n"),
+        )
+        # remainder drop: only full chunks survive (csv.py:20 floor division)
+        .filter(F.col("_n") == rows_per_document)
+        .drop("_n")
+    )
+    return agg
+
+
+def chunk_jsonl(
+    df: DataFrame, line_col: str, order_col: str, rows_per_document: int = 50,
+    part_col=None,
+) -> DataFrame:
+    """JSONL chunker parity: raw lines (no JSON parse), each line keeps its
+    trailing "\\n" (readlines), then joined by "\\n" (jsonl.py:16-27)."""
+    with_nl = df.withColumn("_line", F.concat(F.col(line_col), F.lit("\n")))
+    return chunk_rows(with_nl, "_line", order_col, rows_per_document, part_col)
+
+
+def chunk_csv(
+    df: DataFrame, order_col: str, rows_per_document: int = 50, part_col=None
+) -> DataFrame:
+    """CSV chunker: cells joined by "," then rows by "\\n" (csv.py:22-30)."""
+    cols = [c for c in df.columns if c != order_col and c != part_col]
+    joined = df.withColumn("_line", F.concat_ws(",", *cols))
+    return chunk_rows(
+        joined, "_line", order_col, rows_per_document, part_col=part_col
+    )

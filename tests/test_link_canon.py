@@ -1,0 +1,127 @@
+"""M4: MinHash-LSH linking + connected-components canonicalization."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from kgforge.operators.canon import connected_components
+from kgforge.operators.link import (
+    link_map,
+    minhash_udf,  # noqa: F401  (imported to assert it builds sessionless)
+    name_match_score,
+    normalize_name,
+)
+
+
+def test_score_exact_casefold():
+    assert name_match_score("MONA IVANOVA", "Mona Ivanova") == 1.0
+
+
+def test_score_initial_expansion():
+    assert name_match_score("J. Dufresne", "Jonas Dufresne") > 0
+    assert name_match_score("Mona I.", "Mona Ivanova") > 0
+
+
+def test_score_rejects_different_entities():
+    # shared first+last tokens must NOT merge distinct titles
+    assert name_match_score("The Iron Tide", "The Broken Tide") == 0.0
+    # different people with the same surname must not merge
+    assert name_match_score("Rosa Xu", "Ingrid Xu") == 0.0
+    # initial with wrong letter
+    assert name_match_score("A. Dufresne", "Jonas Dufresne") == 0.0
+    # different token counts are not abbreviations
+    assert name_match_score("Jonas", "Jonas Dufresne") == 0.0
+
+
+def test_normalize_name():
+    assert normalize_name("  Mona   IVANOVA ") == "mona ivanova"
+
+
+def test_link_map_clusters(spark):
+    rows = [
+        ("Person", "Mona I."),
+        ("Person", "Mona Ivanova"),
+        ("Person", "MONA IVANOVA"),
+        ("Person", "M. Ivanova"),
+        ("Person", "Vera Ueda"),
+        ("Person", "Rosa Xu"),
+        ("Person", "Ingrid Xu"),
+        ("Movie", "The Iron Tide"),
+        ("Movie", "The Broken Tide"),
+    ]
+    mentions = spark.createDataFrame(rows, "label string, key string")
+    lm = {
+        (r["label"], r["key"]): r["canon_key"]
+        for r in link_map(mentions).collect()
+    }
+    # transitively-closed alias cluster, most-complete representative
+    assert lm[("Person", "Mona I.")] == "Mona Ivanova"
+    assert lm[("Person", "MONA IVANOVA")] == "Mona Ivanova"
+    assert lm[("Person", "M. Ivanova")] == "Mona Ivanova"
+    # non-aliases stay put
+    assert lm[("Person", "Vera Ueda")] == "Vera Ueda"
+    assert lm[("Person", "Rosa Xu")] == "Rosa Xu"
+    assert lm[("Person", "Ingrid Xu")] == "Ingrid Xu"
+    assert lm[("Movie", "The Iron Tide")] == "The Iron Tide"
+    assert lm[("Movie", "The Broken Tide")] == "The Broken Tide"
+
+
+def _uf_oracle(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully canonicalize: component = min member id
+    comp = {}
+    for x in range(n):
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_cc_matches_union_find_oracle(spark):
+    rng = random.Random(17)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vdf, edf).collect()
+    }
+    want = _uf_oracle(n, edges)
+    assert got == want
+
+
+def test_cc_transitive_chain(spark):
+    # chains only closed transitively (FIXTURES §4)
+    vdf = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edf = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vdf, edf).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+def test_cc_supernode_star(spark):
+    # one hub connected to everyone (the "United States" skew shape)
+    n = 300
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame([(0, i) for i in range(1, n)], "src long, dst long")
+    got = connected_components(vdf, edf)
+    assert got.select(F.count_distinct("component")).collect()[0][0] == 1
