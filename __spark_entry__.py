@@ -2,6 +2,8 @@
 
 `entry(spark)` runs the flagship KG-construction pipeline; `queries()` /
 `oracle_sql()` expose operator-level pairs checked against DuckDB at sf=0.01.
+The inventory lives in `kgforge/driver_queries.py` (one entry per operator
+family from SURVEY.md §2 plus the engine-new corpus-curation operators).
 """
 
 from __future__ import annotations
@@ -51,10 +53,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (filled per
-    milestone; each aliased to match oracle_sql column names)."""
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 + engine-new
+    corpus-curation operators (dedup / similarity / text analysis)."""
+    from kgforge import driver_queries
+
+    return driver_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return {}
+    from kgforge import driver_queries
+
+    return driver_queries.oracle_sql()

@@ -1,0 +1,858 @@
+"""Driver-contract query inventory: Spark impl + DuckDB oracle per operator.
+
+Each entry exercises one operator family from SURVEY.md §2 (or an engine-new
+corpus-curation operator) against the driver's deterministic parquet tables
+(`region nation customer supplier part orders lineitem events documents
+embeddings`). The DuckDB oracle in ORACLES is the ANSI-SQL ground truth the
+driver runs side-by-side at sf=0.01.
+
+Cross-engine determinism rules applied throughout (the driver hash-compares
+values after sorting columns by name):
+
+- every aggregate/computed column is aliased identically in both dialects;
+- money/metric aggregates are computed in DECIMAL (exact, order-independent)
+  and cast to DOUBLE only at the end — double sums would differ by summation
+  order between engines;
+- threshold tests on ratios are integer cross-multiplications
+  (`den*inter >= num*uni`), never float compares;
+- integer outputs are cast to BIGINT on both sides (Spark `size()` is int32,
+  DuckDB `len()` is int64);
+- DuckDB `regexp_replace` needs the 'g' flag to match Spark's replace-all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgforge.functions import dedup as D
+from kgforge.functions import similarity as S
+from kgforge.functions import textstats as TS
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in TS.EN_STOPWORDS) + "]"
+
+
+# =====================================================================
+# §2.2 projections / filters / predicates
+# =====================================================================
+
+
+@_q(
+    "p1_filter_nonempty",
+    """
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    GROUP BY lang
+    """,
+)
+def p1_filter_nonempty(spark, sf_dir):
+    """P1 empty-document filter (extract_data_step.py:67-74) + count."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@_q(
+    "p2_truncate",
+    """
+    SELECT doc_id, substr(text, 1, 100) AS snippet,
+           length(substr(text, 1, 100))::BIGINT AS snip_len
+    FROM documents
+    """,
+)
+def p2_truncate(spark, sf_dir):
+    """P2 content truncation — char slice (extract_data_step.py:119)."""
+    snip = F.substring("text", 1, 100)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", snip.alias("snippet"), F.length(snip).cast("long").alias("snip_len")
+    )
+
+
+@_q(
+    "p3p5_sanitize",
+    """
+    SELECT DISTINCT
+      source, lang,
+      regexp_replace(source || '-' || lang, '[^a-zA-Z0-9_]', '', 'g') AS label_sane,
+      regexp_replace(source || '-' || lang, '[^a-zA-Z0-9_]', '_', 'g') AS attr_sane,
+      upper(regexp_replace(source || '-' || lang, '[^a-zA-Z0-9_]', '', 'g')) AS pred_norm
+    FROM documents
+    """,
+)
+def p3p5_sanitize(spark, sf_dir):
+    """P3/P4/P5 sanitization (entity.py:39, attribute.py:68, relation.py:125)."""
+    raw = F.concat_ws("-", "source", "lang")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "lang",
+            F.regexp_replace(raw, "[^a-zA-Z0-9_]", "").alias("label_sane"),
+            F.regexp_replace(raw, "[^a-zA-Z0-9_]", "_").alias("attr_sane"),
+            F.upper(F.regexp_replace(raw, "[^a-zA-Z0-9_]", "")).alias("pred_norm"),
+        )
+        .dropDuplicates()
+    )
+
+
+# =====================================================================
+# §2.1 S5/S6 row chunking (floor-drop semantics)
+# =====================================================================
+
+
+@_q(
+    "s5_chunk_docs",
+    """
+    WITH numbered AS (
+      SELECT text, row_number() OVER (ORDER BY doc_id) AS rn FROM documents
+    ), chunks AS (
+      SELECT (rn - 1) // 64 AS chunk_id,
+             count(*)::BIGINT AS n_rows,
+             md5(string_agg(text, chr(10) ORDER BY rn)) AS chunk_md5
+      FROM numbered GROUP BY 1
+    )
+    SELECT chunk_id, n_rows, chunk_md5 FROM chunks WHERE n_rows = 64
+    """,
+)
+def s5_chunk_docs(spark, sf_dir):
+    """S5/S6 chunker: k rows -> 1 document, floor division drops the tail
+    (document_loaders/csv.py:20, jsonl.py:18)."""
+    k = 64
+    numbered = _t(spark, sf_dir, "documents").select(
+        "text", F.row_number().over(Window.orderBy("doc_id")).alias("rn")
+    )
+    return (
+        numbered.groupBy(((F.col("rn") - 1) / k).cast("long").alias("chunk_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("rn", "text"))),
+                            lambda x: x.text,
+                        ),
+                    ),
+                    "UTF-8",
+                )
+            ).alias("chunk_md5"),
+        )
+        .filter(F.col("n_rows") == k)
+    )
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+
+@_q(
+    "j1_resolve_3way",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*)::BIGINT AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def j1_resolve_3way(spark, sf_dir):
+    """J1 endpoint-resolution shape: two hash equi-joins, inner = drop-if-
+    missing (extract_data_step.py:266)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "j4_anti_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_anti_customers_no_orders(spark, sf_dir):
+    """J4 discard-without-reference as left_anti (ontology.py:168-202)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "j5_semi_parts_in_lineitem",
+    """
+    SELECT p_brand, count(*)::BIGINT AS n_parts
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY 1
+    """,
+)
+def j5_semi_parts_in_lineitem(spark, sf_dir):
+    """J5 keep-if-referenced as left_semi (ontology.py:204-227)."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+# =====================================================================
+# §2.4 aggregations
+# =====================================================================
+
+
+@_q(
+    "a1_last_event_per_user",
+    """
+    SELECT user_id, event_type AS last_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a1_last_event_per_user(spark, sf_dir):
+    """A1 last-write-wins with explicit deterministic order (SURVEY §2.4)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@_q(
+    "a2_distinct_user_event",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def a2_distinct_user_event(spark, sf_dir):
+    """A2 idempotent dedup (MERGE-per-key semantics)."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@_q(
+    "a3_langs_per_source",
+    """
+    SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def a3_langs_per_source(spark, sf_dir):
+    """A3 attribute-union per label (entity.py:117-121) as sorted set-agg."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+# =====================================================================
+# §2.5 windows / §2.6 top-k
+# =====================================================================
+
+
+@_q(
+    "w1_top3_orders_per_segment",
+    """
+    SELECT segment, o_orderkey, o_totalprice, rk FROM (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) ::BIGINT AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def w1_top3_orders_per_segment(spark, sf_dir):
+    """Window top-k per group (SURVEY §2.5 disambiguation shape)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@_q(
+    "w2_sessionize_events",
+    """
+    SELECT user_id, event_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    """,
+)
+def w2_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (stateful-streaming analogue in batch)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision: exact at timestamp resolution, so both engines
+    # agree (SECOND-granularity diffs count boundaries differently)
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    is_new = F.when(
+        gap.isNull() | (gap > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .select("user_id", "event_id", "session_idx")
+    )
+
+
+# =====================================================================
+# §2.7 set ops
+# =====================================================================
+
+
+@_q(
+    "u1_union_nations",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+)
+def u1_union_nations(spark, sf_dir):
+    """U1/U2 union + dedup (ontology.py:134-166, kg.py:105-106)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+# =====================================================================
+# §2.3 J9 connected components (iterative; closed-form oracle)
+# =====================================================================
+
+
+@_q(
+    "j9_connected_components",
+    """
+    SELECT doc_id AS id, (doc_id - doc_id % 7)::BIGINT AS component
+    FROM documents
+    """,
+)
+def j9_connected_components(spark, sf_dir):
+    """J9 hash-to-min CC on a chain graph (runs of 7 consecutive ids).
+
+    The Spark side runs the real iterative algorithm (canon.py); the oracle
+    is the closed form of the expected fixpoint — valid because doc_ids are
+    contiguous (asserted in tests).
+    """
+    from kgforge.operators.canon import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    vertices = docs
+    mx = docs.agg(F.max("id")).first()[0]
+    edges = (
+        docs.filter((F.col("id") % 7 != 6) & (F.col("id") < mx))
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    return connected_components(vertices, edges).select(
+        "id", F.col("component").cast("long").alias("component")
+    )
+
+
+# =====================================================================
+# engine-new: deduplication suite (documents table + seeded variants)
+# =====================================================================
+
+_VARIANT_OFFSET = 1_000_000
+
+
+def _docs_with_exact_variants(spark, sf_dir):
+    """documents ∪ case/whitespace-mutated copies (ids offset)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = d.select(
+        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+    )
+    return d.unionByName(v)
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET}, replace(upper(text), ' ', '  ')
+      FROM documents
+    ), fps AS (
+      SELECT doc_id AS id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM corpus
+    ), groups AS (
+      SELECT fp, min(id) AS canon_id, count(*) AS n FROM fps GROUP BY fp
+    )
+    SELECT f.id, g.canon_id, f.fp FROM fps f JOIN groups g USING (fp)
+    WHERE g.n >= 2
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 over normalized text, min-id representative."""
+    return D.exact_duplicates(
+        _docs_with_exact_variants(spark, sf_dir), "doc_id", "text"
+    )
+
+
+def _docs_with_truncated_variants(spark, sf_dir):
+    """documents ∪ 80%-prefix copies (high-Jaccard near-dups, ids offset)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    v = d.select(
+        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+        F.expr("substr(text, 1, (n_chars * 4) div 5)").alias("text"),
+        F.col("n_chars"),
+    )
+    return d.unionByName(v).withColumn("blk", F.substring("text", 1, 40))
+
+
+@_q(
+    "dedup_jaccard",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET}, substr(text, 1, (n_chars * 4) // 5)
+      FROM documents
+    ), ws AS (
+      SELECT doc_id AS id, substr(text, 1, 40) AS blk,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM corpus
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_intersect(a.w, b.w))::BIGINT AS inter,
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))::BIGINT AS uni
+      FROM ws a JOIN ws b ON a.blk = b.blk AND a.id < b.id
+    )
+    SELECT id_a, id_b, inter, uni FROM pairs WHERE 10 * inter >= 8 * uni
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    """Exact n-gram (word-set) Jaccard >= 0.8 with prefix blocking."""
+    corpus = _docs_with_truncated_variants(spark, sf_dir)
+    out = D.jaccard_pairs(corpus, "blk", "doc_id", "text", num=8, den=10)
+    return out.select(
+        "id_a", "id_b", F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
+@_q("dedup_minhash")  # LSH banding not SQL-expressible -> rows-only check
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (verified by exact Jaccard).
+
+    pytest cross-checks this against `dedup_jaccard`'s exact pairs (LSH must
+    recover >= 95% of true pairs at this threshold).
+    """
+    corpus = _docs_with_truncated_variants(spark, sf_dir)
+    out = D.minhash_pairs(
+        corpus, "doc_id", "text", threshold_num=8, threshold_den=10
+    )
+    return out.select(
+        "id_a", "id_b", F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
+@_q("dedup_simhash")  # bit-vote signature not SQL-expressible -> rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3 via chunk blocking)."""
+    corpus = _docs_with_truncated_variants(spark, sf_dir)
+    return D.simhash_pairs(corpus, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# =====================================================================
+# engine-new: similarity search over embeddings
+# =====================================================================
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id,
+                  list_cosine_similarity(q.qv, c.cv) AS sim
+           FROM q, c WHERE q.query_id <> c.neighbor_id
+         )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id)::BIGINT AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors (exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@_q("ann_lsh_topk")  # hyperplane LSH not SQL-expressible -> rows-only
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH top-5 (recall vs brute force checked in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+# =====================================================================
+# engine-new: text analysis suite
+# =====================================================================
+
+
+@_q(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))::BIGINT AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace + word-run + BPE-ish pre-tokenizer."""
+    out = TS.token_counts(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe").cast("long").alias("n_bpe"),
+    )
+
+
+@_q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_m,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct,
+           len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper,
+           len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              {_STOPLIST_SQL}))::BIGINT AS n_stop_distinct
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality signals (integer-valued; ratios derived downstream)."""
+    out = TS.quality_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in ["n_chars_m", "n_tokens", "n_punct", "n_upper", "n_stop_distinct"]
+        ],
+    )
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(list_intersect(
+                    regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    {_STOPLIST_SQL})) >= 2
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Heuristic language ID: distinct English function-word hits."""
+    return TS.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS n_norm_chars
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over normalized text."""
+    norm = TS.normalize_text(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("fp"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )
+
+
+# =====================================================================
+# analytic headliners (shuffle/join/agg at scale; decimal-exact oracles)
+# =====================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style scan + hash aggregate (pushdown + partial agg)."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style multi-join + top-k (broadcast dim, SMJ fact-fact)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                                   AND c.c_nationkey = s.s_nationkey
+                    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5-style snowflake join (broadcast small dims)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup (batch face of the streaming agg)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# KG pipeline end-to-end (non-SQL-expressible -> rows-only checks)
+# =====================================================================
+
+
+@_q("kg_triples_e2e")
+def kg_triples_e2e(spark, sf_dir):
+    """Full KG construction on the seeded synthetic page corpus: html ->
+    text -> extraction -> linking -> CC -> materialized triples."""
+    from kgforge.plans.pipeline import build_graph
+    from kgforge.sources.pages import corpus_to_spark, generate_corpus, movies_ontology
+
+    corpus = generate_corpus(n_pages=40, seed=42)
+    pages, _, _ = corpus_to_spark(spark, corpus)
+    out = build_graph(spark, pages, movies_ontology())
+    return out["triples"].select(
+        "subj_label", "subj_key", "pred", "obj_label", "obj_key"
+    )
+
+
+@_q("kg_entity_link")
+def kg_entity_link(spark, sf_dir):
+    """MinHash-LSH + CC entity linking over the alias fixture."""
+    from kgforge.operators.link import link_map
+    from kgforge.sources.pages import generate_corpus
+
+    corpus = generate_corpus(n_pages=40, seed=42)
+    mentions = spark.createDataFrame(
+        [(a["label"], a["mention"]) for a in corpus.aliases],
+        "label string, key string",
+    )
+    return link_map(mentions).select("label", "key", "canon_key")
+
+
+@_q("media_features")
+def media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> Arrow-batched feature stub."""
+    from kgforge.functions.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64, seed=42)
+    return extract_features(media, fake=True).select(
+        "media_id", "media_type", "n_bytes"
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,317 @@
+"""Corpus deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Design for 100 TB (SURVEY §4 hygiene applies):
+
+- **exact**: md5 over normalized text -> hash groupBy. One shuffle keyed by
+  the fingerprint; map-side partial agg collapses most duplicates before the
+  exchange.
+- **n-gram Jaccard**: exact word-set Jaccard, but only *within a blocking
+  key* (equi-join realization) — never a cross product. The caller picks the
+  block (here: a cheap prefix/source key; at scale: LSH bands below).
+- **MinHash-LSH**: signatures computed with *pure built-in expressions*
+  (sequence/transform/crc32/array_min) so the whole signature stays inside
+  WholeStageCodegen — zero Python. Bands -> posexplode -> self equi-join on
+  (band_idx, band_hash): shuffle is keyed by band hash, cross product never
+  materializes, AQE splits skewed bands.
+- **SimHash**: 64-bit signature via a vectorized numpy pandas UDF (bit-count
+  loops don't express well as SQL); near-dup pairs join on rotated 16-bit
+  chunks (the standard "split the fingerprint" trick: any pair at Hamming
+  distance <= 3 shares at least one of 4 exact chunks).
+
+The reference has no dedup surface (it relies on MERGE idempotence per
+extracted key, /root/reference/graphrag_sdk/steps/extract_data_step.py:222);
+these operators are engine-new, required for web-scale corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from kgforge.functions.textstats import normalize_text, tokens_col
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rows whose normalized text collides -> (id, canon_id, fp).
+
+    canon_id = min id in the collision group (deterministic representative).
+    Only true duplicates are returned (groups of size >= 2), canonical row
+    included so the caller can either drop or keep-first.
+    """
+    fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
+    with_fp = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    groups = with_fp.groupBy("fp").agg(
+        F.min("id").alias("canon_id"), F.count("*").alias("n")
+    )
+    return (
+        with_fp.join(groups.filter(F.col("n") >= 2), on="fp")
+        .select("id", "canon_id", "fp")
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def word_set(text: Column) -> Column:
+    return F.array_distinct(tokens_col(F.lower(text)))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = 8,
+    den: int = 10,
+) -> DataFrame:
+    """Exact word-set Jaccard >= num/den within a blocking key.
+
+    Returns (id_a, id_b, inter, uni) with id_a < id_b. The threshold test is
+    integer-only (`den*inter >= num*uni`) so engine and oracle agree
+    bit-for-bit. Shuffle is keyed on the block column; within-block pairing
+    is an equi-join, so cost is sum of squares of block sizes, not N^2.
+    """
+    base = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        word_set(F.col(text_col)).alias("ws"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")]
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.size(F.array_intersect("a.ws", "b.ws")).alias("inter"),
+        F.size(F.array_union("a.ws", "b.ws")).alias("uni"),
+    )
+    return pairs.filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
+
+
+# ------------------------------------------------------------ MinHash-LSH
+
+_P = (1 << 31) - 1  # Mersenne prime, fits comfortably in long arithmetic
+_DOC_SEED = 777
+
+
+def _hash_params(n_hashes: int) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(_DOC_SEED)
+    a = rng.randint(1, _P, size=n_hashes).tolist()
+    b = rng.randint(0, _P, size=n_hashes).tolist()
+    return a, b
+
+
+def shingle_hashes(text: Column, shingle_k: int = 5) -> Column:
+    """Distinct crc32 values of the word-k-shingles of `text` (built-ins)."""
+    toks = tokens_col(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.crc32(
+                F.encode(
+                    F.concat_ws(" ", F.slice(toks, i, shingle_k)), "UTF-8"
+                )
+            ),
+        )
+    )
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 32, shingle_k: int = 5
+) -> Column:
+    """MinHash over word-k-shingles — pure built-in expressions (no Python).
+
+    Shaped so the (expensive) shingle array is evaluated ONCE per row: one
+    transform maps each shingle to its n_hashes permuted values, then a fold
+    takes the element-wise min (`aggregate` + `zip_with(least)`). The naive
+    form — n_hashes separate `array_min(transform(shingles, ...))` columns —
+    re-evaluates the shingle construction per hash function (no common
+    subexpression elimination across higher-order functions) and is ~30x
+    slower.
+    """
+    av, bv = _hash_params(n_hashes)
+
+    def perms(x: Column) -> Column:
+        # reduce x mod P first: keeps a*x within int64 range
+        xm = x % F.lit(_P)
+        return F.array(
+            *[(xm * F.lit(a) + F.lit(b)) % F.lit(_P) for a, b in zip(av, bv)]
+        )
+
+    per_shingle = F.transform(shingle_hashes(text, shingle_k), perms)
+    init = F.array_repeat(F.lit(_P).cast("long"), n_hashes)
+    return F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, h: F.zip_with(acc, h, lambda p, q: F.least(p, q)),
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified by exact Jaccard.
+
+    (id_a, id_b, inter, uni) with id_a < id_b, exact word-set Jaccard >=
+    threshold. LSH only *blocks* (may lose pairs below ~the band threshold,
+    never fabricates); exact verification of the candidates decides.
+    """
+    rows_per_band = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_k).alias("sig"),
+        word_set(F.col(text_col)).alias("ws"),
+    )
+    bands = base.select(
+        "id",
+        "ws",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.slice("sig", i * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band_idx", "band"),
+    ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string")))
+    # persist: the self-join would otherwise evaluate the signature
+    # expression twice more (once per join side)
+    bands = bands.persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ws").alias("ws_a"),
+            F.col("b.ws").alias("ws_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cands.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("ws_a", "ws_b")).alias("inter"),
+        F.size(F.array_union("ws_a", "ws_b")).alias("uni"),
+    ).filter(
+        F.lit(threshold_den) * F.col("inter")
+        >= F.lit(threshold_num) * F.col("uni")
+    )
+    return verified
+
+
+# --------------------------------------------------------------- SimHash
+
+_SIMHASH_BITS = 64
+
+
+@pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized numpy, Arrow batch).
+
+    Per text: token -> stable 64-bit hash (blake2b digest, seed-free);
+    signature bit i = sign of sum over tokens of (2*bit_i - 1).
+    """
+    import hashlib
+
+    def tok_hash(tok: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+
+    out = np.empty(len(texts), dtype=np.int64)
+    for j, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            out[j] = 0
+            continue
+        hs = np.fromiter(
+            (tok_hash(t_) for t_ in toks), dtype=np.uint64, count=len(toks)
+        )
+        bits = (
+            (hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(i)
+        out[j] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit signature into 4 16-bit chunks; any pair
+    within distance 3 matches exactly on >= 1 chunk (pigeonhole), so the
+    self-join is an equi-join on (chunk_idx, chunk_value) — no cross product.
+    Distance is then verified exactly with bit_count(xor).
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig")
+    )
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

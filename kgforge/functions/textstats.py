@@ -1,0 +1,101 @@
+"""Text-analysis operators for large-scale corpus curation.
+
+All hot-path expressions are JVM-side built-ins (`pyspark.sql.functions`) so
+they stay inside WholeStageCodegen — no Python on the per-row path. Each
+function has a DuckDB-expressible twin in `kgforge/driver_queries.py` so the
+driver's oracle gate covers it.
+
+Semantics are engine-defined (the reference has no corpus-curation surface);
+they extend the KG pipeline with the curation steps a 100 TB Common-Crawl
+corpus needs before extraction: token counting, quality scoring, language ID,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small, fixed English function-word list for the n-gram-free language
+# heuristic. Deterministic and tiny by design: at 100 TB the language gate
+# must be a pure column expression, not a model call.
+EN_STOPWORDS = [
+    "the", "a", "an", "of", "and", "or", "in", "on", "to", "is", "was",
+    "for", "with", "as", "by", "at", "it", "this", "that", "from",
+]
+
+_WS = r"\s+"
+_PUNCT = r"[.!?,;:]"
+_WORD = r"[A-Za-z0-9_]+"
+# BPE-ish pre-tokenizer: words OR single non-space-non-word symbols — the
+# standard GPT-2-style pre-split shape, expressible in one regex count.
+_BPE_ISH = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> [''])."""
+    return F.split(F.trim(text), _WS)
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens (whitespace), n_words (\\w+ runs), n_bpe (BPE-ish regex)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(tokens_col(t)),
+            "n_words": F.regexp_count(t, F.lit(_WORD)),
+            "n_bpe": F.regexp_count(t, F.lit(_BPE_ISH)),
+        }
+    )
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality signals: lengths, punctuation, casing, stopword hits.
+
+    Integer-valued on purpose: downstream threshold filters then compare
+    ints (engine-vs-oracle bit-exact); ratios are derived by the caller.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(F.lower(t))
+    return df.withColumns(
+        {
+            "n_chars_m": F.length(t),
+            "n_tokens": F.size(tokens_col(t)),
+            "n_punct": F.regexp_count(t, F.lit(_PUNCT)),
+            "n_upper": F.regexp_count(t, F.lit("[A-Z]")),
+            "n_stop_distinct": F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS]))
+            ),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", min_hits: int = 2) -> DataFrame:
+    """Heuristic language gate: >= min_hits distinct English function words.
+
+    Adds pred_lang ('en' | 'other'). Integer threshold keeps it bit-exact
+    against the SQL oracle (no float ratio compare).
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS]))
+    )
+    return df.withColumn(
+        "pred_lang", F.when(hits >= min_hits, F.lit("en")).otherwise(F.lit("other"))
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for fingerprints: lower + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), _WS, " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add fp = md5 of the normalized text (exact-dup identity at scale).
+
+    md5 over utf-8 bytes — stable across engines (DuckDB md5() matches),
+    unlike xxhash64 whose seed is Spark-specific.
+    """
+    return df.withColumn(
+        "fp", F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
+    )

@@ -230,16 +230,26 @@ def extract_ir(
     rules: dict,
     text_col: str = "text",
     max_chars: int = 500_000,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """pages -> pages + nested `entities`/`relations` IR columns.
+    """pages -> keep_cols + nested `entities`/`relations` IR columns.
 
     Reproduces the reference's input cap: content[:max_input_tokens] slices
     *characters* despite the name, default 500,000
     (extract_data_step.py:44,119) — P2 in SURVEY §2.2.
+
+    `keep_cols` limits the passthrough columns (default: all). The pipeline
+    passes ["url", "warc_ts"]: shipping the full text back across the Arrow
+    boundary roughly doubles the per-row serialization cost for data no
+    downstream stage reads (column pruning can't reach inside mapInPandas).
     """
-    passthrough = [c for c in df.columns]
+    passthrough = list(df.columns) if keep_cols is None else list(keep_cols)
+    by_name = {f.name: f for f in df.schema.fields}
     schema = (
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        ", ".join(
+            f"{by_name[c].name} {by_name[c].dataType.simpleString()}"
+            for c in passthrough
+        )
         + f", entities {IR_ENTITY_TYPE}, relations {IR_RELATION_TYPE}"
     )
 
@@ -255,14 +265,15 @@ def extract_ir(
                 e, r = compiled.extract_document(text[:max_chars])
                 ents_col.append(e)
                 rels_col.append(r)
-            pdf = pdf.copy()
-            pdf["entities"] = ents_col
-            pdf["relations"] = rels_col
-            yield pdf
+            out = pdf[passthrough].copy()
+            out["entities"] = ents_col
+            out["relations"] = rels_col
+            yield out
 
     # P1: empty-document filter (extract_data_step.py:67-74)
     filtered = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-    return filtered.mapInPandas(run, schema=schema)
+    in_cols = passthrough + ([text_col] if text_col not in passthrough else [])
+    return filtered.select(*in_cols).mapInPandas(run, schema=schema)
 
 
 def explode_ir(ir_df: DataFrame):

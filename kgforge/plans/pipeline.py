@@ -58,7 +58,7 @@ def build_graph(
         text_df = df.select(
             "url", "warc_ts", extract_text_udf(F.col("html")).alias("text"), "lang"
         )
-    ir_df = extract.extract_ir(text_df, rules)
+    ir_df = extract.extract_ir(text_df, rules, keep_cols=["url", "warc_ts"])
     mentions, raw_edges = extract.explode_ir(ir_df)
     mentions = normalize.sanitize_mentions(mentions)
     raw_edges = normalize.sanitize_edges(raw_edges)
@@ -129,7 +129,7 @@ def run_pipeline(
 
     # ---- stage 2: extraction IR (M2) ----------------------------------
     def build_ir():
-        return extract.extract_ir(text_df, rules)
+        return extract.extract_ir(text_df, rules, keep_cols=["url", "warc_ts"])
 
     ir_df = ctx.run_stage("02_ir", build_ir)
 

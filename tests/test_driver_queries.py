@@ -1,0 +1,146 @@
+"""Local mirror of the driver's oracle gate: every queries() entry with an
+oracle_sql() twin must match DuckDB row-for-row at sf0.001 (the driver runs
+the same comparison at sf0.01).
+
+Compare semantics mirror the driver: columns sorted by name, rows sorted,
+exact value equality (floats must agree bit-for-bit because both sides
+compute them from identical exact intermediates).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+# KGFORGE_TEST_SF=/root/testdata/sf0.01 reruns the gate at driver scale
+SF_DIR = os.environ.get("KGFORGE_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    return v
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        [tuple(_canon(row[i]) for i in order) for row in data],
+        key=lambda r: tuple(str(x) for x in r),
+    )
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_every_oracle_has_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = _rows(spark_cols, [tuple(r) for r in sdf.collect()])
+
+    res = ddb.execute(ORACLES[name])
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = _rows(ddb_cols, res.fetchall())
+
+    assert sorted(spark_cols) == sorted(ddb_cols), (
+        f"{name}: column names differ: {spark_cols} vs {ddb_cols}"
+    )
+    assert len(spark_rows) == len(ddb_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(ddb_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(spark_rows, ddb_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES))
+)
+def test_rows_only_queries_run(name, spark):
+    """Non-SQL-expressible entries must still run and return a stable schema."""
+    sdf = QUERIES[name](spark, SF_DIR)
+    n = sdf.count()
+    assert n >= 0
+    assert sdf.columns
+
+
+def test_doc_ids_contiguous(spark):
+    """j9's closed-form oracle assumes contiguous doc_ids 0..N-1."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    agg = docs.agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+    ).first()
+    assert agg.mn == 0 and agg.mx == agg.n - 1 and agg.n == agg.nd
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH blocking must recover >=95% of true >=0.8-Jaccard pairs."""
+    from kgforge import driver_queries as dq
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dq.QUERIES["dedup_jaccard"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dq.QUERIES["dedup_minhash"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture should produce true near-dup pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, f"minhash recall {recall:.3f}"
+    # verification step means LSH never fabricates below-threshold pairs
+    assert lsh <= exact | lsh  # tautology guard; precision check below
+    for (a, b) in lsh:
+        assert b - a == 1_000_000 or (a, b) in exact
+
+
+def test_ann_lsh_recall(spark):
+    """Hyperplane-LSH top-5 must hit >=60% of brute-force top-5."""
+    from kgforge import driver_queries as dq
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in dq.QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in dq.QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()
+    }
+    assert bf
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.7, f"ann-lsh recall {recall:.3f}"
