@@ -806,6 +806,70 @@ def events_hourly_rollup(spark, sf_dir):
 
 
 # =====================================================================
+# skew handling: salted operators must equal their unsalted SQL
+# =====================================================================
+
+
+@_q(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation over the hot event_type keys — must be
+    value-identical to the plain GROUP BY (the oracle)."""
+    from kgforge.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    hot = skew.heavy_hitters(ev, ["event_type"], min_count=100)
+    dec = F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum")
+    cnt = F.count("*").alias("_n")
+    return skew.salted_agg(
+        ev,
+        ["event_type"],
+        partial_aggs=[cnt, dec],
+        merge_aggs=[
+            F.sum("_n").alias("n"),
+            F.sum("_sum").cast("double").alias("total_value"),
+        ],
+        hot_keys=hot,
+        factor=8,
+    )
+
+
+@_q(
+    "skew_replicated_join",
+    """
+    SELECT n.n_name AS nation, count(*)::BIGINT AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def skew_replicated_join(spark, sf_dir):
+    """Salt-replicated broadcast join (hot nation keys spread over 8
+    buckets) — must equal the plain join+group (the oracle)."""
+    from kgforge.operators import skew
+
+    c = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey"
+    )
+    hot = skew.heavy_hitters(c, ["nationkey"], min_count=10)
+    joined = skew.replicate_broadcast_join(
+        c, n, ["nationkey"], hot_keys=hot, factor=8
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+# =====================================================================
 # KG pipeline end-to-end (non-SQL-expressible -> rows-only checks)
 # =====================================================================
 

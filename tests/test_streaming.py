@@ -1,0 +1,115 @@
+"""Streaming face: exactly-once incremental extraction + windowed rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.sources.pages import corpus_to_spark, generate_corpus, movies_ontology
+from kgforge.streaming.incremental import stream_extract, windowed_event_rollup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(n_pages=24, seed=42)
+
+
+def _write_chunk(spark, corpus, lo, hi, path):
+    pages, _, _ = corpus_to_spark(spark, corpus)
+    rows = pages.collect()
+    spark.createDataFrame(rows[lo:hi], pages.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_stream_matches_batch_and_is_exactly_once(spark, corpus, workdir):
+    onto = movies_ontology()
+    pages_dir = f"{workdir}/pages_stream"
+    out_dir = f"{workdir}/stream_out"
+    ckpt = f"{workdir}/ckpt"
+
+    # chunk 1 arrives
+    _write_chunk(spark, corpus, 0, 12, f"{pages_dir}/c1")
+    q = stream_extract(spark, pages_dir, onto, out_dir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out_dir}/mentions").count()
+    assert n1 > 0
+
+    # chunk 2 arrives; restart processes ONLY the new file
+    _write_chunk(spark, corpus, 12, 24, f"{pages_dir}/c2")
+    q = stream_extract(spark, pages_dir, onto, out_dir, ckpt)
+    q.awaitTermination(120)
+    m_stream = spark.read.parquet(f"{out_dir}/mentions")
+    n2 = m_stream.count()
+    assert n2 > n1
+
+    # rerun with no new data: nothing is reprocessed (exactly-once)
+    q = stream_extract(spark, pages_dir, onto, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/mentions").count() == n2
+
+    # parity with the batch path on the same pages
+    from kgforge.operators import extract, normalize
+
+    batch_pages = spark.read.parquet(f"{pages_dir}/c1", f"{pages_dir}/c2")
+    rules = extract.compile_rules(onto)
+    text_df = batch_pages.select(
+        "url", "warc_ts", F.coalesce("text").alias("text"), "lang"
+    )
+    ir = extract.extract_ir(text_df, rules, keep_cols=["url", "warc_ts"])
+    m_batch, e_batch = extract.explode_ir(ir)
+    m_batch = normalize.sanitize_mentions(m_batch)
+    m_batch, _ = normalize.filter_to_ontology(m_batch, e_batch, onto, spark)
+
+    key = ["url", "label", "key"]
+    assert {tuple(r) for r in m_stream.select(*key).collect()} == {
+        tuple(r) for r in m_batch.select(*key).collect()
+    }
+
+
+def test_windowed_rollup_batch_parity(spark):
+    """Same plan over a batch DF equals the plain date_trunc rollup."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = windowed_event_rollup(events)
+    expected = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
+
+
+def test_windowed_rollup_streaming(spark, workdir):
+    """The rollup runs as a real stream with watermarked event-time state."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(500)
+    src = f"{workdir}/ev_src"
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src)
+    )
+    rolled = windowed_event_rollup(stream)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ev_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows closed by the watermark; with a single
+    # batch nothing may finalize — the assertion is that the stateful
+    # streaming plan executes, not a value check (parity is tested in batch)
+    assert spark.table("rollup_test").columns == [
+        "hour", "event_type", "n", "total_value"
+    ]
