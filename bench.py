@@ -157,15 +157,24 @@ def stage_main(cpus: int) -> dict:
     t0 = time.time()
     out = build_graph(spark, pages, movies_ontology())
     n_triples = out["triples"].count()
-    wall = time.time() - t0
+    cold = time.time() - t0
+    # second pass separates the fixed session cost (plan JIT, Python-worker
+    # spawn, codegen — amortized to nothing in a long job) from the marginal
+    # per-corpus cost, which is what scales with input size
+    t0 = time.time()
+    out2 = build_graph(spark, pages, movies_ontology())
+    n2 = out2["triples"].count()
+    steady = time.time() - t0
+    assert n2 == n_triples
     spark.stop()
     return {
         "queries": qtimes,
         "kg_pipeline": {
             "pages": len(corpus.pages),
             "triples": n_triples,
-            "sec": round(wall, 3),
-            "triples_per_sec": round(n_triples / wall, 2),
+            "cold_sec": round(cold, 3),
+            "steady_sec": round(steady, 3),
+            "triples_per_sec_steady": round(n_triples / steady, 2),
         },
     }
 

@@ -58,7 +58,12 @@ def build_graph(
         text_df = df.select(
             "url", "warc_ts", extract_text_udf(F.col("html")).alias("text"), "lang"
         )
-    ir_df = extract.extract_ir(text_df, rules, keep_cols=["url", "warc_ts"])
+    # persist at the Python-UDF boundary: IR feeds both explode branches and
+    # every downstream consumer — without this the bs4+extraction UDF chain
+    # re-runs once per consumer (the single biggest wall-clock factor here)
+    ir_df = extract.extract_ir(
+        text_df, rules, keep_cols=["url", "warc_ts"]
+    ).persist()
     mentions, raw_edges = extract.explode_ir(ir_df)
     mentions = normalize.sanitize_mentions(mentions)
     raw_edges = normalize.sanitize_edges(raw_edges)
@@ -66,14 +71,18 @@ def build_graph(
         mentions, raw_edges, onto, spark
     )
     mentions, _quar = normalize.validate_attributes(mentions, onto)
+    mentions = mentions.persist()
+    raw_edges = raw_edges.persist()
     endpoint_names = mentions.select("label", "key").unionByName(
         raw_edges.select(F.col("src_label").alias("label"), F.col("src_key").alias("key"))
     ).unionByName(
         raw_edges.select(F.col("dst_label").alias("label"), F.col("dst_key").alias("key"))
     )
-    links = link.link_map(endpoint_names)
+    # link_map's CC fixpoint runs eagerly (localCheckpoint per iteration);
+    # its output is consumed once per endpoint side — persist the small map
+    links = link.link_map(endpoint_names).persist()
     mentions_c, edges_c = materialize.apply_link_map(mentions, raw_edges, links)
-    nodes = materialize.build_nodes(mentions_c, key_attr_by_label)
+    nodes = materialize.build_nodes(mentions_c, key_attr_by_label).persist()
     edges = materialize.build_edges(edges_c, nodes)
     triples = materialize.triples_view(edges)
     return {
