@@ -870,6 +870,64 @@ def skew_replicated_join(spark, sf_dir):
 
 
 # =====================================================================
+# graph query surface (EP3): traversal with recursive-CTE oracle
+# =====================================================================
+
+
+@_q(
+    "graph_bfs_distances",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey AS src,
+             l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ), walk(id, dist) AS (
+      SELECT (SELECT min(o_custkey) FROM orders), 0
+      UNION
+      SELECT s.dst, w.dist + 1
+      FROM walk w JOIN sym s ON s.src = w.id WHERE w.dist < 3
+    )
+    SELECT id::BIGINT AS id, min(dist)::BIGINT AS dist FROM walk GROUP BY id
+    """,
+)
+def graph_bfs_distances(spark, sf_dir):
+    """Bounded shortest-path BFS (Cypher shortestPath / *1..k parity) on the
+    customer—supplier bipartite graph; oracle is a recursive-CTE BFS."""
+    from kgforge.plans.graph_query import bfs_distances, symmetrize
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    src = o.agg(F.min("o_custkey").alias("id"))
+    out = bfs_distances(symmetrize(edges), src, max_depth=3)
+    return out.select(F.col("id").cast("long"), F.col("dist").cast("long"))
+
+
+@_q("graph_match_pattern")  # runs over the built KG -> rows-only
+def graph_match_pattern(spark, sf_dir):
+    """MATCH (p:Person)-[:DIRECTED]->(m:Movie) over the materialized graph."""
+    from kgforge.plans.graph_query import match_edges
+    from kgforge.plans.pipeline import build_graph
+    from kgforge.sources.pages import corpus_to_spark, generate_corpus, movies_ontology
+
+    corpus = generate_corpus(n_pages=40, seed=42)
+    pages, _, _ = corpus_to_spark(spark, corpus)
+    out = build_graph(spark, pages, movies_ontology())
+    return match_edges(
+        out["nodes"], out["edges"], "Person", "DIRECTED", "Movie"
+    ).select("src_key", "rel", "dst_key")
+
+
+# =====================================================================
 # KG pipeline end-to-end (non-SQL-expressible -> rows-only checks)
 # =====================================================================
 

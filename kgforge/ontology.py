@@ -343,3 +343,64 @@ class Ontology:
             spark.createDataFrame(ent_rows, ent_schema),
             spark.createDataFrame(rel_rows, rel_schema),
         )
+
+
+def ontology_from_graph(nodes, edges) -> "Ontology":
+    """Reverse-engineer an Ontology from materialized graph tables.
+
+    Parity with the reference's `Ontology.from_kg_graph`
+    (/root/reference/graphrag_sdk/ontology.py:80-102), which replays
+    `MATCH (n) RETURN n` / `MATCH ()-[r]->() RETURN r` and folds what it
+    sees. Here the same fold is two small aggregations:
+
+    - entities: per node label, the union of observed property names, typed
+      by value shape (all-numeric -> number, true/false -> boolean, else
+      string); the pipeline's key attribute convention (key == unique attr
+      value) cannot be recovered from data alone, so the first observed
+      attribute whose value always equals the node key is marked unique.
+    - relations: per (edge label, src node label, dst node label) triple,
+      with edge property unions.
+
+    Driver-side collect of *aggregated* metadata only (labels x attr names),
+    never of rows.
+    """
+    from pyspark.sql import functions as F
+
+    num_re = r"^-?[0-9]+(\.[0-9]+)?$"
+    props = nodes.select(
+        "label", "key", F.explode_outer("props").alias("attr", "value")
+    )
+    attr_stats = (
+        props.filter(F.col("attr").isNotNull())
+        .groupBy("label", "attr")
+        .agg(
+            F.min(F.col("value").rlike(num_re).cast("int")).alias("all_num"),
+            F.min(F.lower("value").isin("true", "false").cast("int")).alias(
+                "all_bool"
+            ),
+            F.min((F.col("value") == F.col("key")).cast("int")).alias("is_key"),
+        )
+        .collect()
+    )
+    ents: dict[str, list] = {}
+    for r in sorted(attr_stats, key=lambda r: (r.label, r.attr)):
+        typ = "number" if r.all_num else ("boolean" if r.all_bool else "string")
+        ents.setdefault(r.label, []).append(
+            Attribute(r.attr, typ, unique=bool(r.is_key), required=bool(r.is_key))
+        )
+    for row in nodes.select("label").distinct().collect():
+        ents.setdefault(row.label, [])
+
+    rel_rows = (
+        edges.select("label", "src_label", "dst_label")
+        .distinct()
+        .collect()
+    )
+    rels = [
+        Relation(r.label, r.src_label, r.dst_label, [])
+        for r in sorted(rel_rows, key=lambda r: (r.label, r.src_label, r.dst_label))
+    ]
+    return Ontology(
+        entities=[Entity(l, attrs) for l, attrs in sorted(ents.items())],
+        relations=rels,
+    )
