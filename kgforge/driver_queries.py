@@ -806,6 +806,53 @@ def events_hourly_rollup(spark, sf_dir):
 
 
 # =====================================================================
+# §2.8 string codecs (F1 extract_json fence-strip + JSON field pull)
+# =====================================================================
+
+
+@_q(
+    "codec_extract_json",
+    """
+    WITH fenced AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN chr(10) || '```json' || chr(10) || props || chr(10) || '```'
+                  ELSE props END AS raw
+      FROM events
+    ), stripped AS (
+      SELECT event_id,
+             CASE WHEN regexp_extract(raw, '(?s)```(?:json)?\\s*(.*?)\\s*```', 1) <> ''
+                  THEN regexp_extract(raw, '(?s)```(?:json)?\\s*(.*?)\\s*```', 1)
+                  ELSE trim(raw) END AS payload
+      FROM fenced
+    )
+    SELECT event_id, CAST(json_extract(payload, '$.k') AS BIGINT) AS k
+    FROM stripped
+    """,
+)
+def codec_extract_json(spark, sf_dir):
+    """F1 extract_json parity: strip model-response code fences, then parse
+    a field (helpers.py:9-19). Half the rows are wrapped in fences to
+    exercise both branches."""
+    from kgforge.functions.codecs import strip_json_fences
+
+    ev = _t(spark, sf_dir, "events")
+    fenced = ev.withColumn(
+        "raw",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.lit("\n```json\n"), F.col("props"), F.lit("\n```")),
+        ).otherwise(F.col("props")),
+    )
+    return fenced.select(
+        "event_id",
+        F.get_json_object(strip_json_fences(F.col("raw")), "$.k")
+        .cast("long")
+        .alias("k"),
+    )
+
+
+# =====================================================================
 # skew handling: salted operators must equal their unsalted SQL
 # =====================================================================
 

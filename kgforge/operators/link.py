@@ -178,6 +178,69 @@ def candidate_pairs(names: DataFrame) -> DataFrame:
     return scored
 
 
+def page_local_coreference(
+    mentions: DataFrame, raw_edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve abbreviated surface forms to their expansion ON THE SAME PAGE.
+
+    The reference's coreference instruction is per-document
+    (prompts.py:19-20: "always use the most complete identifier" — the LLM
+    sees one document at a time). Globally, an abbreviation like "Alan D."
+    can be genuinely ambiguous (several Alan D*s in the corpus); on the page
+    where it appears, the full form is stated. So: within (url, label),
+    rewrite each name to its best longer compatible name, where compatible =
+    name_match_score > 0. Global linking (link_map) then only has to merge
+    unambiguous cross-page variants (case folds, full-form aliases).
+
+    Join is keyed on (url, label) — per-page name sets are tiny, so the
+    self-join is per-page-quadratic but globally linear in pages.
+    """
+    names = mentions.select("url", "label", "key").dropDuplicates()
+    a, b = names.alias("a"), names.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.url") == F.col("b.url"),
+            F.col("a.label") == F.col("b.label"),
+            F.length(F.col("b.key")) > F.length(F.col("a.key")),
+        ],
+    ).select(
+        F.col("a.url").alias("url"),
+        F.col("a.label").alias("label"),
+        F.col("a.key").alias("key"),
+        F.col("b.key").alias("expansion"),
+    )
+    scored = pairs.withColumn(
+        "score", match_score_udf("key", "expansion")
+    ).filter(F.col("score") > 0.0)
+    w = Window.partitionBy("url", "label", "key").orderBy(
+        F.desc("score"), F.desc(F.length("expansion")), F.asc("expansion")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", "label", "key", "expansion")
+    )
+
+    def rewrite(df: DataFrame, label_col: str, key_col: str) -> DataFrame:
+        m = best.select(
+            F.col("url"),
+            F.col("label").alias(label_col),
+            F.col("key").alias(key_col),
+            F.col("expansion").alias("_exp"),
+        )
+        return (
+            df.join(m, on=["url", label_col, key_col], how="left")
+            .withColumn(key_col, F.coalesce("_exp", key_col))
+            .drop("_exp")
+        )
+
+    mentions_r = rewrite(mentions, "label", "key")
+    edges_r = rewrite(raw_edges, "src_label", "src_key")
+    edges_r = rewrite(edges_r, "dst_label", "dst_key")
+    return mentions_r, edges_r
+
+
 def link_map(mentions: DataFrame, key_col: str = "key") -> DataFrame:
     """mentions(label, key, ...) -> (label, key, canon_key) for EVERY distinct
     surface form (identity rows included, so downstream joins are total).

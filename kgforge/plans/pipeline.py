@@ -67,6 +67,10 @@ def build_graph(
     mentions, raw_edges = extract.explode_ir(ir_df)
     mentions = normalize.sanitize_mentions(mentions)
     raw_edges = normalize.sanitize_edges(raw_edges)
+    # per-document coreference before global linking (prompts.py:19-20):
+    # abbreviations resolve against the page that defines them, because
+    # globally they can be ambiguous
+    mentions, raw_edges = link.page_local_coreference(mentions, raw_edges)
     mentions, raw_edges = normalize.filter_to_ontology(
         mentions, raw_edges, onto, spark
     )
@@ -143,20 +147,25 @@ def run_pipeline(
     ir_df = ctx.run_stage("02_ir", build_ir)
 
     # ---- stage 3: flatten + normalize + validate ----------------------
-    def build_mentions():
-        mentions, _ = extract.explode_ir(ir_df)
+    def _flat_coref():
+        mentions, raw_edges = extract.explode_ir(ir_df)
         mentions = normalize.sanitize_mentions(mentions)
+        raw_edges = normalize.sanitize_edges(raw_edges)
+        # per-document coreference before global linking (prompts.py:19-20)
+        return link.page_local_coreference(mentions, raw_edges)
+
+    def build_mentions():
+        mentions, raw_edges = _flat_coref()
         mentions, _edges_unused = normalize.filter_to_ontology(
-            mentions, _edges_unused_placeholder(spark), onto, spark
+            mentions, raw_edges, onto, spark
         )
         valid, _quarantine = normalize.validate_attributes(mentions, onto)
         return valid
 
     def build_raw_edges():
-        _, raw_edges = extract.explode_ir(ir_df)
-        raw_edges = normalize.sanitize_edges(raw_edges)
+        mentions, raw_edges = _flat_coref()
         _m, edges_ok = normalize.filter_to_ontology(
-            _mentions_unused_placeholder(spark), raw_edges, onto, spark
+            mentions, raw_edges, onto, spark
         )
         return edges_ok
 
@@ -200,6 +209,11 @@ def run_pipeline(
 
     triples_df = ctx.run_stage("08_triples", build_triples)
 
+    # S10: the ontology rides with the graph it constrained — the engine's
+    # analogue of the reference's MERGE-per-meta-node save
+    # (/root/reference/graphrag_sdk/ontology.py:317-332)
+    onto.save(f"{out_dir}/ontology.json")
+
     return {
         "ctx": ctx,
         "text": text_df,
@@ -212,19 +226,3 @@ def run_pipeline(
         "triples": triples_df,
     }
 
-
-def _edges_unused_placeholder(spark):
-    return spark.createDataFrame(
-        [],
-        "url string, warc_ts timestamp, label string, src_label string, "
-        "src_key string, dst_label string, dst_key string, "
-        "attributes map<string,string>",
-    )
-
-
-def _mentions_unused_placeholder(spark):
-    return spark.createDataFrame(
-        [],
-        "url string, warc_ts timestamp, label string, key string, "
-        "attributes map<string,string>",
-    )

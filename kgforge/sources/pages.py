@@ -178,18 +178,52 @@ def generate_corpus(
 
     n_movies = max(4, n_pages // 2)
     n_people = max(6, n_pages)
-    movies, seen = [], set()
-    while len(movies) < n_movies:
-        t = f"The {rng.choice(_TITLE_A)} {rng.choice(_TITLE_B)}"
-        if t not in seen:
-            seen.add(t)
-            movies.append(t)
-    people, seen = [], set()
-    while len(people) < n_people:
-        p = f"{rng.choice(_FIRST)} {rng.choice(_LAST)}"
-        if p not in seen:
-            seen.add(p)
-            people.append(p)
+
+    def draw_unique(n: int, sample, universe):
+        """Random draws while the pool lasts, then deterministic enumeration
+        of the unused remainder (the 2-word/2-token pools are finite — 400
+        titles, 676 people — so large corpora would otherwise loop forever)."""
+        out, seen, misses = [], set(), 0
+        while len(out) < n and misses < 20 * max(1, len(out) + 1):
+            v = sample()
+            if v in seen:
+                misses += 1
+                continue
+            seen.add(v)
+            out.append(v)
+        if len(out) < n:
+            for v in universe():
+                if v not in seen:
+                    seen.add(v)
+                    out.append(v)
+                    if len(out) == n:
+                        break
+        if len(out) < n:
+            raise ValueError(f"name universe exhausted at {len(out)} < {n}")
+        return out
+
+    movies = draw_unique(
+        n_movies,
+        lambda: f"The {rng.choice(_TITLE_A)} {rng.choice(_TITLE_B)}",
+        lambda: (
+            f"The {a} {b}{'' if c is None else ' ' + c}"
+            for c in [None, *_TITLE_B]
+            for a in _TITLE_A
+            for b in _TITLE_B
+            if b != c
+        ),
+    )
+    people = draw_unique(
+        n_people,
+        lambda: f"{rng.choice(_FIRST)} {rng.choice(_LAST)}",
+        lambda: (
+            f"{f} {l}{'' if l2 is None else '-' + l2}"
+            for l2 in [None, *_LAST]
+            for f in _FIRST
+            for l in _LAST
+            if l != l2
+        ),
+    )
 
     # the Zipf-head super-node genre: appears on most pages (skew fixture)
     hot_genre = _GENRES[0]
