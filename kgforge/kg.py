@@ -1,0 +1,276 @@
+"""KnowledgeGraph facade — the engine's equivalent of the reference's
+`graphrag_sdk.kg.KnowledgeGraph` (/root/reference/graphrag_sdk/kg.py).
+
+API parity map:
+
+| reference (kg.py)            | here                                      |
+|------------------------------|-------------------------------------------|
+| `process_sources(sources)`   | `process_pages(df)` / `process_sources()` |
+| `add_node(label, attrs)`     | `add_node` — same validation + MERGE      |
+| `add_edge(rel, ..., attrs)`  | `add_edge` — silent no-op if endpoint missing (Cypher MATCH semantics, extract_data_step.py:266) |
+| `ask(question)`              | Spark SQL over `register_views()` + `match()` (NL->query out of scope) |
+| `delete()`                   | `delete()`                                |
+
+Validation reproduces kg.py:189-297: unknown label/relation -> raise;
+unknown attribute -> raise; missing required attribute -> raise; type
+mismatch (string/number/boolean) -> raise. The graph lives as parquet
+tables under `out_dir` (`nodes/`, `edges/`), written by the resumable
+pipeline and updated by MERGE-semantics upserts here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge.ontology import Ontology
+
+
+class KnowledgeGraph:
+    def __init__(
+        self,
+        spark: SparkSession,
+        ontology: Ontology,
+        out_dir: str,
+        name: str = "kg",
+    ):
+        if not ontology.validate_entities():
+            raise ValueError(
+                "every entity needs at least one unique attribute "
+                "(ontology.py:238-243)"
+            )
+        self.spark = spark
+        self.ontology = ontology
+        self.out_dir = out_dir
+        self.name = name
+        self._compiled = ontology.compile()
+
+    # ------------------------------------------------------------ paths
+    @property
+    def nodes_path(self) -> str:
+        return os.path.join(self.out_dir, "06_nodes")
+
+    @property
+    def edges_path(self) -> str:
+        return os.path.join(self.out_dir, "07_edges")
+
+    # ------------------------------------------------------- construction
+    def process_pages(self, pages: DataFrame, run_id: str | None = None) -> dict:
+        """EP1: construct/extend the graph from a pages DataFrame
+        (url, warc_ts, html, text, lang); resumable."""
+        from kgforge.plans.pipeline import run_pipeline
+
+        return run_pipeline(
+            self.spark, pages, self.ontology, self.out_dir, run_id=run_id
+        )
+
+    def process_sources(self, paths: list[str]) -> dict:
+        """Load files via the extension factory (S1-S7) and process them as
+        text-only pages."""
+        from kgforge.sources.loaders import load_source
+
+        dfs = [load_source(self.spark, p) for p in paths]
+        docs = dfs[0]
+        for d in dfs[1:]:
+            docs = docs.unionByName(d)
+        pages = docs.select(
+            F.concat(
+                F.lit("file://"), "source", F.lit("#"), F.col("doc_id")
+            ).alias("url"),
+            F.current_timestamp().alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("content").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        return self.process_pages(pages)
+
+    # ------------------------------------------------------- validation
+    def _validate(self, label: str, attributes: dict, *, is_relation=False):
+        if is_relation:
+            rels = self._compiled["relations"].get(label)
+            if rels is None:
+                raise ValueError(f"relation '{label}' not in ontology")
+            known = set()
+            for _, _, attrs in rels:
+                known |= set(attrs)
+            spec_attrs = {
+                k: t for _, _, a in rels for k, t in a.items()
+            }
+            required: set[str] = set()
+        else:
+            spec = self._compiled["entities"].get(label)
+            if spec is None:
+                raise ValueError(f"entity '{label}' not in ontology")
+            known = set(spec["attrs"])
+            spec_attrs = spec["attrs"]
+            required = set(spec["required"])
+        for k, v in attributes.items():
+            if k not in known:
+                raise ValueError(
+                    f"attribute '{k}' not defined on '{label}' (kg.py:189-297)"
+                )
+            t = spec_attrs[k]
+            if t == "number" and not isinstance(v, (int, float)):
+                raise ValueError(f"attribute '{k}' must be a number")
+            if t == "boolean" and not isinstance(v, bool):
+                raise ValueError(f"attribute '{k}' must be a boolean")
+            if t == "string" and not isinstance(v, str):
+                raise ValueError(f"attribute '{k}' must be a string")
+        for k in required:
+            if k not in attributes:
+                raise ValueError(f"required attribute '{k}' missing on '{label}'")
+
+    def _node_key(self, label: str, attributes: dict) -> str:
+        uniq = self._compiled["entities"][label]["unique"]
+        # missing unique attr defaults to "" (extract_data_step.py:202-207)
+        return "|".join(str(attributes.get(u, "")) for u in uniq)
+
+    # ------------------------------------------------------------ upserts
+    def add_node(self, label: str, attributes: dict) -> None:
+        """MERGE (n:label {unique}) SET n += {...} (extract_data_step.py:222)."""
+        self._validate(label, attributes)
+        key = self._node_key(label, attributes)
+        props = {k: ("" if v is None else str(v)) for k, v in attributes.items()}
+        row = self.spark.createDataFrame(
+            [(label, key, props)], "label string, key string, props map<string,string>"
+        ).withColumn("node_id", F.xxhash64("label", "key")).select(
+            "node_id", "label", "key", "props"
+        )
+        existing = self.nodes()
+        if existing is None:
+            row.write.mode("overwrite").parquet(self.nodes_path)
+            return
+        merged = (
+            existing.join(row.select("node_id"), on="node_id", how="left_anti")
+            .unionByName(
+                existing.join(row, on="node_id", how="left_semi")
+                .select(
+                    "node_id", "label", "key",
+                    F.col("props").alias("old_props"),
+                )
+                .join(
+                    row.select("node_id", F.col("props").alias("new_props")),
+                    on="node_id",
+                )
+                .select(
+                    "node_id", "label", "key",
+                    # SET n += : new values overwrite, others survive
+                    F.map_concat(
+                        F.map_filter(
+                            "old_props",
+                            lambda k, _: ~F.array_contains(
+                                F.map_keys(F.col("new_props")), k
+                            ),
+                        ),
+                        "new_props",
+                    ).alias("props"),
+                )
+            )
+        )
+        if merged.join(row, on="node_id", how="left_semi").isEmpty():
+            merged = merged.unionByName(row)
+        out = merged.localCheckpoint()
+        out.write.mode("overwrite").parquet(self.nodes_path)
+
+    def add_edge(
+        self,
+        relation: str,
+        src_label: str,
+        dst_label: str,
+        src_attrs: dict,
+        dst_attrs: dict,
+        attributes: dict | None = None,
+    ) -> bool:
+        """MATCH (s) MATCH (d) MERGE (s)-[r]->(d) SET r += {...}.
+
+        Returns False (no edge) when either endpoint node does not exist —
+        the reference's silent-drop semantics (extract_data_step.py:227-269).
+        """
+        attributes = attributes or {}
+        self._validate(relation, attributes, is_relation=True)
+        self._validate(src_label, src_attrs)
+        self._validate(dst_label, dst_attrs)
+        sigs = [
+            (s, d) for (s, d, _) in self._compiled["relations"][relation]
+        ]
+        if (src_label, dst_label) not in sigs:
+            raise ValueError(
+                f"relation '{relation}' does not connect "
+                f"{src_label}->{dst_label} (helpers.py:137-213)"
+            )
+        nodes = self.nodes()
+        if nodes is None:
+            return False
+        src_key = self._node_key(src_label, src_attrs)
+        dst_key = self._node_key(dst_label, dst_attrs)
+        hit = lambda lbl, k: not nodes.filter(  # noqa: E731
+            (F.col("label") == lbl) & (F.col("key") == k)
+        ).isEmpty()
+        if not (hit(src_label, src_key) and hit(dst_label, dst_key)):
+            return False
+        props = {k: ("" if v is None else str(v)) for k, v in attributes.items()}
+        row = self.spark.createDataFrame(
+            [
+                (
+                    relation, src_label, src_key, dst_label, dst_key, props,
+                )
+            ],
+            "label string, src_label string, src_key string, "
+            "dst_label string, dst_key string, props map<string,string>",
+        ).select(
+            F.xxhash64("src_label", "src_key").alias("src_id"),
+            "label",
+            F.xxhash64("dst_label", "dst_key").alias("dst_id"),
+            "props", "src_label", "src_key", "dst_label", "dst_key",
+        )
+        existing = self.edges()
+        if existing is None:
+            row.write.mode("overwrite").parquet(self.edges_path)
+            return True
+        keycols = ["src_id", "label", "dst_id"]
+        kept = existing.join(row.select(*keycols), on=keycols, how="left_anti")
+        out = kept.unionByName(row).localCheckpoint()
+        out.write.mode("overwrite").parquet(self.edges_path)
+        return True
+
+    # ------------------------------------------------------------- reads
+    def nodes(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.nodes_path)
+        except Exception:
+            return None
+
+    def edges(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.edges_path)
+        except Exception:
+            return None
+
+    def match(self, src_label=None, relation=None, dst_label=None) -> DataFrame:
+        """MATCH (a:src)-[:rel]->(b:dst) (EP3 execution surface)."""
+        from kgforge.plans.graph_query import match_edges
+
+        return match_edges(self.nodes(), self.edges(), src_label, relation, dst_label)
+
+    def register_views(self, prefix: str | None = None) -> None:
+        """Expose the graph to Spark SQL: <name>_nodes / <name>_edges."""
+        p = prefix or self.name
+        self.nodes().createOrReplaceTempView(f"{p}_nodes")
+        self.edges().createOrReplaceTempView(f"{p}_edges")
+
+    def export_falkordb(self, export_dir: str) -> None:
+        from kgforge.sinks.falkordb_export import export_cypher
+
+        key_attr = {
+            label: spec["unique"][0]
+            for label, spec in self._compiled["entities"].items()
+            if spec["unique"]
+        }
+        export_cypher(self.nodes(), self.edges(), key_attr, export_dir)
+
+    def delete(self) -> None:
+        """Drop the graph (kg.py delete parity)."""
+        shutil.rmtree(self.out_dir, ignore_errors=True)

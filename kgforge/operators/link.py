@@ -155,6 +155,8 @@ def candidate_pairs(names: DataFrame) -> DataFrame:
             )
         ).alias("band_idx", "band"),
     ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string")))
+    # persist: the self-join would otherwise run the signature UDF twice
+    bands = bands.persist()
     lsh_pairs = _pairs_on(bands, ["label", "band_idx", "band_hash"])
 
     toks = F.split(F.lower(F.trim(F.col("name"))), r"\s+")

@@ -138,7 +138,11 @@ def run_pipeline(
             )
         return out.withColumn("url_host", F.parse_url("url", F.lit("HOST")))
 
-    text_df = ctx.run_stage("01_text", build_text, repartition_col="url_host")
+    # repartition on full url, not url_host: extraction is per-row, and a
+    # Zipf-headed host would put most of the corpus in one partition (the
+    # lineage counters showed a 20x spread at 5k pages). url_host stays as a
+    # column for host-bucketed table layouts downstream.
+    text_df = ctx.run_stage("01_text", build_text, repartition_col="url")
 
     # ---- stage 2: extraction IR (M2) ----------------------------------
     def build_ir():

@@ -1,0 +1,135 @@
+"""KnowledgeGraph facade parity with the reference's tests/test_kg.py:
+ontology-constrained add_node/add_edge accept valid input and raise on
+schema violations; process + match + export round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgforge.kg import KnowledgeGraph
+from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+
+@pytest.fixture()
+def kg(spark, workdir):
+    # the minimal ontology from the reference's tests/test_kg.py:25-67:
+    # Actor(name!*), Movie(title!*), ACTED_IN(role)
+    onto = Ontology(
+        entities=[
+            Entity("Actor", [Attribute("name", "string", True, True)]),
+            Entity("Movie", [Attribute("title", "string", True, True)]),
+        ],
+        relations=[
+            Relation("ACTED_IN", "Actor", "Movie", [Attribute("role", "string")]),
+        ],
+    )
+    return KnowledgeGraph(spark, onto, workdir)
+
+
+def test_add_node_valid(kg):
+    kg.add_node("Actor", {"name": "Tom Hanks"})
+    rows = kg.nodes().collect()
+    assert len(rows) == 1 and rows[0].key == "Tom Hanks"
+
+
+def test_add_node_unknown_label_raises(kg):
+    with pytest.raises(ValueError, match="not in ontology"):
+        kg.add_node("Director", {"name": "X"})
+
+
+def test_add_node_unknown_attribute_raises(kg):
+    with pytest.raises(ValueError, match="not defined"):
+        kg.add_node("Actor", {"name": "X", "oscar_count": "3"})
+
+
+def test_add_node_missing_required_raises(kg):
+    with pytest.raises(ValueError, match="required"):
+        kg.add_node("Actor", {})
+
+
+def test_add_node_wrong_type_raises(kg):
+    with pytest.raises(ValueError, match="must be a string"):
+        kg.add_node("Actor", {"name": 42})
+
+
+def test_add_node_merge_updates_props(kg, spark):
+    onto = Ontology(
+        entities=[
+            Entity(
+                "Movie",
+                [
+                    Attribute("title", "string", True, True),
+                    Attribute("rating", "string"),
+                ],
+            ),
+        ],
+        relations=[],
+    )
+    kg2 = KnowledgeGraph(spark, onto, kg.out_dir + "_m")
+    kg2.add_node("Movie", {"title": "Heat", "rating": "R"})
+    kg2.add_node("Movie", {"title": "Heat", "rating": "PG-13"})
+    rows = kg2.nodes().collect()
+    assert len(rows) == 1
+    assert rows[0].props["rating"] == "PG-13"  # SET n += overwrites
+
+
+def test_add_edge_valid_and_silent_drop(kg):
+    kg.add_node("Actor", {"name": "Tom Hanks"})
+    kg.add_node("Movie", {"title": "Cast Away"})
+    ok = kg.add_edge(
+        "ACTED_IN", "Actor", "Movie",
+        {"name": "Tom Hanks"}, {"title": "Cast Away"}, {"role": "Chuck"},
+    )
+    assert ok
+    # endpoint missing -> silently not created (extract_data_step.py:266)
+    missing = kg.add_edge(
+        "ACTED_IN", "Actor", "Movie",
+        {"name": "Nobody"}, {"title": "Cast Away"},
+    )
+    assert missing is False
+    assert kg.edges().count() == 1
+
+
+def test_add_edge_unknown_relation_raises(kg):
+    with pytest.raises(ValueError, match="not in ontology"):
+        kg.add_edge("DIRECTED", "Actor", "Movie", {"name": "X"}, {"title": "Y"})
+
+
+def test_add_edge_wrong_direction_raises(kg):
+    with pytest.raises(ValueError, match="does not connect"):
+        kg.add_edge(
+            "ACTED_IN", "Movie", "Actor", {"title": "Y"}, {"name": "X"}
+        )
+
+
+def test_edge_idempotent_merge(kg):
+    kg.add_node("Actor", {"name": "A"})
+    kg.add_node("Movie", {"title": "M"})
+    kg.add_edge("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"})
+    kg.add_edge(
+        "ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"},
+        {"role": "lead"},
+    )
+    rows = kg.edges().collect()
+    assert len(rows) == 1 and rows[0].props["role"] == "lead"
+
+
+def test_process_match_export_delete(spark, workdir):
+    from kgforge.sources.pages import corpus_to_spark, generate_corpus, movies_ontology
+
+    corpus = generate_corpus(n_pages=16, seed=42)
+    pages, _, _ = corpus_to_spark(spark, corpus)
+    kg = KnowledgeGraph(spark, movies_ontology(), f"{workdir}/graph")
+    out = kg.process_pages(pages)
+    assert out["triples"].count() > 0
+    directed = kg.match("Person", "DIRECTED", "Movie")
+    assert directed.count() > 0
+    kg.register_views("kgv")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM kgv_edges WHERE label = 'DIRECTED'"
+    ).first().n
+    assert n == directed.count()
+    kg.export_falkordb(f"{workdir}/export")
+    assert spark.read.text(f"{workdir}/export/nodes.cypher").count() == kg.nodes().count()
+    kg.delete()
+    assert kg.nodes() is None
