@@ -171,8 +171,15 @@ def generate_corpus(
     dup_url_frac: float = 0.1,
     alias_frac: float = 0.25,
     noise_sentences: int = 3,
+    type_all_entities: bool = False,
 ) -> GoldCorpus:
-    """Seeded fact graph -> rendered pages + gold triples/nodes/aliases."""
+    """Seeded fact graph -> rendered pages + gold triples/nodes/aliases.
+
+    type_all_entities=True additionally emits copula typing sentences for
+    the page's movie and genre ("The X Y is a Movie.") — the EP2
+    ontology-inference fixture, where entity labels must be recoverable
+    from the text alone. Default off (original corpus unchanged).
+    """
     rng = random.Random(seed)
     onto = movies_ontology()
 
@@ -288,6 +295,10 @@ def generate_corpus(
         # standalone typed entity
         extra_person = people[(i * 5 + 3) % n_people]
         sentences.append(f"{extra_person} is a Person.")
+        if type_all_entities:
+            sentences.append(f"{movie} is a Movie.")
+            sentences.append(f"{genre} is a Genre.")
+            sentences.append(f"{director} is a Person.")
         # noise sentences (no gold impact; test precision)
         for _ in range(noise_sentences):
             ws = " ".join(rng.choice(_NOISE_WORDS) for _ in range(rng.randint(6, 12)))
