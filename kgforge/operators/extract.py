@@ -54,6 +54,69 @@ def _clean_key(key: str) -> str:
             key = key[:-1]
     return key
 
+
+def _abbrev_compatible(short: str, full: str) -> bool:
+    """True iff `short` is an abbreviation of `full` (token-aligned equality
+    or initial-expansion, with >=1 non-initial anchor token) — the
+    document-local coreference rule (prompts.py:19-20 'most complete
+    identifier', resolved per document because abbreviations are globally
+    ambiguous)."""
+    ta = [t.rstrip(".") for t in short.lower().split()]
+    tb = [t.rstrip(".") for t in full.lower().split()]
+    if len(ta) != len(tb) or not ta:
+        return False
+    anchor = False
+    for x, y in zip(ta, tb):
+        if x == y:
+            if len(x) > 1:
+                anchor = True
+            continue
+        if (len(x) == 1 or len(y) == 1) and x[:1] == y[:1]:
+            continue
+        return False
+    return anchor
+
+
+def _resolve_local_aliases(ents: dict, rels: dict) -> tuple[dict, dict]:
+    """Rewrite abbreviated keys to their best same-document expansion.
+
+    Best = longest compatible longer key, ties broken lexicographically —
+    identical to link.page_local_coreference, but free: the document's
+    names are already in hand here, so no extra Spark stages exist for it.
+    """
+    keys_by_label: dict[str, list] = {}
+    for (label, key) in ents:
+        keys_by_label.setdefault(label, []).append(key)
+    mapping: dict[tuple, str] = {}
+    for label, keys in keys_by_label.items():
+        for k in keys:
+            cands = [
+                c for c in keys
+                if len(c) > len(k) and _abbrev_compatible(k, c)
+            ]
+            if cands:
+                cands.sort(key=lambda c: (-len(c), c))
+                mapping[(label, k)] = cands[0]
+    if not mapping:
+        return ents, rels
+    new_ents: dict[tuple, dict] = {}
+    # expansions first so the full form's attributes win the merge
+    for (label, key), attrs in sorted(
+        ents.items(), key=lambda kv: kv[0] not in mapping
+    ):
+        tgt = (label, mapping.get((label, key), key))
+        cur = new_ents.setdefault(tgt, {})
+        cur.update(attrs)
+        # the unique-key attribute must carry the canonical surface form
+        cur.update({k: tgt[1] for k, v in attrs.items() if v == key})
+    new_rels: dict[tuple, dict] = {}
+    for (label, sl, sk, dl, dk), attrs in rels.items():
+        sk = mapping.get((sl, sk), sk)
+        dk = mapping.get((dl, dk), dk)
+        cur = new_rels.setdefault((label, sl, sk, dl, dk), {})
+        cur.update(attrs)
+    return new_ents, new_rels
+
 IR_ENTITY_TYPE = (
     "array<struct<label:string,key:string,attributes:map<string,string>>>"
 )
@@ -195,6 +258,7 @@ class _CompiledRules:
                 for m in passive.finditer(sentence):
                     note_relation(rel, m.group(2), m.group(1))
 
+        ents, rels = _resolve_local_aliases(ents, rels)
         entities_out = [
             {"label": label, "key": key, "attributes": attrs}
             for (label, key), attrs in sorted(ents.items())

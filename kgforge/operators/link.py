@@ -195,10 +195,33 @@ def page_local_coreference(
     unambiguous cross-page variants (case folds, full-form aliases).
 
     Join is keyed on (url, label) — per-page name sets are tiny, so the
-    self-join is per-page-quadratic but globally linear in pages.
+    self-join is per-page-quadratic but globally linear in pages. The
+    compatibility test is pure JVM expressions (token-aligned equality or
+    initial-expansion, with a non-initial anchor token — the same rule as
+    name_match_score), so this stage adds no Python to the hot path.
     """
-    names = mentions.select("url", "label", "key").dropDuplicates()
+    toks = lambda c: F.split(F.lower(F.trim(c)), r"\s+")  # noqa: E731
+    strip_dot = lambda t: F.regexp_replace(t, r"\.$", "")  # noqa: E731
+    names = mentions.select("url", "label", "key").dropDuplicates().withColumn(
+        "toks", toks(F.col("key"))
+    )
     a, b = names.alias("a"), names.alias("b")
+    zipped = F.zip_with(
+        F.col("a.toks"), F.col("b.toks"), lambda x, y: F.struct(
+            strip_dot(x).alias("x"), strip_dot(y).alias("y")
+        )
+    )
+    tok_ok = F.forall(
+        zipped,
+        lambda p: (p.x == p.y)
+        | (
+            ((F.length(p.x) == 1) | (F.length(p.y) == 1))
+            & (F.substring(p.x, 1, 1) == F.substring(p.y, 1, 1))
+        ),
+    )
+    anchor = F.exists(
+        zipped, lambda p: (p.x == p.y) & (F.length(p.x) > 1)
+    )
     pairs = a.join(
         b,
         on=[
@@ -206,22 +229,23 @@ def page_local_coreference(
             F.col("a.label") == F.col("b.label"),
             F.length(F.col("b.key")) > F.length(F.col("a.key")),
         ],
+    ).filter(
+        (F.size(F.col("a.toks")) == F.size(F.col("b.toks"))) & tok_ok & anchor
     ).select(
         F.col("a.url").alias("url"),
         F.col("a.label").alias("label"),
         F.col("a.key").alias("key"),
         F.col("b.key").alias("expansion"),
     )
-    scored = pairs.withColumn(
-        "score", match_score_udf("key", "expansion")
-    ).filter(F.col("score") > 0.0)
     w = Window.partitionBy("url", "label", "key").orderBy(
-        F.desc("score"), F.desc(F.length("expansion")), F.asc("expansion")
+        F.desc(F.length("expansion")), F.asc("expansion")
     )
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
+        pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("url", "label", "key", "expansion")
+        # consumed by three rewrite joins — compute the map once
+        .persist()
     )
 
     def rewrite(df: DataFrame, label_col: str, key_col: str) -> DataFrame:

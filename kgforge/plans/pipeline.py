@@ -64,13 +64,11 @@ def build_graph(
     ir_df = extract.extract_ir(
         text_df, rules, keep_cols=["url", "warc_ts"]
     ).persist()
+    # (document-local coreference happens inside the extraction UDF:
+    # extract._resolve_local_aliases — zero extra stages)
     mentions, raw_edges = extract.explode_ir(ir_df)
     mentions = normalize.sanitize_mentions(mentions)
     raw_edges = normalize.sanitize_edges(raw_edges)
-    # per-document coreference before global linking (prompts.py:19-20):
-    # abbreviations resolve against the page that defines them, because
-    # globally they can be ambiguous
-    mentions, raw_edges = link.page_local_coreference(mentions, raw_edges)
     mentions, raw_edges = normalize.filter_to_ontology(
         mentions, raw_edges, onto, spark
     )
@@ -151,15 +149,15 @@ def run_pipeline(
     ir_df = ctx.run_stage("02_ir", build_ir)
 
     # ---- stage 3: flatten + normalize + validate ----------------------
-    def _flat_coref():
+    # (document-local coreference already ran inside the extraction UDF)
+    def _flat():
         mentions, raw_edges = extract.explode_ir(ir_df)
         mentions = normalize.sanitize_mentions(mentions)
         raw_edges = normalize.sanitize_edges(raw_edges)
-        # per-document coreference before global linking (prompts.py:19-20)
-        return link.page_local_coreference(mentions, raw_edges)
+        return mentions, raw_edges
 
     def build_mentions():
-        mentions, raw_edges = _flat_coref()
+        mentions, raw_edges = _flat()
         mentions, _edges_unused = normalize.filter_to_ontology(
             mentions, raw_edges, onto, spark
         )
@@ -167,7 +165,7 @@ def run_pipeline(
         return valid
 
     def build_raw_edges():
-        mentions, raw_edges = _flat_coref()
+        mentions, raw_edges = _flat()
         _m, edges_ok = normalize.filter_to_ontology(
             mentions, raw_edges, onto, spark
         )
