@@ -131,6 +131,104 @@ class RunContext:
             raise RuntimeError(f"injected failure after stage '{name}'")
         return out
 
+    def run_stage_bucketed(
+        self,
+        name: str,
+        input_df: DataFrame,
+        transform: "callable",
+        bucket_col: str = "url",
+        n_buckets: int = 64,
+    ) -> DataFrame:
+        """Compute-or-resume one stage at BUCKET granularity.
+
+        The input is hashed into `n_buckets` buckets on `bucket_col`;
+        `transform(df)` must preserve that column. Completed buckets are
+        recorded in lineage (`status='bucket_complete'`) and skipped on
+        restart — the anti-join-on-completed-work semantics at sub-stage
+        granularity, so a crash mid-stage only recomputes the buckets whose
+        lineage never committed. Partially-written buckets are safe:
+        dynamic partition overwrite replaces exactly the re-run buckets.
+        """
+        path = self.stage_path(name)
+        bucket = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+        # dynamic partition overwrite emits no root _SUCCESS marker; the
+        # lineage stage_complete row alone is the commit record here
+        lin0 = self._lineage_df()
+        if lin0 is not None and not lin0.filter(
+            (F.col("stage") == name) & (F.col("status") == STAGE_COMPLETE)
+        ).isEmpty():
+            return self.spark.read.parquet(path).drop("bucket")
+
+        lin = self._lineage_df()
+        done: set[int] = set()
+        if lin is not None:
+            done = {
+                r["partition_id"]
+                for r in lin.filter(
+                    (F.col("stage") == name)
+                    & (F.col("status") == "bucket_complete")
+                ).select("partition_id").collect()
+            }
+        todo = input_df.withColumn("bucket", bucket)
+        if done:
+            todo = todo.filter(~F.col("bucket").isin(*[int(b) for b in done]))
+
+        t0 = time.monotonic()
+        n_new = 0
+        if not todo.isEmpty():
+            out = transform(todo.drop("bucket")).withColumn("bucket", bucket)
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            written = self.spark.read.parquet(path)
+            per_bucket = {
+                int(r["bucket"]): int(r["count"])
+                for r in written.groupBy("bucket").count().collect()
+                if int(r["bucket"]) not in done
+            }
+            now = time.time()
+            rows = [
+                (self.run_id, name, b, c, wall_ms, "bucket_complete", now)
+                for b, c in sorted(per_bucket.items())
+            ]
+            n_new = sum(per_bucket.values())
+            if rows:
+                self._append_lineage(rows)
+
+        final = self.spark.read.parquet(path)
+        total = final.count()
+        self._append_lineage(
+            [
+                (
+                    self.run_id, name, -1, int(total),
+                    int((time.monotonic() - t0) * 1000),
+                    STAGE_COMPLETE, time.time(),
+                )
+            ]
+        )
+        if os.environ.get("KGFORGE_FAIL_AFTER_STAGE") == name:
+            raise RuntimeError(f"injected failure after stage '{name}'")
+        # the _SUCCESS marker from the last write plus the stage_complete row
+        # make subsequent runs short-circuit entirely
+        return final.drop("bucket")
+
+    def stage_buckets(self, name: str) -> dict[int, str]:
+        """bucket -> run_id that completed it (resume-evidence helper)."""
+        lin = self._lineage_df()
+        if lin is None:
+            return {}
+        return {
+            int(r["partition_id"]): r["run_id"]
+            for r in lin.filter(
+                (F.col("stage") == name)
+                & (F.col("status") == "bucket_complete")
+            ).select("partition_id", "run_id").collect()
+        }
+
     def stage_runs(self, name: str) -> list[str]:
         """run_ids that produced a stage_complete record for `name`."""
         lin = self._lineage_df()

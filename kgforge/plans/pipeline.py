@@ -143,10 +143,15 @@ def run_pipeline(
     text_df = ctx.run_stage("01_text", build_text, repartition_col="url")
 
     # ---- stage 2: extraction IR (M2) ----------------------------------
-    def build_ir():
-        return extract.extract_ir(text_df, rules, keep_cols=["url", "warc_ts"])
-
-    ir_df = ctx.run_stage("02_ir", build_ir)
+    # bucket-granular resume: the most expensive stage only recomputes url
+    # buckets whose lineage never committed after a mid-stage crash
+    ir_df = ctx.run_stage_bucketed(
+        "02_ir",
+        text_df,
+        lambda df: extract.extract_ir(df, rules, keep_cols=["url", "warc_ts"]),
+        bucket_col="url",
+        n_buckets=64,
+    )
 
     # ---- stage 3: flatten + normalize + validate ----------------------
     # (document-local coreference already ran inside the extraction UDF)
