@@ -161,11 +161,13 @@ def stage_main(cpus: int) -> dict:
     # second pass separates the fixed session cost (plan JIT, Python-worker
     # spawn, codegen — amortized to nothing in a long job) from the marginal
     # per-corpus cost, which is what scales with input size
+    out["unpersist"]()
     t0 = time.time()
     out2 = build_graph(spark, pages, movies_ontology())
     n2 = out2["triples"].count()
     steady = time.time() - t0
     assert n2 == n_triples
+    out2["unpersist"]()
     spark.stop()
     return {
         "queries": qtimes,

@@ -77,12 +77,23 @@ def _abbrev_compatible(short: str, full: str) -> bool:
     return anchor
 
 
+def _shingle_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Char-k-shingle Jaccard on case-folded names (similarity tiebreak)."""
+    a, b = a.lower(), b.lower()
+    sa = {a[i : i + k] for i in range(max(1, len(a) - k + 1))}
+    sb = {b[i : i + k] for i in range(max(1, len(b) - k + 1))}
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
 def _resolve_local_aliases(ents: dict, rels: dict) -> tuple[dict, dict]:
     """Rewrite abbreviated keys to their best same-document expansion.
 
-    Best = longest compatible longer key, ties broken lexicographically —
-    identical to link.page_local_coreference, but free: the document's
-    names are already in hand here, so no extra Spark stages exist for it.
+    Best = the MOST SIMILAR compatible longer key (char-shingle Jaccard),
+    ties broken by length then lexicographically. Similarity, not length:
+    when a page mentions both "Rosa Xu" and "Rosa Xu-Abbott", the
+    abbreviation "Rosa X." must resolve to "Rosa Xu" — longest-wins would
+    silently merge two different people. Runs here (not as a Spark stage)
+    because the document's names are already in hand — zero extra stages.
     """
     keys_by_label: dict[str, list] = {}
     for (label, key) in ents:
@@ -95,7 +106,9 @@ def _resolve_local_aliases(ents: dict, rels: dict) -> tuple[dict, dict]:
                 if len(c) > len(k) and _abbrev_compatible(k, c)
             ]
             if cands:
-                cands.sort(key=lambda c: (-len(c), c))
+                cands.sort(
+                    key=lambda c: (-_shingle_jaccard(k, c), -len(c), c)
+                )
                 mapping[(label, k)] = cands[0]
     if not mapping:
         return ents, rels

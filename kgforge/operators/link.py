@@ -237,8 +237,12 @@ def page_local_coreference(
         F.col("a.key").alias("key"),
         F.col("b.key").alias("expansion"),
     )
+    # closest expansion first (not longest): when a page mentions both
+    # "Rosa Xu" and "Rosa Xu-Abbott", "Rosa X." must resolve to "Rosa Xu"
     w = Window.partitionBy("url", "label", "key").orderBy(
-        F.desc(F.length("expansion")), F.asc("expansion")
+        F.levenshtein(F.lower("key"), F.lower("expansion")).asc(),
+        F.desc(F.length("expansion")),
+        F.asc("expansion"),
     )
     best = (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -283,7 +287,12 @@ def link_map(mentions: DataFrame, key_col: str = "key") -> DataFrame:
     )
     pairs = candidate_pairs(names)
 
-    # scored disambiguation: each name keeps its single best partner
+    # scored disambiguation: each name keeps its single best partner, and
+    # edges only point from the LESS complete to the more complete form
+    # (equal lengths — case folds — link both ways). Without the length
+    # gate, one context-free abbreviation ("Rosa X.") becomes a hub that
+    # links every compatible full name ("Rosa Xu", "Rosa Xu-Abbott", ...)
+    # into a single wrong cluster via CC transitivity.
     freq = names.select("label", F.col("name"), "freq")
     directed = (
         pairs.select("label", F.col("a").alias("m"), F.col("b").alias("cand"), "score")
@@ -292,6 +301,7 @@ def link_map(mentions: DataFrame, key_col: str = "key") -> DataFrame:
                 "label", F.col("b").alias("m"), F.col("a").alias("cand"), "score"
             )
         )
+        .filter(F.length("cand") >= F.length("m"))
         .join(
             freq.select(
                 "label", F.col("name").alias("cand"), F.col("freq").alias("cand_freq")

@@ -87,6 +87,14 @@ def build_graph(
     nodes = materialize.build_nodes(mentions_c, key_attr_by_label).persist()
     edges = materialize.build_edges(edges_c, nodes)
     triples = materialize.triples_view(edges)
+    persisted = [ir_df, mentions, raw_edges, links, nodes]
+
+    def unpersist():
+        """Release this graph's cached intermediates (long sessions that
+        build many graphs should call this when done with the outputs)."""
+        for df in persisted:
+            df.unpersist()
+
     return {
         "text": text_df,
         "mentions": mentions,
@@ -95,6 +103,7 @@ def build_graph(
         "nodes": nodes,
         "edges": edges,
         "triples": triples,
+        "unpersist": unpersist,
     }
 
 

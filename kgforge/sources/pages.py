@@ -209,27 +209,47 @@ def generate_corpus(
             raise ValueError(f"name universe exhausted at {len(out)} < {n}")
         return out
 
+    def movie_universe():
+        for a in _TITLE_A:
+            for b in _TITLE_B:
+                yield f"The {a} {b}"
+        for c in _TITLE_B:
+            for a in _TITLE_A:
+                for b in _TITLE_B:
+                    if b != c:
+                        yield f"The {a} {b} {c}"
+        for a2 in _TITLE_A:
+            for a in _TITLE_A:
+                if a == a2:
+                    continue
+                for b in _TITLE_B:
+                    yield f"The {a} {b} {a2}"
+
+    def people_universe():
+        for f in _FIRST:
+            for l in _LAST:
+                yield f"{f} {l}"
+        for l2 in _LAST:
+            for f in _FIRST:
+                for l in _LAST:
+                    if l != l2:
+                        yield f"{f} {l}-{l2}"
+        for f2 in _FIRST:
+            for f in _FIRST:
+                if f == f2:
+                    continue
+                for l in _LAST:
+                    yield f"{f}-{f2} {l}"
+
     movies = draw_unique(
         n_movies,
         lambda: f"The {rng.choice(_TITLE_A)} {rng.choice(_TITLE_B)}",
-        lambda: (
-            f"The {a} {b}{'' if c is None else ' ' + c}"
-            for c in [None, *_TITLE_B]
-            for a in _TITLE_A
-            for b in _TITLE_B
-            if b != c
-        ),
+        movie_universe,
     )
     people = draw_unique(
         n_people,
         lambda: f"{rng.choice(_FIRST)} {rng.choice(_LAST)}",
-        lambda: (
-            f"{f} {l}{'' if l2 is None else '-' + l2}"
-            for l2 in [None, *_LAST]
-            for f in _FIRST
-            for l in _LAST
-            if l != l2
-        ),
+        people_universe,
     )
 
     # the Zipf-head super-node genre: appears on most pages (skew fixture)
