@@ -87,6 +87,71 @@ class KnowledgeGraph:
         )
         return self.process_pages(pages)
 
+    def ingest_incremental(self, pages_dir: str) -> None:
+        """Incrementally ingest NEW page files from a growing directory.
+
+        The reference's incrementality is "call process_sources again"
+        (kg.py:88-106) with MERGE idempotence; here the streaming face
+        (streaming/incremental.py) processes each file exactly once
+        (checkpoint-tracked), appending to the accumulated mentions /
+        raw_edges IR. Call `rematerialize()` afterwards to rebuild
+        nodes/edges — linking must be global, because an alias discovered
+        in a later batch can merge nodes created earlier (exactly like
+        repeated MERGE in the reference re-canonicalizes).
+        """
+        from kgforge.streaming.incremental import stream_extract
+
+        q = stream_extract(
+            self.spark,
+            pages_dir,
+            self.ontology,
+            f"{self.out_dir}/incremental_ir",
+            f"{self.out_dir}/_stream_ckpt",
+        )
+        q.awaitTermination()
+
+    def rematerialize(self) -> dict:
+        """Rebuild the graph tables from the accumulated incremental IR."""
+        from kgforge.operators import link, materialize, normalize
+
+        ir = f"{self.out_dir}/incremental_ir"
+        mentions = self.spark.read.parquet(f"{ir}/mentions")
+        raw_edges = self.spark.read.parquet(f"{ir}/raw_edges")
+        mentions, _ = normalize.validate_attributes(mentions, self.ontology)
+        mentions = mentions.persist()
+        raw_edges = raw_edges.persist()
+        endpoint_names = (
+            mentions.select("label", "key")
+            .unionByName(
+                raw_edges.select(
+                    F.col("src_label").alias("label"),
+                    F.col("src_key").alias("key"),
+                )
+            )
+            .unionByName(
+                raw_edges.select(
+                    F.col("dst_label").alias("label"),
+                    F.col("dst_key").alias("key"),
+                )
+            )
+        )
+        links = link.link_map(endpoint_names).persist()
+        mentions_c, edges_c = materialize.apply_link_map(
+            mentions, raw_edges, links
+        )
+        key_attr = {
+            label: spec["unique"][0]
+            for label, spec in self._compiled["entities"].items()
+            if spec["unique"]
+        }
+        nodes = materialize.build_nodes(mentions_c, key_attr).localCheckpoint()
+        edges = materialize.build_edges(edges_c, nodes).localCheckpoint()
+        nodes.write.mode("overwrite").parquet(self.nodes_path)
+        edges.write.mode("overwrite").parquet(self.edges_path)
+        for df in (mentions, raw_edges, links):
+            df.unpersist()
+        return {"nodes": self.nodes(), "edges": self.edges()}
+
     # ------------------------------------------------------- validation
     def _validate(self, label: str, attributes: dict, *, is_relation=False):
         if is_relation:
