@@ -123,9 +123,9 @@ def stage_hot(cpus: int) -> dict:
         "url", "warc_ts", extract_text_udf(F.col("html")).alias("text"), "lang"
     )
     force(extract.extract_ir(warm_text, rules, keep_cols=["url", "warc_ts"]))
-    # best-of-3: the capability number; OS/GC noise only ever adds time
+    # best-of-4: the capability number; OS/GC noise only ever adds time
     walls = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         force(ir)
         walls.append(time.time() - t0)
@@ -145,6 +145,9 @@ def stage_main(cpus: int) -> dict:
     )
 
     spark = new_session(cpus)
+    # untimed warm-up: JVM JIT + parquet footer cache, so the first timed
+    # query isn't charged the session's one-time costs
+    force(driver_queries.QUERIES["q1_pricing_summary"](spark, SF_DIR))
     qtimes = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -162,12 +165,17 @@ def stage_main(cpus: int) -> dict:
     # spawn, codegen — amortized to nothing in a long job) from the marginal
     # per-corpus cost, which is what scales with input size
     out["unpersist"]()
-    t0 = time.time()
-    out2 = build_graph(spark, pages, movies_ontology())
-    n2 = out2["triples"].count()
-    steady = time.time() - t0
-    assert n2 == n_triples
-    out2["unpersist"]()
+    # steady state = best of two further passes (JIT keeps improving into
+    # the second pass at this tiny per-pass volume)
+    steadies = []
+    for _ in range(2):
+        t0 = time.time()
+        out2 = build_graph(spark, pages, movies_ontology())
+        n2 = out2["triples"].count()
+        steadies.append(time.time() - t0)
+        assert n2 == n_triples
+        out2["unpersist"]()
+    steady = min(steadies)
     spark.stop()
     return {
         "queries": qtimes,
@@ -211,7 +219,9 @@ def main():
     t_start = time.time()
     n_lo, n_hi = SCALE_LO, SCALE_HI
     lo = run_stage("hot", n_lo)
+    time.sleep(10)  # let the previous JVM's teardown threads drain
     hi = run_stage("hot", n_hi)
+    time.sleep(10)
     tput_lo = lo["rows"] / lo["sec"]
     tput_hi = hi["rows"] / hi["sec"]
     eff = tput_hi / ((n_hi / n_lo) * tput_lo)
