@@ -176,14 +176,18 @@ def minhash_pairs(
     never fabricates); exact verification of the candidates decides.
     """
     rows_per_band = n_hashes // n_bands
+    # persist: the band self-join and the two verification joins would
+    # otherwise re-evaluate the signature/shingle expressions per consumer
     base = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), n_hashes, shingle_k).alias("sig"),
         word_set(F.col(text_col)).alias("ws"),
-    )
+    ).persist()
+    # bands carry only (id, band key): the word-set arrays must not ride
+    # through the n_bands-way explosion and both join sides — verification
+    # fetches them back by id from the persisted base
     bands = base.select(
         "id",
-        "ws",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -191,9 +195,6 @@ def minhash_pairs(
             )
         ).alias("band_idx", "band"),
     ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string")))
-    # persist: the self-join would otherwise evaluate the signature
-    # expression twice more (once per join side)
-    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -204,22 +205,29 @@ def minhash_pairs(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.ws").alias("ws_a"),
-            F.col("b.ws").alias("ws_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cands.select(
-        "id_a",
-        "id_b",
-        F.size(F.array_intersect("ws_a", "ws_b")).alias("inter"),
-        F.size(F.array_union("ws_a", "ws_b")).alias("uni"),
-    ).filter(
-        F.lit(threshold_den) * F.col("inter")
-        >= F.lit(threshold_num) * F.col("uni")
+    ws = base.select("id", "ws")
+    verified = (
+        cands.join(
+            ws.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a")),
+            on="id_a",
+        )
+        .join(
+            ws.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ws_a", "ws_b")).alias("inter"),
+            F.size(F.array_union("ws_a", "ws_b")).alias("uni"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * F.col("uni")
+        )
     )
     return verified
 

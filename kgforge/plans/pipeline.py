@@ -175,7 +175,13 @@ def run_pipeline(
         mentions, _edges_unused = normalize.filter_to_ontology(
             mentions, raw_edges, onto, spark
         )
-        valid, _quarantine = normalize.validate_attributes(mentions, onto)
+        valid, quarantine = normalize.validate_attributes(mentions, onto)
+        # skip-don't-fail with a durable record (the reference logs skipped
+        # records per task, extract_data_step.py:177-189): invalid rows land
+        # in a quarantine table instead of vanishing
+        quarantine.write.mode("overwrite").parquet(
+            f"{out_dir}/_quarantine/mentions"
+        )
         return valid
 
     def build_raw_edges():
