@@ -578,6 +578,14 @@ def ann_lsh_topk(spark, sf_dir):
     return out.withColumn("rk", F.col("rk").cast("long"))
 
 
+@_q("ann_ivf_topk")  # k-means quantizer not SQL-expressible -> rows-only
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (k-means cells + probe) top-5 (recall vs brute force in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
 # =====================================================================
 # engine-new: text analysis suite
 # =====================================================================

@@ -118,7 +118,19 @@ def match_score_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
-def _pairs_on(bands: DataFrame, keys: list) -> DataFrame:
+def _pairs_on(
+    bands: DataFrame, keys: list, max_bucket: int | None = None
+) -> DataFrame:
+    """Self equi-join on the blocking keys; buckets larger than max_bucket
+    are dropped first. A huge bucket means the key is non-discriminative
+    (every "A. D." at crawl scale) — joining it is O(bucket^2) for pairs the
+    verifier would reject anyway, so capping bounds worst-case cost without
+    touching the discriminative buckets that carry real aliases."""
+    if max_bucket is not None:
+        sizes = bands.groupBy(*keys).agg(F.count("*").alias("_n"))
+        bands = bands.join(
+            sizes.filter(F.col("_n") <= max_bucket).drop("_n"), on=keys
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
@@ -131,7 +143,7 @@ def _pairs_on(bands: DataFrame, keys: list) -> DataFrame:
     )
 
 
-def candidate_pairs(names: DataFrame) -> DataFrame:
+def candidate_pairs(names: DataFrame, max_bucket: int = 10_000) -> DataFrame:
     """names(label, name, freq) -> verified candidate pairs (label, a, b, score).
 
     Two blocking channels, both equi-joins (never a cross product):
@@ -157,7 +169,9 @@ def candidate_pairs(names: DataFrame) -> DataFrame:
     ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string")))
     # persist: the self-join would otherwise run the signature UDF twice
     bands = bands.persist()
-    lsh_pairs = _pairs_on(bands, ["label", "band_idx", "band_hash"])
+    lsh_pairs = _pairs_on(
+        bands, ["label", "band_idx", "band_hash"], max_bucket=max_bucket
+    )
 
     toks = F.split(F.lower(F.trim(F.col("name"))), r"\s+")
     skel = names.select(
@@ -169,7 +183,7 @@ def candidate_pairs(names: DataFrame) -> DataFrame:
             F.size(toks).cast("string"),
         ).alias("skel"),
     )
-    skel_pairs = _pairs_on(skel, ["label", "skel"])
+    skel_pairs = _pairs_on(skel, ["label", "skel"], max_bucket=max_bucket)
 
     pairs = lsh_pairs.unionByName(skel_pairs).dropDuplicates(
         ["label", "a", "b"]

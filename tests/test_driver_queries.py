@@ -130,7 +130,7 @@ def test_minhash_recall_vs_exact(spark):
 
 
 def test_ann_lsh_recall(spark):
-    """Hyperplane-LSH top-5 must hit >=60% of brute-force top-5."""
+    """Hyperplane-LSH top-5 must hit >=70% of brute-force top-5."""
     from kgforge import driver_queries as dq
 
     bf = {
@@ -144,3 +144,19 @@ def test_ann_lsh_recall(spark):
     assert bf
     recall = len(bf & lsh) / len(bf)
     assert recall >= 0.7, f"ann-lsh recall {recall:.3f}"
+
+
+def test_ann_ivf_recall(spark):
+    """IVF probe-3 top-5 must hit >=70% of brute-force top-5."""
+    from kgforge import driver_queries as dq
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in dq.QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in dq.QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.7, f"ann-ivf recall {recall:.3f}"
