@@ -205,8 +205,8 @@ def generate_corpus(
                     out.append(v)
                     if len(out) == n:
                         break
-        if len(out) < n:
-            raise ValueError(f"name universe exhausted at {len(out)} < {n}")
+        # a saturated universe is fine: names are reused across more pages
+        # (each movie/person already spans multiple pages by construction)
         return out
 
     def movie_universe():
@@ -282,9 +282,9 @@ def generate_corpus(
 
     urls_emitted = []
     for i in range(n_pages):
-        movie = movies[i % n_movies]
-        director = people[(i * 3) % n_people]
-        actors = [people[(i * 3 + 1) % n_people], people[(i * 3 + 2) % n_people]]
+        movie = movies[i % len(movies)]
+        director = people[(i * 3) % len(people)]
+        actors = [people[(i * 3 + 1) % len(people)], people[(i * 3 + 2) % len(people)]]
         year = 1960 + (i * 7) % 64
         genre = hot_genre if rng.random() < 0.6 else rng.choice(_GENRES[1:])
         role = f"{rng.choice(_FIRST)} the {rng.choice(_TITLE_B)}"
@@ -313,7 +313,7 @@ def generate_corpus(
         # attribute sentence
         sentences.append(f"The release year of {movie} is {year}.")
         # standalone typed entity
-        extra_person = people[(i * 5 + 3) % n_people]
+        extra_person = people[(i * 5 + 3) % len(people)]
         sentences.append(f"{extra_person} is a Person.")
         if type_all_entities:
             sentences.append(f"{movie} is a Movie.")
