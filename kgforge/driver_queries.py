@@ -860,6 +860,42 @@ def codec_extract_json(spark, sf_dir):
     )
 
 
+@_q(
+    "codec_normalize_date",
+    """
+    WITH variants AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+               WHEN 2 THEN strftime(o_orderdate, '%d.%m.%Y')
+               ELSE strftime(o_orderdate, '%B %-d, %Y')
+             END AS raw
+      FROM orders
+    )
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS norm_date
+    FROM orders o JOIN variants v USING (o_orderkey)
+    """,
+)
+def codec_normalize_date(spark, sf_dir):
+    """F8 date normalization: four surface formats all normalize back to
+    YYYY-MM-DD (prompts.py:240,346 convention). The oracle's expected value
+    is the ISO rendering of the original date."""
+    from kgforge.functions.codecs import normalize_date
+
+    o = _t(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .otherwise(F.date_format("o_orderdate", "MMMM d, yyyy"))
+    )
+    return o.select(
+        "o_orderkey", normalize_date(raw).alias("norm_date")
+    )
+
+
 # =====================================================================
 # skew handling: salted operators must equal their unsalted SQL
 # =====================================================================

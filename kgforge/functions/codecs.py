@@ -27,3 +27,33 @@ def strip_json_fences(col: Column) -> Column:
 def strip_cypher_fences(col: Column) -> Column:
     extracted = F.regexp_extract(col, _CYPHER_FENCE, 1)
     return F.when(extracted != "", extracted).otherwise(F.trim(col))
+
+
+# F8: the reference's date convention is prompt-enforced "YYYY-MM-DD"
+# (prompts.py:240,346); the engine normalizes common surface formats to it.
+_DATE_FORMATS = [
+    ("yyyy-MM-dd", r"^\d{4}-\d{2}-\d{2}$"),
+    ("MM/dd/yyyy", r"^\d{2}/\d{2}/\d{4}$"),
+    ("dd.MM.yyyy", r"^\d{2}\.\d{2}\.\d{4}$"),
+    ("MMMM d, yyyy", r"^[A-Z][a-z]+ \d{1,2}, \d{4}$"),
+]
+
+
+def normalize_date(col: Column) -> Column:
+    """Best-effort date-string normalization to YYYY-MM-DD (F8).
+
+    Recognized surface formats parse via `try_to_date` (never throws under
+    ANSI mode); unrecognized values pass through untouched — the reference
+    carries dates as plain strings, so pass-through is the compatible
+    fallback, not null.
+    """
+    trimmed = F.trim(col)
+    candidates = [
+        F.when(
+            trimmed.rlike(pattern)
+            & F.try_to_date(trimmed, fmt).isNotNull(),
+            F.date_format(F.try_to_date(trimmed, fmt), "yyyy-MM-dd"),
+        )
+        for fmt, pattern in _DATE_FORMATS
+    ]
+    return F.coalesce(*candidates, trimmed)
