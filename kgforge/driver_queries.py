@@ -1052,6 +1052,19 @@ def kg_entity_link(spark, sf_dir):
     return link_map(mentions).select("label", "key", "canon_key")
 
 
+@_q("kg_fixture_pr")
+def kg_fixture_pr(spark, sf_dir):
+    """North-rule P/R gate vs the reference's OWN fixtures (hand-derived
+    frozen gold, kgforge/fixtures/): madoff.txt + 8 UFC stat pages through
+    the production html->text->wrapper-extraction path. The `relations`
+    rows are the (subj, pred, obj) triple match; pytest
+    (tests/test_fixture_gold.py) asserts precision/recall >= 0.95 on every
+    row. Empty when /root/reference is unavailable."""
+    from kgforge.fixtures import fixture_pr_report
+
+    return fixture_pr_report(spark)
+
+
 @_q("media_features")
 def media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> Arrow-batched feature stub."""

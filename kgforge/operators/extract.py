@@ -200,6 +200,9 @@ class _CompiledRules:
             )
             for label in rules["entities"]
         ]
+        self.rel_by_sig = {
+            (r["label"], r["src"], r["dst"]): r for r in rules["relations"]
+        }
         self.attr_patterns = [
             (
                 attr_name,
@@ -215,8 +218,18 @@ class _CompiledRules:
         ]
 
     # ------------------------------------------------------------------
-    def extract_document(self, text: str):
-        """One document -> (entities, relations) lists (reference IR shape)."""
+    def extract_document(self, text: str, html: str | None = None,
+                         wrappers=()):
+        """One document -> (entities, relations) lists (reference IR shape).
+
+        `wrappers` are layout-template extractors (operators/wrappers.py)
+        run before the sentence grammar; an `exclusive` wrapper that
+        matches suppresses the sentence pass for this document (pure
+        template pages where free-text rules only add noise). Wrapper
+        output flows through the same note_entity/note_relation funnel, so
+        key-attribute assignment, key cleaning and the ontology-label
+        constraint apply identically.
+        """
         rules = self.rules
         ents: dict[tuple, dict] = {}  # (label, key) -> attributes dict
         rels: dict[tuple, dict] = {}
@@ -243,7 +256,22 @@ class _CompiledRules:
             note_entity(rel["src"], src_key)
             note_entity(rel["dst"], dst_key)
 
-        for sentence in _SENT_SPLIT.split(text):
+        skip_sentences = False
+        for w in wrappers:
+            content = html if w.needs == "html" else text
+            if not content or not w.matches(content):
+                continue
+            w_ents, w_rels = w.extract(content)
+            for label, key, attrs in w_ents:
+                note_entity(label, key, attrs)
+            rel_by_sig = self.rel_by_sig
+            for label, sl, sk, dl, dk, attrs in w_rels:
+                rel = rel_by_sig.get((label, sl, dl))
+                if rel is not None:  # ontology constraint (P6/P7)
+                    note_relation(rel, sk, dk, attrs)
+            skip_sentences = skip_sentences or w.exclusive
+
+        for sentence in () if skip_sentences else _SENT_SPLIT.split(text):
             if not sentence or len(sentence) > 2000:
                 continue
             for attr_name, owner_label, attr_type, pat in self.attr_patterns:
@@ -308,6 +336,8 @@ def extract_ir(
     text_col: str = "text",
     max_chars: int = 500_000,
     keep_cols: list[str] | None = None,
+    wrappers: list | None = None,
+    html_col: str | None = None,
 ) -> DataFrame:
     """pages -> keep_cols + nested `entities`/`relations` IR columns.
 
@@ -319,6 +349,11 @@ def extract_ir(
     passes ["url", "warc_ts"]: shipping the full text back across the Arrow
     boundary roughly doubles the per-row serialization cost for data no
     downstream stage reads (column pruning can't reach inside mapInPandas).
+
+    `wrappers` (picklable specs resolved by wrappers.resolve_wrappers) adds
+    layout-template extraction ahead of the sentence grammar; a wrapper
+    with needs="html" reads `html_col` (binary or string), so pass it for
+    corpora whose facts live in DOM structure (stat tables, credit lists).
     """
     passthrough = list(df.columns) if keep_cols is None else list(keep_cols)
     by_name = {f.name: f for f in df.schema.fields}
@@ -329,17 +364,30 @@ def extract_ir(
         )
         + f", entities {IR_ENTITY_TYPE}, relations {IR_RELATION_TYPE}"
     )
+    wrapper_specs = list(wrappers or ())
+    use_html = html_col is not None and wrapper_specs
 
     def run(iterator):
+        from kgforge.operators.wrappers import resolve_wrappers
+
         compiled = _get_compiled(rules)
+        wrapper_objs = resolve_wrappers(wrapper_specs)
         for pdf in iterator:
+            htmls = pdf[html_col] if use_html else None
             ents_col, rels_col = [], []
-            for text in pdf[text_col]:
+            for i, text in enumerate(pdf[text_col]):
                 if text is None or len(text) == 0:
                     ents_col.append([])
                     rels_col.append([])
                     continue
-                e, r = compiled.extract_document(text[:max_chars])
+                html = None
+                if htmls is not None:
+                    html = htmls.iloc[i]
+                    if isinstance(html, (bytes, bytearray)):
+                        html = bytes(html).decode("utf-8", errors="replace")
+                e, r = compiled.extract_document(
+                    text[:max_chars], html=html, wrappers=wrapper_objs
+                )
                 ents_col.append(e)
                 rels_col.append(r)
             out = pdf[passthrough].copy()
@@ -349,7 +397,11 @@ def extract_ir(
 
     # P1: empty-document filter (extract_data_step.py:67-74)
     filtered = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-    in_cols = passthrough + ([text_col] if text_col not in passthrough else [])
+    in_cols = passthrough + [
+        c
+        for c in ([text_col] + ([html_col] if use_html else []))
+        if c not in passthrough
+    ]
     return filtered.select(*in_cols).mapInPandas(run, schema=schema)
 
 

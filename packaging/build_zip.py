@@ -22,7 +22,7 @@ def main() -> None:
         pkg = os.path.join(REPO, "kgforge")
         for root, _dirs, files in os.walk(pkg):
             for f in sorted(files):
-                if not f.endswith(".py"):
+                if not f.endswith((".py", ".json")):
                     continue
                 full = os.path.join(root, f)
                 z.write(full, os.path.relpath(full, REPO))
