@@ -1052,6 +1052,49 @@ def kg_entity_link(spark, sf_dir):
     return link_map(mentions).select("label", "key", "canon_key")
 
 
+@_q(
+    "cypher_validate",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 0), (2, 1), (3, 0), (4, 0), (5, 1), (6, 1), (7, 0), (8, 1)
+    ) AS t(id, n_errors) ORDER BY id
+    """,
+)
+def cypher_validate(spark, sf_dir):
+    """F5: Cypher-text validation vs ontology (ref helpers.py:80-213) as a
+    distributed column audit. Oracle = hand-derived golden error counts for
+    the reference's scenario classes (valid / wrong-direction / comma
+    patterns / multi-hop / undirected / unknown labels)."""
+    from kgforge.ontology import Entity, Ontology, Relation
+    from kgforge.plans.cypher_validate import validate_cypher_udf
+
+    onto = Ontology(
+        entities=[Entity("Fighter", []), Entity("Fight", []),
+                  Entity("Event", [])],
+        relations=[Relation("FOUGHT_IN", "Fighter", "Fight", []),
+                   Relation("PART_OF", "Fight", "Event", [])],
+    )
+    stmts = [
+        (1, "MATCH (f:Fighter)-[r:FOUGHT_IN]->(fight:Fight) RETURN f"),
+        (2, "MATCH (f:Fighter)<-[r:FOUGHT_IN]-(fight:Fight) RETURN f"),
+        (3, "MATCH (f:Fight)-[:PART_OF]->(e:Event), "
+            "(x:Fighter)-[:FOUGHT_IN]->(f2:Fight) RETURN f"),
+        (4, "MATCH (a:Fighter)-[:FOUGHT_IN]->(b:Fight)-[:PART_OF]->(c:Event) "
+            "RETURN a"),
+        (5, "MATCH (a:Fighter)-[:FOUGHT_IN]->(b:Fight)<-[:PART_OF]-(c:Event) "
+            "RETURN a"),
+        (6, "MATCH (:Referee) RETURN 1"),
+        (7, "MATCH (f:Fighter)-[r:FOUGHT_IN]-(fight:Fight) RETURN f"),
+        (8, "MATCH (f)-[:JUDGED]->(g) RETURN f"),
+    ]
+    df = spark.createDataFrame(stmts, "id int, cypher string")
+    return (
+        df.withColumn("errors", validate_cypher_udf(onto)(F.col("cypher")))
+        .select("id", F.size("errors").alias("n_errors"))
+        .orderBy("id")
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

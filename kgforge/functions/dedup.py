@@ -34,6 +34,34 @@ from pyspark.sql.types import LongType
 
 from kgforge.functions.textstats import normalize_text, tokens_col
 
+# persisted intermediates (signature/word-set bases consumed by multiple
+# joins) are tracked session-wide; call kgforge.cache.release_cached()
+# after materializing results (re-exported here for convenience).
+from kgforge.cache import persist_tracked as _persist  # noqa: E402
+from kgforge.cache import release_cached  # noqa: F401,E402
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None):
+    """Drop blocking buckets larger than max_bucket before a self-join.
+
+    A huge bucket means the key is non-discriminative (boilerplate-heavy
+    crawls put millions of near-identical pages in one band/chunk), and
+    joining it is O(bucket^2) in a single join key — the worst-case skew
+    cell AQE cannot split. Oversized buckets are dominated by exact or
+    trivial duplicates, which `exact_duplicates` already collapses in one
+    linear shuffle, so route those through exact dedup first and cap here.
+    Same guard as link._pairs_on (operators/link.py).
+    """
+    if max_bucket is None:
+        return df
+    sizes = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    return df.join(
+        sizes.filter(F.col("_n") <= max_bucket).select(*keys),
+        on=keys,
+        how="left_semi",
+    )
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -168,21 +196,29 @@ def minhash_pairs(
     shingle_k: int = 5,
     threshold_num: int = 7,
     threshold_den: int = 10,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified by exact Jaccard.
 
     (id_a, id_b, inter, uni) with id_a < id_b, exact word-set Jaccard >=
     threshold. LSH only *blocks* (may lose pairs below ~the band threshold,
     never fabricates); exact verification of the candidates decides.
+    Buckets above `max_bucket` are dropped (see _cap_buckets): run
+    `exact_duplicates` first so oversized buckets only hold what exact
+    dedup already collapsed.
     """
     rows_per_band = n_hashes // n_bands
     # persist: the band self-join and the two verification joins would
     # otherwise re-evaluate the signature/shingle expressions per consumer
-    base = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n_hashes, shingle_k).alias("sig"),
-        word_set(F.col(text_col)).alias("ws"),
-    ).persist()
+    base = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), n_hashes, shingle_k).alias(
+                "sig"
+            ),
+            word_set(F.col(text_col)).alias("ws"),
+        )
+    )
     # bands carry only (id, band key): the word-set arrays must not ride
     # through the n_bands-way explosion and both join sides — verification
     # fetches them back by id from the persisted base
@@ -195,6 +231,7 @@ def minhash_pairs(
             )
         ).alias("band_idx", "band"),
     ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string")))
+    bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -277,13 +314,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     Blocking: split the 64-bit signature into 4 16-bit chunks; any pair
     within distance 3 matches exactly on >= 1 chunk (pigeonhole), so the
     self-join is an equi-join on (chunk_idx, chunk_value) — no cross product.
-    Distance is then verified exactly with bit_count(xor).
+    Distance is then verified exactly with bit_count(xor). Chunk buckets
+    above `max_bucket` are dropped (_cap_buckets): 16-bit chunks only have
+    65k values, so at billions of docs the blocking demands the cap plus an
+    exact-dedup pre-pass.
     """
     sigs = df.select(
         F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig")
@@ -300,6 +341,7 @@ def simhash_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    chunks = _cap_buckets(chunks, ["chunk_idx", "chunk"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
         a.join(

@@ -168,7 +168,10 @@ def candidate_pairs(names: DataFrame, max_bucket: int = 10_000) -> DataFrame:
         ).alias("band_idx", "band"),
     ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string")))
     # persist: the self-join would otherwise run the signature UDF twice
-    bands = bands.persist()
+    # (tracked; callers release via kgforge.cache.release_cached)
+    from kgforge.cache import persist_tracked
+
+    bands = persist_tracked(bands)
     lsh_pairs = _pairs_on(
         bands, ["label", "band_idx", "band_hash"], max_bucket=max_bucket
     )
@@ -192,97 +195,6 @@ def candidate_pairs(names: DataFrame, max_bucket: int = 10_000) -> DataFrame:
         F.col("score") > 0.0
     )
     return scored
-
-
-def page_local_coreference(
-    mentions: DataFrame, raw_edges: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Resolve abbreviated surface forms to their expansion ON THE SAME PAGE.
-
-    The reference's coreference instruction is per-document
-    (prompts.py:19-20: "always use the most complete identifier" — the LLM
-    sees one document at a time). Globally, an abbreviation like "Alan D."
-    can be genuinely ambiguous (several Alan D*s in the corpus); on the page
-    where it appears, the full form is stated. So: within (url, label),
-    rewrite each name to its best longer compatible name, where compatible =
-    name_match_score > 0. Global linking (link_map) then only has to merge
-    unambiguous cross-page variants (case folds, full-form aliases).
-
-    Join is keyed on (url, label) — per-page name sets are tiny, so the
-    self-join is per-page-quadratic but globally linear in pages. The
-    compatibility test is pure JVM expressions (token-aligned equality or
-    initial-expansion, with a non-initial anchor token — the same rule as
-    name_match_score), so this stage adds no Python to the hot path.
-    """
-    toks = lambda c: F.split(F.lower(F.trim(c)), r"\s+")  # noqa: E731
-    strip_dot = lambda t: F.regexp_replace(t, r"\.$", "")  # noqa: E731
-    names = mentions.select("url", "label", "key").dropDuplicates().withColumn(
-        "toks", toks(F.col("key"))
-    )
-    a, b = names.alias("a"), names.alias("b")
-    zipped = F.zip_with(
-        F.col("a.toks"), F.col("b.toks"), lambda x, y: F.struct(
-            strip_dot(x).alias("x"), strip_dot(y).alias("y")
-        )
-    )
-    tok_ok = F.forall(
-        zipped,
-        lambda p: (p.x == p.y)
-        | (
-            ((F.length(p.x) == 1) | (F.length(p.y) == 1))
-            & (F.substring(p.x, 1, 1) == F.substring(p.y, 1, 1))
-        ),
-    )
-    anchor = F.exists(
-        zipped, lambda p: (p.x == p.y) & (F.length(p.x) > 1)
-    )
-    pairs = a.join(
-        b,
-        on=[
-            F.col("a.url") == F.col("b.url"),
-            F.col("a.label") == F.col("b.label"),
-            F.length(F.col("b.key")) > F.length(F.col("a.key")),
-        ],
-    ).filter(
-        (F.size(F.col("a.toks")) == F.size(F.col("b.toks"))) & tok_ok & anchor
-    ).select(
-        F.col("a.url").alias("url"),
-        F.col("a.label").alias("label"),
-        F.col("a.key").alias("key"),
-        F.col("b.key").alias("expansion"),
-    )
-    # closest expansion first (not longest): when a page mentions both
-    # "Rosa Xu" and "Rosa Xu-Abbott", "Rosa X." must resolve to "Rosa Xu"
-    w = Window.partitionBy("url", "label", "key").orderBy(
-        F.levenshtein(F.lower("key"), F.lower("expansion")).asc(),
-        F.desc(F.length("expansion")),
-        F.asc("expansion"),
-    )
-    best = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("url", "label", "key", "expansion")
-        # consumed by three rewrite joins — compute the map once
-        .persist()
-    )
-
-    def rewrite(df: DataFrame, label_col: str, key_col: str) -> DataFrame:
-        m = best.select(
-            F.col("url"),
-            F.col("label").alias(label_col),
-            F.col("key").alias(key_col),
-            F.col("expansion").alias("_exp"),
-        )
-        return (
-            df.join(m, on=["url", label_col, key_col], how="left")
-            .withColumn(key_col, F.coalesce("_exp", key_col))
-            .drop("_exp")
-        )
-
-    mentions_r = rewrite(mentions, "label", "key")
-    edges_r = rewrite(raw_edges, "src_label", "src_key")
-    edges_r = rewrite(edges_r, "dst_label", "dst_key")
-    return mentions_r, edges_r
 
 
 def link_map(mentions: DataFrame, key_col: str = "key") -> DataFrame:

@@ -1,68 +1,59 @@
-"""Page-local coreference: ambiguous abbreviations resolve per document."""
+"""Document-local coreference: ambiguous abbreviations resolve per document
+(inside the extraction UDF — extract._resolve_local_aliases), and the
+resolution is similarity-ranked so near-miss longer names never merge."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
-from kgforge.operators.link import page_local_coreference
+from kgforge.operators.extract import _resolve_local_aliases
 
 
-def test_ambiguous_abbreviation_resolves_per_page(spark):
-    """"Alan D." means a different person on each page; each resolves to the
-    full form stated on ITS page — a global resolver cannot do this."""
-    mentions = spark.createDataFrame(
-        [
-            ("u1", "Person", "Alan D."),
-            ("u1", "Person", "Alan Dufresne"),
-            ("u2", "Person", "Alan D."),
-            ("u2", "Person", "Alan Dufresne-Abbott"),
-            ("u3", "Person", "Alan D."),  # no expansion on page: untouched
-        ],
-        "url string, label string, key string",
-    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
-        "attributes", F.map_from_arrays(F.array(), F.array())
+def _ents(*pairs):
+    return {(label, key): {"name": key} for label, key in pairs}
+
+
+def test_ambiguous_abbreviation_resolves_per_document():
+    """"Alan D." means a different person in each document; each resolves to
+    the full form stated in ITS document — a global resolver cannot do
+    this, which is why resolution happens inside the per-document UDF."""
+    # document 1: the expansion present is "Alan Dufresne"
+    e1, r1 = _resolve_local_aliases(
+        _ents(("Person", "Alan D."), ("Person", "Alan Dufresne")),
+        {("ACTED_IN", "Person", "Alan D.", "Movie", "The X"): {}},
     )
-    edges = spark.createDataFrame(
-        [("u1", "ACTED_IN", "Person", "Alan D.", "Movie", "The X")],
-        "url string, label string, src_label string, src_key string, "
-        "dst_label string, dst_key string",
-    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
-        "attributes", F.map_from_arrays(F.array(), F.array())
+    assert set(e1) == {("Person", "Alan Dufresne")}
+    assert set(r1) == {("ACTED_IN", "Person", "Alan Dufresne", "Movie", "The X")}
+    # document 2: a different expansion wins in its own document
+    e2, _ = _resolve_local_aliases(
+        _ents(("Person", "Alan D."), ("Person", "Alan Dufresne-Abbott")), {}
     )
-    m, e = page_local_coreference(mentions, edges)
-    got = {(r.url, r.key) for r in m.collect()}
-    assert ("u1", "Alan Dufresne") in got
-    assert ("u2", "Alan Dufresne-Abbott") in got
-    assert ("u3", "Alan D.") in got
-    assert ("u1", "Alan D.") not in got
-    edge = e.first()
-    assert edge.src_key == "Alan Dufresne"
+    assert set(e2) == {("Person", "Alan Dufresne-Abbott")}
+    # document 3: no expansion present -> untouched
+    e3, _ = _resolve_local_aliases(_ents(("Person", "Alan D.")), {})
+    assert set(e3) == {("Person", "Alan D.")}
 
 
-def test_incompatible_names_do_not_rewrite(spark):
-    mentions = spark.createDataFrame(
-        [
-            ("u1", "Person", "Alan Dufresne"),
-            ("u1", "Person", "Alan Dufresne-Abbott"),  # different person
-            ("u1", "Movie", "The Iron Tide"),
-            ("u1", "Movie", "The Iron Tide Harvest"),  # different movie
-        ],
-        "url string, label string, key string",
-    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
-        "attributes", F.map_from_arrays(F.array(), F.array())
+def test_incompatible_names_do_not_rewrite():
+    """Distinct real names (no abbreviation relationship) never merge, even
+    when one is a prefix of the other."""
+    ents = _ents(
+        ("Person", "Alan Dufresne"),
+        ("Person", "Alan Dufresne-Abbott"),
+        ("Movie", "The Iron Tide"),
+        ("Movie", "The Iron Tide Harvest"),
     )
-    empty_edges = mentions.limit(0).select(
-        "url", "warc_ts", F.col("label"),
-        F.col("label").alias("src_label"), F.col("key").alias("src_key"),
-        F.col("label").alias("dst_label"), F.col("key").alias("dst_key"),
-        "attributes",
+    out, _ = _resolve_local_aliases(ents, {})
+    assert set(out) == set(ents)
+
+
+def test_similarity_ranked_expansion():
+    """"Rosa X." resolves to "Rosa Xu", not the longer "Rosa Xu-Abbott":
+    best expansion is the most SIMILAR compatible longer key, not the
+    longest (the hub false-merge regression)."""
+    out, _ = _resolve_local_aliases(
+        _ents(("Person", "Rosa X."), ("Person", "Rosa Xu"),
+              ("Person", "Rosa Xu-Abbott")), {}
     )
-    m, _ = page_local_coreference(mentions, empty_edges)
-    keys = {r.key for r in m.collect()}
-    assert keys == {
-        "Alan Dufresne", "Alan Dufresne-Abbott",
-        "The Iron Tide", "The Iron Tide Harvest",
-    }
+    assert set(out) == {("Person", "Rosa Xu"), ("Person", "Rosa Xu-Abbott")}
 
 
 def test_mid_scale_pipeline_pr(spark, workdir):

@@ -1,0 +1,76 @@
+"""Bucket-size caps in corpus dedup: a boilerplate-heavy corpus must not
+explode a single LSH band / SimHash chunk bucket into O(bucket^2) candidate
+pairs (the crawl-scale skew cell AQE cannot split). Mirrors the guard that
+entity linking already had (link._pairs_on)."""
+
+from __future__ import annotations
+
+import random
+
+from kgforge.functions import dedup as D
+
+
+def _corpus(spark, n_tokens: int = 40):
+    """500 docs: 100 identical boilerplate copies (20%), 390 unique,
+    10 planted near-dup pairs among the unique docs."""
+    rng = random.Random(99)
+    words = [f"w{i}" for i in range(5000)]
+    rows = []
+    boiler = " ".join(rng.choice(words) for _ in range(n_tokens))
+    for i in range(100):
+        rows.append((i, boiler))
+    uniq_texts = []
+    for i in range(100, 490):
+        t = " ".join(rng.choice(words) for _ in range(n_tokens))
+        uniq_texts.append((i, t))
+        rows.append((i, t))
+    planted = []
+    for j in range(10):
+        base_id, base_text = uniq_texts[j * 7]
+        toks = base_text.split()
+        toks[17] = "zq"  # one-word mutation -> jaccard ~ 39/41
+        rows.append((1000 + j, " ".join(toks)))
+        planted.append((base_id, 1000 + j))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return df, planted, set(range(100))
+
+
+def test_minhash_cap_bounds_boilerplate(spark):
+    df, planted, boiler_ids = _corpus(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_pairs(df, max_bucket=50).collect()
+    }
+    # every planted near-dup pair survives the cap (recall intact)
+    for a, b in planted:
+        assert (a, b) in pairs, (a, b)
+    # the 100-doc boilerplate clique (4950 pairs) is excluded, keeping the
+    # candidate volume bounded by the discriminative buckets
+    assert not any(a in boiler_ids and b in boiler_ids for a, b in pairs)
+    assert len(pairs) < 100
+
+
+def test_minhash_uncapped_returns_clique(spark):
+    """Contrast: max_bucket=None preserves the old exhaustive behavior."""
+    df, _, boiler_ids = _corpus(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_pairs(df, max_bucket=None).collect()
+    }
+    clique = {(a, b) for a, b in pairs if a in boiler_ids and b in boiler_ids}
+    assert len(clique) == 100 * 99 // 2
+
+
+def test_simhash_cap_bounds_boilerplate(spark):
+    # longer docs: a one-word mutation of a 200-token doc stays within
+    # Hamming<=3 with high probability (SimHash targets near-identity)
+    df, planted, boiler_ids = _corpus(spark, n_tokens=200)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_pairs(df, max_bucket=50).collect()
+    }
+    assert not any(a in boiler_ids and b in boiler_ids for a, b in pairs)
+    found = sum(1 for p in planted if p in pairs)
+    assert found >= 8, found
+    assert len(pairs) < 200
+    D.release_cached()
