@@ -115,8 +115,9 @@ class KnowledgeGraph:
         from kgforge.operators import link, materialize, normalize
 
         ir = f"{self.out_dir}/incremental_ir"
-        mentions = self.spark.read.parquet(f"{ir}/mentions")
-        raw_edges = self.spark.read.parquet(f"{ir}/raw_edges")
+        # batch_id is the stream's idempotence partition key, not IR data
+        mentions = self.spark.read.parquet(f"{ir}/mentions").drop("batch_id")
+        raw_edges = self.spark.read.parquet(f"{ir}/raw_edges").drop("batch_id")
         mentions, _ = normalize.validate_attributes(mentions, self.ontology)
         mentions = mentions.persist()
         raw_edges = raw_edges.persist()
@@ -194,51 +195,175 @@ class KnowledgeGraph:
         return "|".join(str(attributes.get(u, "")) for u in uniq)
 
     # ------------------------------------------------------------ upserts
-    def add_node(self, label: str, attributes: dict) -> None:
-        """MERGE (n:label {unique}) SET n += {...} (extract_data_step.py:222)."""
-        self._validate(label, attributes)
-        key = self._node_key(label, attributes)
-        props = {k: ("" if v is None else str(v)) for k, v in attributes.items()}
-        row = self.spark.createDataFrame(
-            [(label, key, props)], "label string, key string, props map<string,string>"
-        ).withColumn("node_id", F.xxhash64("label", "key")).select(
-            "node_id", "label", "key", "props"
+    #
+    # Parquet has no MERGE INTO, so an upsert rewrites the table; the batch
+    # APIs amortize that: N rows = ONE join + ONE write (the per-row
+    # wrappers below keep reference API parity but cost a full rewrite per
+    # call — never loop them; pass the batch).
+
+    @staticmethod
+    def _overlay(old_col: str, new_col: str):
+        """SET += semantics: new values overwrite, untouched keys survive
+        (map_concat would throw on duplicate keys under the default
+        mapKeyDedupPolicy, so overlapping old keys are filtered first)."""
+        return F.map_concat(
+            F.map_filter(
+                old_col,
+                lambda k, _: ~F.array_contains(
+                    F.map_keys(F.col(new_col)), k
+                ),
+            ),
+            new_col,
+        )
+
+    def add_nodes(self, rows: list[tuple[str, dict]]) -> None:
+        """Batch MERGE (n:label {unique}) SET n += {...} for
+        [(label, attributes), ...] (extract_data_step.py:222).
+
+        Validation is driver-side per row (raises on the first bad row,
+        before any write); the upsert itself is one anti-join (untouched
+        nodes) + one inner join (prop overlay) + one union of fresh rows.
+        Duplicate keys within the batch collapse last-wins in input order,
+        matching sequential MERGE calls.
+        """
+        if not rows:
+            return
+        by_key: dict[tuple, dict] = {}
+        for label, attributes in rows:
+            self._validate(label, attributes)
+            key = self._node_key(label, attributes)
+            props = by_key.setdefault((label, key), {})
+            props.update(
+                {k: ("" if v is None else str(v)) for k, v in attributes.items()}
+            )
+        batch = self.spark.createDataFrame(
+            [(label, key, props) for (label, key), props in by_key.items()],
+            "label string, key string, props map<string,string>",
+        ).select(
+            F.xxhash64("label", "key").alias("node_id"), "label", "key", "props"
         )
         existing = self.nodes()
         if existing is None:
-            row.write.mode("overwrite").parquet(self.nodes_path)
+            batch.write.mode("overwrite").parquet(self.nodes_path)
             return
-        merged = (
-            existing.join(row.select("node_id"), on="node_id", how="left_anti")
-            .unionByName(
-                existing.join(row, on="node_id", how="left_semi")
-                .select(
-                    "node_id", "label", "key",
-                    F.col("props").alias("old_props"),
-                )
-                .join(
-                    row.select("node_id", F.col("props").alias("new_props")),
-                    on="node_id",
-                )
-                .select(
-                    "node_id", "label", "key",
-                    # SET n += : new values overwrite, others survive
-                    F.map_concat(
-                        F.map_filter(
-                            "old_props",
-                            lambda k, _: ~F.array_contains(
-                                F.map_keys(F.col("new_props")), k
-                            ),
-                        ),
-                        "new_props",
-                    ).alias("props"),
-                )
+        kept = existing.join(batch.select("node_id"), "node_id", "left_anti")
+        updated = (
+            existing.withColumnRenamed("props", "old_props")
+            .join(
+                batch.select("node_id", F.col("props").alias("new_props")),
+                on="node_id",
+            )
+            .select(
+                "node_id", "label", "key",
+                self._overlay("old_props", "new_props").alias("props"),
             )
         )
-        if merged.join(row, on="node_id", how="left_semi").isEmpty():
-            merged = merged.unionByName(row)
-        out = merged.localCheckpoint()
+        fresh = batch.join(existing.select("node_id"), "node_id", "left_anti")
+        out = kept.unionByName(updated).unionByName(fresh).localCheckpoint()
         out.write.mode("overwrite").parquet(self.nodes_path)
+
+    def add_node(self, label: str, attributes: dict) -> None:
+        """Single-row wrapper (reference API parity)."""
+        self.add_nodes([(label, attributes)])
+
+    def add_edges(self, rows: list[tuple]) -> int:
+        """Batch MATCH (s) MATCH (d) MERGE (s)-[r]->(d) SET r += {...} for
+        [(relation, src_label, dst_label, src_attrs, dst_attrs, attributes),
+        ...]. Returns how many edges were written; rows whose endpoint
+        nodes don't exist are silently dropped — the reference's Cypher
+        MATCH semantics (extract_data_step.py:227-269). Existence is ONE
+        semi-join per endpoint side, not per-row scans.
+        """
+        if not rows:
+            return 0
+        by_key: dict[tuple, dict] = {}
+        for row in rows:
+            relation, src_label, dst_label, src_attrs, dst_attrs = row[:5]
+            attributes = row[5] if len(row) > 5 else {}
+            attributes = attributes or {}
+            self._validate(relation, attributes, is_relation=True)
+            self._validate(src_label, src_attrs)
+            self._validate(dst_label, dst_attrs)
+            sigs = [
+                (s, d) for (s, d, _) in self._compiled["relations"][relation]
+            ]
+            if (src_label, dst_label) not in sigs:
+                raise ValueError(
+                    f"relation '{relation}' does not connect "
+                    f"{src_label}->{dst_label} (helpers.py:137-213)"
+                )
+            k = (
+                relation,
+                src_label, self._node_key(src_label, src_attrs),
+                dst_label, self._node_key(dst_label, dst_attrs),
+            )
+            props = by_key.setdefault(k, {})
+            props.update(
+                {k_: ("" if v is None else str(v))
+                 for k_, v in attributes.items()}
+            )
+        nodes = self.nodes()
+        if nodes is None:
+            return 0
+        batch = self.spark.createDataFrame(
+            [k + (props,) for k, props in by_key.items()],
+            "label string, src_label string, src_key string, "
+            "dst_label string, dst_key string, props map<string,string>",
+        )
+        node_keys = nodes.select("label", "key")
+        batch = (
+            batch.join(
+                node_keys.select(
+                    F.col("label").alias("src_label"),
+                    F.col("key").alias("src_key"),
+                ),
+                on=["src_label", "src_key"],
+                how="left_semi",
+            )
+            .join(
+                node_keys.select(
+                    F.col("label").alias("dst_label"),
+                    F.col("key").alias("dst_key"),
+                ),
+                on=["dst_label", "dst_key"],
+                how="left_semi",
+            )
+            .select(
+                F.xxhash64("src_label", "src_key").alias("src_id"),
+                "label",
+                F.xxhash64("dst_label", "dst_key").alias("dst_id"),
+                "props", "src_label", "src_key", "dst_label", "dst_key",
+            )
+            .localCheckpoint()
+        )
+        n_valid = batch.count()
+        if n_valid == 0:
+            return 0
+        existing = self.edges()
+        if existing is None:
+            batch.write.mode("overwrite").parquet(self.edges_path)
+            return n_valid
+        keycols = ["src_id", "label", "dst_id"]
+        kept = existing.join(batch.select(*keycols), keycols, "left_anti")
+        # SET r += : the matched edge keeps its old props under the new ones
+        # (previously the old row was dropped wholesale, losing properties
+        # the new row didn't mention)
+        updated = (
+            existing.withColumnRenamed("props", "old_props")
+            .join(
+                batch.select(*keycols, F.col("props").alias("new_props")),
+                on=keycols,
+            )
+            .select(
+                *keycols,
+                self._overlay("old_props", "new_props").alias("props"),
+                "src_label", "src_key", "dst_label", "dst_key",
+            )
+        )
+        fresh = batch.join(existing.select(*keycols), keycols, "left_anti")
+        out = kept.unionByName(updated).unionByName(fresh).localCheckpoint()
+        out.write.mode("overwrite").parquet(self.edges_path)
+        return n_valid
 
     def add_edge(
         self,
@@ -249,57 +374,14 @@ class KnowledgeGraph:
         dst_attrs: dict,
         attributes: dict | None = None,
     ) -> bool:
-        """MATCH (s) MATCH (d) MERGE (s)-[r]->(d) SET r += {...}.
-
-        Returns False (no edge) when either endpoint node does not exist —
-        the reference's silent-drop semantics (extract_data_step.py:227-269).
-        """
-        attributes = attributes or {}
-        self._validate(relation, attributes, is_relation=True)
-        self._validate(src_label, src_attrs)
-        self._validate(dst_label, dst_attrs)
-        sigs = [
-            (s, d) for (s, d, _) in self._compiled["relations"][relation]
-        ]
-        if (src_label, dst_label) not in sigs:
-            raise ValueError(
-                f"relation '{relation}' does not connect "
-                f"{src_label}->{dst_label} (helpers.py:137-213)"
+        """Single-row wrapper; False when an endpoint node is missing."""
+        return (
+            self.add_edges(
+                [(relation, src_label, dst_label, src_attrs, dst_attrs,
+                  attributes)]
             )
-        nodes = self.nodes()
-        if nodes is None:
-            return False
-        src_key = self._node_key(src_label, src_attrs)
-        dst_key = self._node_key(dst_label, dst_attrs)
-        hit = lambda lbl, k: not nodes.filter(  # noqa: E731
-            (F.col("label") == lbl) & (F.col("key") == k)
-        ).isEmpty()
-        if not (hit(src_label, src_key) and hit(dst_label, dst_key)):
-            return False
-        props = {k: ("" if v is None else str(v)) for k, v in attributes.items()}
-        row = self.spark.createDataFrame(
-            [
-                (
-                    relation, src_label, src_key, dst_label, dst_key, props,
-                )
-            ],
-            "label string, src_label string, src_key string, "
-            "dst_label string, dst_key string, props map<string,string>",
-        ).select(
-            F.xxhash64("src_label", "src_key").alias("src_id"),
-            "label",
-            F.xxhash64("dst_label", "dst_key").alias("dst_id"),
-            "props", "src_label", "src_key", "dst_label", "dst_key",
+            == 1
         )
-        existing = self.edges()
-        if existing is None:
-            row.write.mode("overwrite").parquet(self.edges_path)
-            return True
-        keycols = ["src_id", "label", "dst_id"]
-        kept = existing.join(row.select(*keycols), on=keycols, how="left_anti")
-        out = kept.unionByName(row).localCheckpoint()
-        out.write.mode("overwrite").parquet(self.edges_path)
-        return True
 
     # ------------------------------------------------------------- reads
     def nodes(self) -> DataFrame | None:

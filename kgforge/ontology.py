@@ -385,11 +385,28 @@ def ontology_from_graph(nodes, edges) -> "Ontology":
     ents: dict[str, list] = {}
     for r in sorted(attr_stats, key=lambda r: (r.label, r.attr)):
         typ = "number" if r.all_num else ("boolean" if r.all_bool else "string")
+        # only the FIRST key-matching attribute per label becomes the
+        # unique key: a second unique attr would make the pipeline's
+        # pipe-joined node key match NO single attribute value on the next
+        # round-trip, leaving the recovered entity keyless (ADVICE r01)
+        already_keyed = any(a.unique for a in ents.get(r.label, []))
+        is_key = bool(r.is_key) and not already_keyed
         ents.setdefault(r.label, []).append(
-            Attribute(r.attr, typ, unique=bool(r.is_key), required=bool(r.is_key))
+            Attribute(r.attr, typ, unique=is_key, required=is_key)
         )
     for row in nodes.select("label").distinct().collect():
         ents.setdefault(row.label, [])
+    # labels where no attribute mirrors the key (composite keys, keyless
+    # IR): synthesize a fallback key the way fix_ontology does, so the
+    # recovered ontology always passes validate_entities
+    for label, attrs in ents.items():
+        if not any(a.unique for a in attrs):
+            target = next((a for a in attrs if a.type == "string"), None)
+            if target is not None:
+                target.unique = True
+                target.required = True
+            else:
+                attrs.append(Attribute("name", "string", True, True))
 
     rel_rows = (
         edges.select("label", "src_label", "dst_label")

@@ -21,6 +21,7 @@ engine's (the S3 HTML path applies to the stored bytes).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +29,25 @@ from kgforge.sources.chunk import chunk_csv, chunk_jsonl
 from kgforge.sources.html import extract_text_udf
 
 ROWS_PER_DOCUMENT = 50  # factory default (source.py:150,160)
+
+
+def _file_order() -> F.Column:
+    """Within-file row order that survives multi-split files.
+
+    `monotonically_increasing_id` alone is NOT file order: its high bits are
+    the partition index, and Spark assigns file splits to partitions sorted
+    by split SIZE (then packs several per partition), so a later byte range
+    can get a smaller partition index. The split's byte offset
+    (`_metadata.file_block_start`) ranks splits of one file correctly, and
+    the monotonic id ranks rows within a split (read order) — the struct
+    sorts lexicographically on (offset, seq), restoring sequential
+    k-rows-per-document semantics (reference csv.py:15-32) at any split
+    count.
+    """
+    return F.struct(
+        F.col("_metadata.file_block_start").alias("off"),
+        F.monotonically_increasing_id().alias("seq"),
+    )
 
 
 def load_text(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -61,7 +81,7 @@ def load_csv(
         spark.read.option("header", "false")
         .csv(paths)
         .withColumn("source", F.input_file_name())
-        .withColumn("_order", F.monotonically_increasing_id())
+        .withColumn("_order", _file_order())
     )
     chunks = chunk_csv(
         df, "_order", rows_per_document=rows_per_document, part_col="source"
@@ -79,7 +99,7 @@ def load_jsonl(
     df = (
         spark.read.text(paths)
         .withColumn("source", F.input_file_name())
-        .withColumn("_order", F.monotonically_increasing_id())
+        .withColumn("_order", _file_order())
     )
     chunks = chunk_jsonl(
         df, "value", "_order", rows_per_document=rows_per_document,
@@ -90,21 +110,90 @@ def load_jsonl(
     )
 
 
-def load_pdf(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """S2: 1 Document per page via pypdf (document_loaders/pdf.py:26-39).
+def _pdf_pages_minimal(blob: bytes) -> list[str]:
+    """Dependency-free page-text kernel (PDF 1.x spec, public).
 
-    pypdf is not installed in this container; the Spark plumbing (binaryFile
-    scan -> per-page explode) is real, the page-text kernel import-gated.
+    Scope: content streams that are plain or FlateDecode-compressed, with
+    text shown via literal strings in ``Tj`` / ``'`` / ``TJ`` operators —
+    i.e. the simple text-first PDFs the reference's loader contract is
+    about (1 Document per page, document_loaders/pdf.py:26-39). Each
+    text-carrying content stream is treated as one page in document order
+    (true for linear single-stream-per-page files). Hex strings, CID/Type0
+    encodings, and cross-reference-driven layout are out of scope — when
+    pypdf is installed it is preferred and handles those.
+    """
+    import re as _re
+    import zlib
+
+    pages: list[str] = []
+    for m in _re.finditer(rb"stream\r?\n(.*?)endstream", blob, _re.S):
+        data = m.group(1)
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith(b"\n"):
+            data = data[:-1]
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            pass  # already uncompressed
+        if b"BT" not in data:
+            continue  # not a text content stream (image XObject, fonts...)
+        runs: list[str] = []
+        # literal strings immediately feeding a show operator
+        for sm in _re.finditer(
+            rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+            data,
+            _re.S,
+        ):
+            if sm.group(1) is not None:
+                literals = [sm.group(1)]
+            else:
+                literals = [
+                    lm.group(1)
+                    for lm in _re.finditer(
+                        rb"\(((?:[^()\\]|\\.)*)\)", sm.group(2), _re.S
+                    )
+                ]
+            text = b"".join(literals)
+            # unescape per spec 7.3.4.2: \n \r \t \b \f \( \) \\ \ddd
+            text = _re.sub(
+                rb"\\([0-7]{1,3}|.)",
+                lambda e: (
+                    bytes([int(e.group(1), 8)])
+                    if e.group(1).isdigit()
+                    else {
+                        b"n": b"\n", b"r": b"\r", b"t": b"\t",
+                        b"b": b"\b", b"f": b"\f",
+                    }.get(e.group(1), e.group(1))
+                ),
+                text,
+            )
+            runs.append(text.decode("latin-1"))
+        if runs:
+            pages.append("\n".join(runs))
+    return pages
+
+
+def load_pdf(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S2: 1 Document per page (reference document_loaders/pdf.py:26-39).
+
+    The page-text kernel prefers pypdf (the reference's library) when
+    importable; otherwise the minimal spec-based kernel above handles
+    plain/Flate text streams. The Spark plumbing is identical either way:
+    binaryFile scan -> Arrow-batched pages UDF -> posexplode, one row per
+    page.
     """
     try:
-        from pypdf import PdfReader  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "PDF loading needs pypdf (reference document_loaders/pdf.py); "
-            "not available in this container"
-        ) from exc
+        from pypdf import PdfReader
 
-    import io
+        def page_texts(blob: bytes) -> list[str]:
+            import io
+
+            return [
+                p.extract_text() for p in PdfReader(io.BytesIO(blob)).pages
+            ]
+    except ImportError:  # container has no pypdf: spec-based fallback
+        page_texts = _pdf_pages_minimal
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -112,11 +201,7 @@ def load_pdf(spark: SparkSession, paths: list[str]) -> DataFrame:
 
     @pandas_udf(ArrayType(StringType()))
     def pdf_pages(blobs: pd.Series) -> pd.Series:
-        out = []
-        for blob in blobs:
-            reader = PdfReader(io.BytesIO(blob))
-            out.append([p.extract_text() for p in reader.pages])
-        return pd.Series(out)
+        return pd.Series([page_texts(bytes(b)) for b in blobs])
 
     df = spark.read.format("binaryFile").load(paths)
     return df.select(

@@ -42,7 +42,12 @@ def stream_extract(
     checkpoint_dir: str,
     available_now: bool = True,
 ):
-    """Stream pages parquet -> append mentions/raw_edges parquet exactly-once.
+    """Stream pages parquet -> mentions/raw_edges parquet, exactly-once BY
+    IDEMPOTENCE: output is partitioned by batch_id and written with dynamic
+    partition overwrite, so a batch replayed after a crash (foreachBatch is
+    at-least-once between the two sinks and the checkpoint commit)
+    overwrites its own partition instead of appending duplicates — IR row
+    counts (which link_map's canonical-name choice weighs) stay exact.
 
     Returns the StreamingQuery (caller awaits termination). Each micro-batch
     runs the identical batch-stage composition, so batch/stream parity is
@@ -74,8 +79,14 @@ def stream_extract(
         mentions, raw_edges = normalize.filter_to_ontology(
             mentions, raw_edges, onto, batch_df.sparkSession
         )
-        mentions.write.mode("append").parquet(f"{out_dir}/mentions")
-        raw_edges.write.mode("append").parquet(f"{out_dir}/raw_edges")
+        for df, sub in ((mentions, "mentions"), (raw_edges, "raw_edges")):
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{out_dir}/{sub}")
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

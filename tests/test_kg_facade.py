@@ -114,6 +114,55 @@ def test_edge_idempotent_merge(kg):
     assert len(rows) == 1 and rows[0].props["role"] == "lead"
 
 
+def test_edge_merge_preserves_unmentioned_props(kg):
+    """SET r += : re-adding an edge with a SUBSET of attributes must keep
+    the old edge's other properties (ADVICE r01: the old row was dropped
+    wholesale, silently losing data)."""
+    kg.add_node("Actor", {"name": "A"})
+    kg.add_node("Movie", {"title": "M"})
+    kg.add_edge(
+        "ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"},
+        {"role": "lead"},
+    )
+    # second MERGE mentions no attributes at all
+    kg.add_edge("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"})
+    rows = kg.edges().collect()
+    assert len(rows) == 1 and rows[0].props["role"] == "lead"
+
+
+def test_batch_add_nodes_and_edges(kg):
+    """100-row batch: one write per call, MERGE semantics identical to
+    sequential per-row calls (within-batch duplicates last-wins)."""
+    actors = [("Actor", {"name": f"A{i}"}) for i in range(50)]
+    movies = [("Movie", {"title": f"M{i}"}) for i in range(49)]
+    # duplicate key within the batch: later row wins, one node results
+    movies += [("Movie", {"title": "M0"})]
+    kg.add_nodes(actors + movies)
+    nodes = kg.nodes()
+    assert nodes.count() == 99
+    assert nodes.filter("label = 'Movie'").count() == 49
+
+    edges = [
+        ("ACTED_IN", "Actor", "Movie", {"name": f"A{i}"},
+         {"title": f"M{i % 49}"}, {"role": f"r{i}"})
+        for i in range(50)
+    ]
+    # one edge with a missing endpoint: silently dropped, not an error
+    edges.append(
+        ("ACTED_IN", "Actor", "Movie", {"name": "Nobody"}, {"title": "M0"})
+    )
+    n = kg.add_edges(edges)
+    assert n == 50
+    assert kg.edges().count() == 50
+    # batch update overlays props without losing old ones
+    n2 = kg.add_edges(
+        [("ACTED_IN", "Actor", "Movie", {"name": "A1"}, {"title": "M1"}, {})]
+    )
+    assert n2 == 1
+    row = kg.edges().filter("src_key = 'A1'").first()
+    assert row.props["role"] == "r1"
+
+
 def test_process_match_export_delete(spark, workdir):
     from kgforge.sources.pages import corpus_to_spark, generate_corpus, movies_ontology
 

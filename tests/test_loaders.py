@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from kgforge.sources.loaders import load_source
+from kgforge.sources.loaders import load_csv, load_source
 
 
 @pytest.fixture()
@@ -55,20 +55,79 @@ def test_jsonl_loader_floor_drop(spark, files):
     assert out[0].content.startswith('{"k": 0}\n\n{"k": 1}\n')
 
 
-def test_pdf_loader_gated(spark, files):
-    pdf = files / "x.pdf"
-    pdf.write_bytes(b"%PDF-fake")
-    try:
-        import pypdf  # noqa: F401
+def _make_pdf(path, page_texts, compress_from=1):
+    """Hand-assembled minimal PDF: one content stream per page; pages from
+    index `compress_from` use FlateDecode to exercise both kernel paths."""
+    import zlib
 
-        has_pypdf = True
-    except ImportError:
-        has_pypdf = False
-    if not has_pypdf:
-        with pytest.raises(NotImplementedError):
-            load_source(spark, str(pdf))
+    objs = []
+    n_pages = len(page_texts)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, text in enumerate(page_texts):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R "
+            f"/MediaBox [0 0 612 792] >>".encode()
+        )
+        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        content = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode()
+        if i >= compress_from:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        else:
+            filt = b""
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(content), filt, content)
+        )
+    out = [b"%PDF-1.4"]
+    for n, body in enumerate(objs, start=1):
+        out.append(b"%d 0 obj\n%s\nendobj" % (n, body))
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    path.write_bytes(b"\n".join(out))
+
+
+def test_pdf_loader_per_page(spark, files):
+    """S2: one Document per page through binaryFile -> pages UDF ->
+    posexplode; the spec-based fallback kernel reads plain AND Flate
+    streams (pypdf is preferred when installed)."""
+    pdf = files / "x.pdf"
+    texts = ["first page text", "second (escaped) page", "third page"]
+    _make_pdf(pdf, texts)
+    out = load_source(spark, str(pdf)).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [0, 1, 2]
+    assert [r.content for r in out] == texts
 
 
 def test_url_rejected(spark):
     with pytest.raises(NotImplementedError):
         load_source(spark, "https://example.com/x")
+
+
+def test_csv_chunking_survives_multi_split_files(spark, tmp_path):
+    """Sequential k-rows-per-document must hold when one file is read as
+    MANY splits (ADVICE r01: split->partition assignment is sorted by size,
+    so monotonically_increasing_id alone is not file order; the order key
+    now includes _metadata.file_block_start)."""
+    path = str(tmp_path / "data.csv")
+    with open(path, "w") as f:
+        for i in range(4000):
+            f.write(f"{i},row{i},xxxxxxxxxxxxxxxxxxxx\n")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 8192)
+    spark.conf.set("spark.sql.files.openCostInBytes", 0)
+    try:
+        rows = load_csv(spark, [path]).orderBy("doc_id").collect()
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+    assert len(rows) == 80
+    for r in rows:
+        lines = r.content.split("\n")
+        first = r.doc_id * 50
+        assert lines == [
+            f"{first + j},row{first + j},xxxxxxxxxxxxxxxxxxxx"
+            for j in range(50)
+        ]

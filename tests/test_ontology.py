@@ -4,6 +4,8 @@ import json
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from kgforge.ontology import Attribute, Entity, Ontology, Relation
 
 
@@ -111,3 +113,52 @@ def test_to_dataframes(spark):
         "ACTED_IN",
         "HAS_GENRE",
     }
+
+
+def test_ontology_from_graph_composite_key_roundtrips(spark):
+    """Labels with a composite (multi-attribute) node key: no single
+    attribute mirrors the pipe-joined key, so a fallback unique key is
+    synthesized and the recovered ontology passes validate_entities
+    (ADVICE r01: it used to come back keyless and be rejected)."""
+    from kgforge.ontology import ontology_from_graph
+
+    nodes = spark.createDataFrame(
+        [
+            (1, "Flight", "AA|2024-01-01",
+             {"airline": "AA", "day": "2024-01-01"}),
+            (2, "Flight", "BB|2024-01-02",
+             {"airline": "BB", "day": "2024-01-02"}),
+        ],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    edges = nodes.limit(0).select(
+        F.col("label"),
+        F.col("label").alias("src_label"), F.col("label").alias("dst_label"),
+    )
+    onto = ontology_from_graph(nodes, edges)
+    assert onto.validate_entities()
+    flight = onto.get_entity("Flight")
+    assert len(flight.unique_attributes()) == 1
+
+
+def test_ontology_from_graph_single_unique_key(spark):
+    """When several attributes all mirror the key, only the first becomes
+    unique — two unique attrs would change the node-key convention on the
+    next materialization."""
+    from kgforge.ontology import ontology_from_graph
+
+    nodes = spark.createDataFrame(
+        [
+            (1, "City", "Paris", {"name": "Paris", "display": "Paris"}),
+            (2, "City", "Lyon", {"name": "Lyon", "display": "Lyon"}),
+        ],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    edges = nodes.limit(0).select(
+        F.col("label"),
+        F.col("label").alias("src_label"), F.col("label").alias("dst_label"),
+    )
+    onto = ontology_from_graph(nodes, edges)
+    city = onto.get_entity("City")
+    assert [a.name for a in city.unique_attributes()] == ["display"]
+    assert {a.name for a in city.attributes} == {"name", "display"}

@@ -69,6 +69,29 @@ def test_stream_matches_batch_and_is_exactly_once(spark, corpus, workdir):
     }
 
 
+def test_batch_replay_is_idempotent(spark, corpus, workdir):
+    """Crash-replay safety (ADVICE r01): re-running the SAME input through a
+    FRESH checkpoint re-executes every micro-batch with the same batch_id
+    sequence; dynamic partition overwrite on batch_id must leave the IR
+    byte-identical instead of doubling it (plain append would duplicate)."""
+    onto = movies_ontology()
+    pages_dir = f"{workdir}/pages_replay"
+    out_dir = f"{workdir}/replay_out"
+    _write_chunk(spark, corpus, 0, 12, f"{pages_dir}/c1")
+
+    q = stream_extract(spark, pages_dir, onto, out_dir, f"{workdir}/ck1")
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out_dir}/mentions").count()
+    e1 = spark.read.parquet(f"{out_dir}/raw_edges").count()
+    assert n1 > 0
+
+    # fresh checkpoint = full replay of batch 0
+    q = stream_extract(spark, pages_dir, onto, out_dir, f"{workdir}/ck2")
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/mentions").count() == n1
+    assert spark.read.parquet(f"{out_dir}/raw_edges").count() == e1
+
+
 def test_windowed_rollup_batch_parity(spark):
     """Same plan over a batch DF equals the plain date_trunc rollup."""
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
