@@ -142,29 +142,23 @@ def p3p5_sanitize(spark, sf_dir):
 )
 def s5_chunk_docs(spark, sf_dir):
     """S5/S6 chunker: k rows -> 1 document, floor division drops the tail
-    (document_loaders/csv.py:20, jsonl.py:18)."""
+    (document_loaders/csv.py:20, jsonl.py:18). Routed through the
+    PRODUCTION operator (chunk.chunk_rows — the same function the CSV/JSONL
+    loaders call), so the oracle hash gates the real code path; surviving
+    chunks have exactly k rows by the operator's floor-drop contract."""
+    from kgforge.sources.chunk import chunk_rows
+
     k = 64
-    numbered = _t(spark, sf_dir, "documents").select(
-        "text", F.row_number().over(Window.orderBy("doc_id")).alias("rn")
+    chunks = chunk_rows(
+        _t(spark, sf_dir, "documents"),
+        text_col="text",
+        order_col="doc_id",
+        rows_per_document=k,
     )
-    return (
-        numbered.groupBy(((F.col("rn") - 1) / k).cast("long").alias("chunk_id"))
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.md5(
-                F.encode(
-                    F.concat_ws(
-                        "\n",
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("rn", "text"))),
-                            lambda x: x.text,
-                        ),
-                    ),
-                    "UTF-8",
-                )
-            ).alias("chunk_md5"),
-        )
-        .filter(F.col("n_rows") == k)
+    return chunks.select(
+        "chunk_id",
+        F.lit(k).cast("long").alias("n_rows"),
+        F.md5(F.encode("content", "UTF-8")).alias("chunk_md5"),
     )
 
 
@@ -258,17 +252,28 @@ def j5_semi_parts_in_lineitem(spark, sf_dir):
     """,
 )
 def a1_last_event_per_user(spark, sf_dir):
-    """A1 last-write-wins with explicit deterministic order (SURVEY §2.4)."""
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_type"),
-            F.col("value").alias("last_value"),
-        )
+    """A1 last-write-wins, routed through the PRODUCTION operator
+    (materialize._lww_props — the same per-attribute max_by the node
+    builder uses), so the oracle hash gates the real code path. Events
+    become rows with an attributes map; the LWW order is (ts, event_id);
+    the winning values are cast back to their source types for
+    hash-compare parity with the window-function oracle."""
+    from kgforge.operators.materialize import _lww_props
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("url"),  # _lww_props order tiebreak column
+        F.create_map(
+            F.lit("last_type"), F.col("event_type"),
+            F.lit("last_value"), F.col("value").cast("string"),
+        ).alias("attributes"),
+    )
+    lww = _lww_props(events, ["user_id"], ["warc_ts", "url"])
+    return lww.select(
+        "user_id",
+        F.col("props")["last_type"].alias("last_type"),
+        F.col("props")["last_value"].cast("double").alias("last_value"),
     )
 
 
@@ -277,8 +282,21 @@ def a1_last_event_per_user(spark, sf_dir):
     "SELECT DISTINCT user_id, event_type FROM events",
 )
 def a2_distinct_user_event(spark, sf_dir):
-    """A2 idempotent dedup (MERGE-per-key semantics)."""
-    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    """A2 idempotent dedup (MERGE-per-key semantics), routed through the
+    PRODUCTION edge-dedup operator (materialize._lww_props with the key as
+    the group — exactly how build_edges collapses duplicate edges)."""
+    from kgforge.operators.materialize import _lww_props
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("url"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+    return _lww_props(
+        events, ["user_id", "event_type"], ["warc_ts", "url"]
+    ).select("user_id", "event_type")
 
 
 @_q(

@@ -121,46 +121,102 @@ def _bucket_udf(planes: np.ndarray):
     return buckets
 
 
-def ivf_topk(
+class IvfIndex:
+    """A built IVF index: centroids (driver-side, small) + the assigned
+    corpus table (distributed). Build ONCE, persist, query many times —
+    re-fitting k-means per query call is brute force with extra steps at
+    scale (VERDICT r01). `default_n_probe` is carried with the index so a
+    calibration (ivf_calibrate) sticks."""
+
+    def __init__(self, centroids: list, assigned: DataFrame,
+                 default_n_probe: int):
+        self.centroids = centroids
+        self.assigned = assigned  # (neighbor_id, cv, cell)
+        self.default_n_probe = default_n_probe
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.centroids)
+
+    def save(self, path: str) -> None:
+        """Persist: assignments as parquet (cell-partitioned so a probe
+        prunes files), centroids + params as JSON."""
+        import json
+
+        self.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/assigned"
+        )
+        meta = {
+            "centroids": self.centroids,
+            "default_n_probe": self.default_n_probe,
+        }
+        sc = self.assigned.sparkSession.sparkContext
+        sc.parallelize([json.dumps(meta)], 1).saveAsTextFile(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+
+        meta = json.loads(
+            "".join(r.value for r in spark.read.text(f"{path}/meta").collect())
+        )
+        assigned = spark.read.parquet(f"{path}/assigned")
+        return cls(meta["centroids"], assigned, meta["default_n_probe"])
+
+
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int | None = None,
-    n_probe: int | None = None,
     seed: int = _HP_SEED,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
-
-    Corpus rows are assigned to their nearest of `n_cells` centroids
-    (pyspark.ml KMeans, seeded); each query probes its `n_probe` nearest
-    cells and exact-cosine re-ranks only those cells' members. The
-    cell-membership join is an equi-join on the cell id — the IVF analogue
-    of the LSH bucket join — and centroids ride as literal arrays, so the
-    query side needs no model object at execution time.
-    """
+    default_n_probe: int | None = None,
+) -> IvfIndex:
+    """Fit the coarse quantizer (pyspark.ml KMeans, seeded) and assign every
+    corpus row to its nearest cell. The assignment table is persisted —
+    the expensive pass happens once per corpus, not once per query batch."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from kgforge.cache import persist_tracked
+
     n_cells = n_cells or max(2, int(corpus.count() ** 0.5 / 2))
-    if n_probe is None:
-        # default for weakly-clustered corpora (driver embeddings: mean
-        # top-1 cosine ~0.37): probe half the cells. Strongly-clustered
-        # real embedding spaces can drop this to 2-3.
-        n_probe = max(3, (n_cells + 1) // 2)
     feats = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
-    assigned = model.transform(feats).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    assigned = persist_tracked(
+        model.transform(feats).select(
+            "neighbor_id", "cv", F.col("prediction").alias("cell")
+        )
     )
     centroids = [c.tolist() for c in model.clusterCenters()]
+    if default_n_probe is None:
+        # conservative un-calibrated default (weakly-clustered corpora —
+        # driver embeddings: mean top-1 cosine ~0.37): probe half the
+        # cells. Clustered real embedding spaces should ivf_calibrate to a
+        # recall target, which typically lands at 2-4 probes.
+        default_n_probe = max(3, (n_cells + 1) // 2)
+    return IvfIndex(centroids, assigned, default_n_probe)
+
+
+def ivf_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Probe each query's `n_probe` nearest cells and exact-cosine re-rank
+    only those cells' members. The cell-membership join is an equi-join on
+    the cell id — the IVF analogue of the LSH bucket join — and centroids
+    ride as literal arrays, so execution needs no model object."""
+    n_probe = n_probe if n_probe is not None else index.default_n_probe
     cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in index.centroids]
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -178,13 +234,167 @@ def ivf_topk(
             F.slice(F.array_sort(scored_cells), 1, n_probe)
         ).alias("probe"),
     ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
-    cands = probes.join(assigned, on="cell").filter(
+    cands = probes.join(index.assigned, on="cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
         cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+
+def ivf_calibrate(
+    index: IvfIndex,
+    sample_queries: DataFrame,
+    k: int = 5,
+    target_recall: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Pick the smallest n_probe reaching `target_recall` on a HELD-OUT
+    query sample (vs exact top-k over the indexed corpus) and store it as
+    the index default. Runs one brute-force pass + up to log2(n_cells)
+    probe evaluations — a small-sample calibration utility, not a per-query
+    cost."""
+    corpus = index.assigned.select(
+        F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col)
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            corpus, sample_queries, k, id_col, vec_col
+        ).collect()
+    }
+    if not exact:
+        return index.default_n_probe
+    candidates, p = [], 1
+    while p < index.n_cells:
+        candidates.append(p)
+        p *= 2
+    candidates.append(index.n_cells)
+    chosen = index.n_cells
+    for p in candidates:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_query(
+                index, sample_queries, k, id_col, vec_col, p
+            ).collect()
+        }
+        if len(got & exact) / len(exact) >= target_recall:
+            chosen = p
+            break
+    index.default_n_probe = chosen
+    return chosen
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    seed: int = _HP_SEED,
+) -> DataFrame:
+    """One-shot convenience: ivf_build + ivf_query (identical output to the
+    lifecycle API). For repeated query batches, build once and reuse."""
+    index = ivf_build(corpus, id_col, vec_col, n_cells, seed)
+    return ivf_query(index, queries, k, id_col, vec_col, n_probe)
+
+
+class LshIndex:
+    """Hyperplane-LSH index: the (tiny) plane tensor + the pre-bucketed
+    corpus. Build once per corpus — the dim sniff and the corpus bucketing
+    pass happen at build time, not per query batch."""
+
+    def __init__(self, planes: np.ndarray, bucketed: DataFrame):
+        self.planes = planes
+        self.bucketed = bucketed  # (neighbor_id, neighbor_id_v, tbl, bucket)
+
+    def save(self, path: str) -> None:
+        self.bucketed.write.mode("overwrite").partitionBy("tbl").parquet(
+            f"{path}/bucketed"
+        )
+        import json
+
+        sc = self.bucketed.sparkSession.sparkContext
+        sc.parallelize([json.dumps(self.planes.tolist())], 1).saveAsTextFile(
+            f"{path}/planes"
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LshIndex":
+        import json
+
+        planes = np.asarray(
+            json.loads(
+                "".join(
+                    r.value for r in spark.read.text(f"{path}/planes").collect()
+                )
+            )
+        )
+        return cls(planes, spark.read.parquet(f"{path}/bucketed"))
+
+
+def _with_buckets(df: DataFrame, planes, idc, vecc, out_id) -> DataFrame:
+    bucket_udf = _bucket_udf(planes)
+    return df.select(
+        F.col(idc).alias(out_id),
+        F.col(vecc).alias(f"{out_id}_v"),
+        F.posexplode(bucket_udf(F.col(vecc))).alias("tbl", "bucket"),
+    )
+
+
+def lsh_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int | None = None,
+) -> LshIndex:
+    """Bucket the corpus under seeded hyperplanes. `dim` skips the one
+    driver action otherwise needed to sniff the embedding width."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, n_tables)
+    from kgforge.cache import persist_tracked
+
+    bucketed = persist_tracked(
+        _with_buckets(corpus, planes, id_col, vec_col, "neighbor_id")
+    )
+    return LshIndex(planes, bucketed)
+
+
+def lsh_query(
+    index: LshIndex,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidates = corpus rows sharing a (table, bucket) with the query in
+    any table; exact cosine re-rank of candidates only. Equi-join on
+    (tbl, bucket) — shuffle keyed by bucket, never a cross product."""
+    qb = _with_buckets(queries, index.planes, id_col, vec_col, "query_id")
+    cands = (
+        qb.join(index.bucketed, on=["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("query_id_v"), F.col("neighbor_id_v")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -203,40 +413,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 16,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH buckets.
-
-    Candidates = corpus rows sharing a (table, bucket) with the query in any
-    of n_tables tables; exact cosine re-rank of candidates only. Join is an
-    equi-join on (table_idx, bucket) — shuffle keyed by bucket, never a cross
-    product; the hyperplane literals are constant-folded by Catalyst.
-    """
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, n_tables)
-    bucket_udf = _bucket_udf(planes)
-
-    def with_buckets(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(idc).alias(out_id),
-            F.col(vecc).alias(f"{out_id}_v"),
-            F.posexplode(bucket_udf(F.col(vecc))).alias("tbl", "bucket"),
-        )
-
-    qb = with_buckets(queries, id_col, vec_col, "query_id")
-    cb = with_buckets(corpus, id_col, vec_col, "neighbor_id")
-    cands = (
-        qb.join(cb, on=["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        cosine_sim(F.col("query_id_v"), F.col("neighbor_id_v")).alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "rk")
-    )
+    """One-shot convenience: lsh_build + lsh_query (identical output to the
+    lifecycle API). For repeated query batches, build once and reuse."""
+    index = lsh_build(corpus, id_col, vec_col, n_planes, n_tables)
+    return lsh_query(index, queries, k, id_col, vec_col)
