@@ -54,11 +54,16 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None):
     """
     if max_bucket is None:
         return df
-    sizes = df.groupBy(*keys).agg(F.count("*").alias("_n"))
-    return df.join(
-        sizes.filter(F.col("_n") <= max_bucket).select(*keys),
-        on=keys,
-        how="left_semi",
+    from pyspark.sql import Window
+
+    # window count over the bucket keys: ONE exchange (vs groupBy + semi
+    # join back = three), and the downstream self-join on the same keys
+    # reuses the exchange output partitioning
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
     )
 
 

@@ -36,16 +36,30 @@ class KnowledgeGraph:
         ontology: Ontology,
         out_dir: str,
         name: str = "kg",
+        iceberg_tables: tuple[str, str] | None = None,
     ):
+        """`iceberg_tables=(nodes_table, edges_table)` routes upserts
+        through Iceberg MERGE INTO (sinks/iceberg.py) instead of the
+        parquet join-rewrite — requires a configured Iceberg catalog on
+        the session; same MERGE semantics, atomic per-batch commits."""
         if not ontology.validate_entities():
             raise ValueError(
                 "every entity needs at least one unique attribute "
                 "(ontology.py:238-243)"
             )
+        if iceberg_tables is not None:
+            from kgforge.sinks.iceberg import iceberg_catalogs
+
+            if not iceberg_catalogs(spark):
+                raise ValueError(
+                    "iceberg_tables given but no Iceberg catalog is "
+                    "configured on this SparkSession"
+                )
         self.spark = spark
         self.ontology = ontology
         self.out_dir = out_dir
         self.name = name
+        self.iceberg_tables = iceberg_tables
         self._compiled = ontology.compile()
 
     # ------------------------------------------------------------ paths
@@ -242,6 +256,11 @@ class KnowledgeGraph:
         ).select(
             F.xxhash64("label", "key").alias("node_id"), "label", "key", "props"
         )
+        if self.iceberg_tables is not None:
+            from kgforge.sinks.iceberg import merge_nodes
+
+            merge_nodes(self.spark, batch, self.iceberg_tables[0])
+            return
         existing = self.nodes()
         if existing is None:
             batch.write.mode("overwrite").parquet(self.nodes_path)
@@ -339,6 +358,11 @@ class KnowledgeGraph:
         n_valid = batch.count()
         if n_valid == 0:
             return 0
+        if self.iceberg_tables is not None:
+            from kgforge.sinks.iceberg import merge_edges
+
+            merge_edges(self.spark, batch, self.iceberg_tables[1])
+            return n_valid
         existing = self.edges()
         if existing is None:
             batch.write.mode("overwrite").parquet(self.edges_path)
@@ -386,12 +410,16 @@ class KnowledgeGraph:
     # ------------------------------------------------------------- reads
     def nodes(self) -> DataFrame | None:
         try:
+            if self.iceberg_tables is not None:
+                return self.spark.table(self.iceberg_tables[0])
             return self.spark.read.parquet(self.nodes_path)
         except Exception:
             return None
 
     def edges(self) -> DataFrame | None:
         try:
+            if self.iceberg_tables is not None:
+                return self.spark.table(self.iceberg_tables[1])
             return self.spark.read.parquet(self.edges_path)
         except Exception:
             return None
