@@ -72,13 +72,21 @@ class KnowledgeGraph:
         return os.path.join(self.out_dir, "07_edges")
 
     # ------------------------------------------------------- construction
-    def process_pages(self, pages: DataFrame, run_id: str | None = None) -> dict:
+    def process_pages(
+        self,
+        pages: DataFrame,
+        run_id: str | None = None,
+        wrappers: list | None = None,
+    ) -> dict:
         """EP1: construct/extend the graph from a pages DataFrame
-        (url, warc_ts, html, text, lang); resumable."""
+        (url, warc_ts, html, text, lang); resumable. `wrappers` enables
+        layout-template extraction (operators/wrappers.py) for corpora
+        whose facts live in DOM structure."""
         from kgforge.plans.pipeline import run_pipeline
 
         return run_pipeline(
-            self.spark, pages, self.ontology, self.out_dir, run_id=run_id
+            self.spark, pages, self.ontology, self.out_dir, run_id=run_id,
+            wrappers=wrappers,
         )
 
     def process_sources(self, paths: list[str]) -> dict:

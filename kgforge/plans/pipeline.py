@@ -37,11 +37,18 @@ def build_graph(
     onto: Ontology,
     lang_filter: list[str] | None = None,
     reuse_text_col: bool = False,
+    wrappers: list | None = None,
 ) -> dict:
     """Pure-DataFrame composition of the pipeline (no checkpointing).
 
     Used by `entry()` smoke paths and micro-benchmarks; `run_pipeline` is the
     production staged/resumable variant with identical semantics.
+
+    `wrappers` (operators/wrappers.py specs) enables layout-template
+    extraction; because template wrappers read DOM structure, the `html`
+    column then rides THROUGH the text stage into the extraction UDF
+    instead of dying at stage 1 (the no-wrapper default keeps the
+    html-dies-early column-pruning contract).
     """
     rules = extract.compile_rules(onto)
     key_attr_by_label = {
@@ -52,17 +59,23 @@ def build_graph(
     df = pages
     if lang_filter:
         df = df.filter(F.col("lang").isin(lang_filter))
+    html_keep = ["html"] if wrappers else []
     if reuse_text_col and "text" in df.columns:
-        text_df = df.select("url", "warc_ts", "text", "lang")
+        text_df = df.select("url", "warc_ts", "text", "lang", *html_keep)
     else:
         text_df = df.select(
-            "url", "warc_ts", extract_text_udf(F.col("html")).alias("text"), "lang"
+            "url", "warc_ts", extract_text_udf(F.col("html")).alias("text"),
+            "lang", *html_keep,
         )
     # persist at the Python-UDF boundary: IR feeds both explode branches and
     # every downstream consumer — without this the bs4+extraction UDF chain
     # re-runs once per consumer (the single biggest wall-clock factor here)
     ir_df = extract.extract_ir(
-        text_df, rules, keep_cols=["url", "warc_ts"]
+        text_df,
+        rules,
+        keep_cols=["url", "warc_ts"],
+        wrappers=wrappers,
+        html_col="html" if wrappers else None,
     ).persist()
     # (document-local coreference happens inside the extraction UDF:
     # extract._resolve_local_aliases — zero extra stages)
@@ -119,8 +132,14 @@ def run_pipeline(
     run_id: str | None = None,
     lang_filter: list[str] | None = None,
     reuse_text_col: bool = False,
+    wrappers: list | None = None,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns dict of output DataFrames."""
+    """Run (or resume) the full pipeline; returns dict of output DataFrames.
+
+    `wrappers` = layout-template extraction specs (see build_graph); when
+    set, the html column survives stage 01 so the IR stage can parse DOM
+    structure, and the stage-01 parquet carries it (template corpora trade
+    stage-storage for structure-exact extraction)."""
     ctx = (
         RunContext(spark, out_dir, run_id)
         if run_id
@@ -138,14 +157,16 @@ def run_pipeline(
         df = pages
         if lang_filter:
             df = df.filter(F.col("lang").isin(lang_filter))
+        html_keep = ["html"] if wrappers else []
         if reuse_text_col and "text" in df.columns:
-            out = df.select("url", "warc_ts", "text", "lang")
+            out = df.select("url", "warc_ts", "text", "lang", *html_keep)
         else:
             out = df.select(
                 "url",
                 "warc_ts",
                 extract_text_udf(F.col("html")).alias("text"),
                 "lang",
+                *html_keep,
             )
         return out.withColumn("url_host", F.parse_url("url", F.lit("HOST")))
 
@@ -161,7 +182,13 @@ def run_pipeline(
     ir_df = ctx.run_stage_bucketed(
         "02_ir",
         text_df,
-        lambda df: extract.extract_ir(df, rules, keep_cols=["url", "warc_ts"]),
+        lambda df: extract.extract_ir(
+            df,
+            rules,
+            keep_cols=["url", "warc_ts"],
+            wrappers=wrappers,
+            html_col="html" if wrappers else None,
+        ),
         bucket_col="url",
         n_buckets=64,
     )
