@@ -1113,6 +1113,55 @@ def cypher_validate(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_exec_agg",
+    oracle="""
+    SELECT r.r_name AS region, count(*)::BIGINT AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1 ORDER BY region
+    """,
+)
+def cypher_exec_agg(spark, sf_dir):
+    """EP3/L5: the Cypher-subset executor (plans/cypher_exec.py) compiled
+    to a Catalyst join+agg plan, hash-checked against the equivalent SQL.
+    Graph = nation -[:IN_REGION]-> region from the driver tables."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nodes = (
+        nation.select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("key"),
+            F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+        )
+        .unionByName(
+            region.select(
+                F.xxhash64(F.lit("Region"), "r_name").alias("node_id"),
+                F.lit("Region").alias("label"),
+                F.col("r_name").alias("key"),
+                F.create_map(F.lit("name"), F.col("r_name")).alias("props"),
+            )
+        )
+    )
+    edges = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("src_id"),
+            F.lit("IN_REGION").alias("label"),
+            F.xxhash64(F.lit("Region"), "r_name").alias("dst_id"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+    )
+    return run_cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r AS region, count(n) AS n_nations ORDER BY region",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

@@ -438,6 +438,21 @@ class KnowledgeGraph:
 
         return match_edges(self.nodes(), self.edges(), src_label, relation, dst_label)
 
+    def query(self, cypher: str) -> DataFrame:
+        """Execute a read-only Cypher query (the subset the reference's
+        prompt produces: MATCH chains, WHERE, RETURN + count aggregates,
+        ORDER BY, LIMIT) against the graph tables, after validating labels
+        and directions against the ontology (F5) — invalid queries raise
+        with the validator's messages, like the reference re-prompts on
+        them (graph_query_step.py:40-44)."""
+        from kgforge.plans.cypher_exec import run_cypher
+        from kgforge.plans.cypher_validate import validate_cypher
+
+        errors = validate_cypher(cypher, self.ontology)
+        if errors:
+            raise ValueError("; ".join(errors))
+        return run_cypher(cypher, self.nodes(), self.edges())
+
     def register_views(self, prefix: str | None = None) -> None:
         """Expose the graph to Spark SQL: <name>_nodes / <name>_edges."""
         p = prefix or self.name

@@ -1,0 +1,152 @@
+"""Cypher-subset executor: the reference's documented query shapes
+(ref fixtures/prompts.py:366-406 examples; tests/test_kg.py queries)
+compiled to DataFrame plans over the graph tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.plans.cypher_exec import CypherUnsupported, run_cypher
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    """Fighters -> fights -> events, with props."""
+    nodes = spark.createDataFrame(
+        [
+            (1, "Fighter", "Ana", {"name": "Ana", "wins": "12"}),
+            (2, "Fighter", "Bo", {"name": "Bo", "wins": "7"}),
+            (3, "Fighter", "Cy", {"name": "Cy", "wins": "3"}),
+            (10, "Fight", "Ana v Bo", {"title": "Ana v Bo", "rounds": "3"}),
+            (11, "Fight", "Bo v Cy", {"title": "Bo v Cy", "rounds": "5"}),
+            (20, "Event", "Open 1", {"title": "Open 1", "city": "Rio"}),
+        ],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, "FOUGHT_IN", 10), (2, "FOUGHT_IN", 10),
+            (2, "FOUGHT_IN", 11), (3, "FOUGHT_IN", 11),
+            (10, "PART_OF", 20), (11, "PART_OF", 20),
+        ],
+        "src_id bigint, label string, dst_id bigint",
+    ).withColumn(
+        "props", F.create_map().cast("map<string,string>")
+    )
+    return nodes.cache(), edges.cache()
+
+
+def test_reference_test_query_top_fighter(graph):
+    """The exact query shape of ref tests/test_helper_validate_cypher.py /
+    test_kg.py: top fighter by fight count."""
+    nodes, edges = graph
+    out = run_cypher(
+        """
+        MATCH (f:Fighter)-[r:FOUGHT_IN]->(fight:Fight)
+        RETURN f, count(fight) AS fight_count
+        ORDER BY fight_count DESC, f ASC
+        LIMIT 1
+        """,
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.fight_count) for r in out] == [("Bo", 2)]
+
+
+def test_multi_hop_chain(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight)-[:PART_OF]->(e:Event) "
+        "RETURN DISTINCT f, e ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.e) for r in out] == [
+        ("Ana", "Open 1"), ("Bo", "Open 1"), ("Cy", "Open 1"),
+    ]
+
+
+def test_where_numeric_and_string(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WHERE f.wins >= 7 AND x.title CONTAINS 'Bo' "
+        "RETURN f.name AS name, x.title AS title ORDER BY name, title",
+        nodes, edges,
+    ).collect()
+    assert [(r.name, r.title) for r in out] == [
+        ("Ana", "Ana v Bo"), ("Bo", "Ana v Bo"), ("Bo", "Bo v Cy"),
+    ]
+
+
+def test_reversed_arrow(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (x:Fight)<-[:FOUGHT_IN]-(f:Fighter {name: 'Cy'}) RETURN x",
+        nodes, edges,
+    ).collect()
+    assert [r.x for r in out] == ["Bo v Cy"]
+
+
+def test_comma_patterns_shared_var(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight), (x)-[:PART_OF]->(e:Event) "
+        "RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert out[0].n == 4
+
+
+def test_count_distinct_and_star(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "RETURN count(DISTINCT f) AS nf, count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert (out[0].nf, out[0].n) == (3, 4)
+
+
+def test_unsupported_shapes_raise(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported):
+        run_cypher("MATCH (a)-[:R]-(b) RETURN a", nodes, edges)  # undirected
+    with pytest.raises(CypherUnsupported):
+        run_cypher("CREATE (a:X) RETURN a", nodes, edges)
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            "MATCH (a:Fighter) RETURN a SKIP 2", nodes, edges
+        )
+
+
+def test_kg_query_surface(spark, workdir):
+    """KnowledgeGraph.query validates (F5) then executes."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[
+            Entity("Actor", [Attribute("name", "string", True, True)]),
+            Entity("Movie", [Attribute("title", "string", True, True)]),
+        ],
+        relations=[
+            Relation("ACTED_IN", "Actor", "Movie", []),
+        ],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([
+        ("Actor", {"name": "Jose"}), ("Actor", {"name": "Mira"}),
+        ("Movie", {"title": "Tide"}),
+    ])
+    kg.add_edges([
+        ("ACTED_IN", "Actor", "Movie", {"name": "Jose"}, {"title": "Tide"}),
+        ("ACTED_IN", "Actor", "Movie", {"name": "Mira"}, {"title": "Tide"}),
+    ])
+    out = kg.query(
+        "MATCH (a:Actor)-[:ACTED_IN]->(m:Movie) "
+        "RETURN m, count(a) AS n_actors"
+    ).collect()
+    assert [(r.m, r.n_actors) for r in out] == [("Tide", 2)]
+    # wrong direction is rejected by the validator before execution
+    with pytest.raises(ValueError, match="direction"):
+        kg.query("MATCH (a:Actor)<-[:ACTED_IN]-(m:Movie) RETURN a")
