@@ -45,6 +45,18 @@ MENTION = rf"{_CAP}(?:[ \t]+(?:{_CONN}[ \t]+)*{_CAP})*"
 _SENT_SPLIT = re.compile(r"(?<=[.!?])(?<![A-Z]\.)\s+|\n+")
 
 
+def _split_series(seg: str) -> list[str]:
+    """Comma-series object segment -> mentions ("Y, Z, and W" -> 3)."""
+    out = []
+    for part in seg.split(","):
+        part = part.strip()
+        if part[:4].lower() == "and ":
+            part = part[4:]
+        if part:
+            out.append(part)
+    return out
+
+
 def _clean_key(key: str) -> str:
     """Trim whitespace and a sentence-final period (kept on initials: 'J.')."""
     key = key.strip()
@@ -176,14 +188,20 @@ class _CompiledRules:
 
     def __init__(self, rules: dict):
         self.rules = rules
+        # object side may be a comma series: "X directed Y, Z, and W".
+        # ONLY commas split (the mention grammar itself never contains
+        # one), so comma-free behavior is byte-identical to round 1;
+        # "Z and W" without a comma stays a single mention (ambiguous:
+        # could be one title), exactly as before.
+        _LIST = rf"{MENTION}(?:,[ \t]+(?:and[ \t]+)?{MENTION})*"
         self.rel_patterns = []
         for r in rules["relations"]:
             verb = r["verb"].replace(" ", r"\s+")
             active = re.compile(
-                rf"\b({MENTION})\s+{verb}\s+({MENTION})", re.UNICODE
+                rf"\b({MENTION})\s+{verb}\s+({_LIST})", re.UNICODE
             )
             passive = re.compile(
-                rf"\b({MENTION})\s+was\s+{verb}\s+by\s+({MENTION})", re.UNICODE
+                rf"\b({MENTION})\s+was\s+{verb}\s+by\s+({_LIST})", re.UNICODE
             )
             attributed = None
             attr_name = next(iter(r["attrs"]), None)
@@ -196,26 +214,37 @@ class _CompiledRules:
         self.typing_patterns = [
             (
                 label,
-                re.compile(rf"\b({MENTION})\s+is\s+an?\s+{label}\b"),
+                # copula ("X is a Person") and appositive ("X, a Person,")
+                re.compile(
+                    rf"\b({MENTION})(?:\s+is\s+an?|,\s+an?)\s+{label}\b"
+                ),
             )
             for label in rules["entities"]
         ]
         self.rel_by_sig = {
             (r["label"], r["src"], r["dst"]): r for r in rules["relations"]
         }
-        self.attr_patterns = [
-            (
-                attr_name,
-                owner_label,
-                attr_type,
+        self.attr_patterns = []
+        for attr_name, (owner_label, attr_type) in rules["attr_rules"].items():
+            attr_words = re.escape(attr_name.replace("_", " "))
+            # "The release year of X is 1999."
+            self.attr_patterns.append((
+                attr_name, owner_label, attr_type,
                 re.compile(
-                    rf"\bthe\s+{re.escape(attr_name.replace('_', ' '))}\s+of\s+"
+                    rf"\bthe\s+{attr_words}\s+of\s+"
                     rf"({MENTION})\s+is\s+([^.!?]+?)\s*[.!?]",
                     re.IGNORECASE,
                 ),
-            )
-            for attr_name, (owner_label, attr_type) in rules["attr_rules"].items()
-        ]
+            ))
+            # possessive: "X's release year is 1999." (the mention
+            # quantifier backs off the trailing 's, so X stays clean)
+            self.attr_patterns.append((
+                attr_name, owner_label, attr_type,
+                re.compile(
+                    rf"\b({MENTION})'s\s+{attr_words}\s+"
+                    rf"(?:is|was)\s+([^.!?]+?)\s*[.!?]",
+                ),
+            ))
 
     # ------------------------------------------------------------------
     def extract_document(self, text: str, html: str | None = None,
@@ -295,9 +324,11 @@ class _CompiledRules:
                         matched_attr = True
                 if not matched_attr:
                     for m in active.finditer(sentence):
-                        note_relation(rel, m.group(1), m.group(2))
+                        for obj in _split_series(m.group(2)):
+                            note_relation(rel, m.group(1), obj)
                 for m in passive.finditer(sentence):
-                    note_relation(rel, m.group(2), m.group(1))
+                    for agent in _split_series(m.group(2)):
+                        note_relation(rel, agent, m.group(1))
 
         ents, rels = _resolve_local_aliases(ents, rels)
         entities_out = [

@@ -41,6 +41,7 @@ def stream_extract(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    wrappers: list | None = None,
 ):
     """Stream pages parquet -> mentions/raw_edges parquet, exactly-once BY
     IDEMPOTENCE: output is partitioned by batch_id and written with dynamic
@@ -64,6 +65,7 @@ def stream_extract(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int):
+        html_keep = ["html"] if wrappers else []
         text_df = batch_df.select(
             "url",
             "warc_ts",
@@ -71,8 +73,15 @@ def stream_extract(
                 "text", extract_text_udf(F.col("html"))
             ).alias("text"),
             "lang",
+            *html_keep,
         )
-        ir = extract.extract_ir(text_df, rules, keep_cols=["url", "warc_ts"])
+        ir = extract.extract_ir(
+            text_df,
+            rules,
+            keep_cols=["url", "warc_ts"],
+            wrappers=wrappers,
+            html_col="html" if wrappers else None,
+        )
         mentions, raw_edges = extract.explode_ir(ir)
         mentions = normalize.sanitize_mentions(mentions)
         raw_edges = normalize.sanitize_edges(raw_edges)

@@ -137,3 +137,47 @@ def test_extract_ir_spark_matches_local(spark):
         assert {(e["label"], e["key"]) for e in ents} == {
             (e["label"], e["key"]) for e in g_ents
         }
+
+
+def test_comma_list_objects():
+    """"X acted in A, B, and C." emits one relation per listed object;
+    comma-free 'A and B' stays a single mention (unchanged ambiguity)."""
+    _, rels = _cr().extract_document(
+        "Rosa Xu acted in The Dark Tide, Iron Harvest, and Silent Run."
+    )
+    assert _triples(rels) == {
+        ("Person", "Rosa Xu", "ACTED_IN", "Movie", "The Dark Tide"),
+        ("Person", "Rosa Xu", "ACTED_IN", "Movie", "Iron Harvest"),
+        ("Person", "Rosa Xu", "ACTED_IN", "Movie", "Silent Run"),
+    }
+    _, rels2 = _cr().extract_document("Rosa Xu acted in Sand and Fog.")
+    assert _triples(rels2) == {
+        ("Person", "Rosa Xu", "ACTED_IN", "Movie", "Sand and Fog"),
+    }
+
+
+def test_comma_list_passive_agents():
+    _, rels = _cr().extract_document(
+        "The Dark Tide was directed by Rosa Xu, Alan Abbott."
+    )
+    assert _triples(rels) == {
+        ("Person", "Rosa Xu", "DIRECTED", "Movie", "The Dark Tide"),
+        ("Person", "Alan Abbott", "DIRECTED", "Movie", "The Dark Tide"),
+    }
+
+
+def test_appositive_typing():
+    ents, _ = _cr().extract_document(
+        "Rosa Xu, a Person, lives quietly. The Dark Tide is a Movie."
+    )
+    got = {(e["label"], e["key"]) for e in ents}
+    assert ("Person", "Rosa Xu") in got
+    assert ("Movie", "The Dark Tide") in got
+
+
+def test_possessive_attribute():
+    ents, _ = _cr().extract_document(
+        "The Dark Tide's release year is 1999."
+    )
+    by_key = {(e["label"], e["key"]): e["attributes"] for e in ents}
+    assert by_key[("Movie", "The Dark Tide")]["release_year"] == "1999"
