@@ -58,15 +58,22 @@ def filter_to_ontology(
     return mentions_ok, edges_ok
 
 
-def validate_attributes(mentions: DataFrame, onto: Ontology):
-    """P8: type/required checks; invalid rows -> quarantine (skip-don't-fail,
+def validate_attributes(
+    mentions: DataFrame, onto: Ontology, enforce_required: bool = False
+):
+    """P8: type checks; invalid rows -> quarantine (skip-don't-fail,
     mirroring the reference's per-record try/except at
     extract_data_step.py:177-189).
 
-    number attrs must cast to double; boolean attrs must be true/false;
-    required attrs must be present (the reference defaults missing *unique*
-    attrs to "" — extract_data_step.py:202-207 — so key is never null here).
-    Returns (valid, quarantined).
+    number attrs must cast to double; boolean attrs must be true/false.
+    Missing *required* attributes do NOT quarantine by default: the
+    reference's extraction path writes such records as-is (it only
+    defaults missing *unique* attrs to "", extract_data_step.py:202-207;
+    `required` is enforced solely on manual add_node, kg.py:189-297 —
+    which kg._validate mirrors). Real pages omit required fields (e.g.
+    UFC totals tables with empty cells), and dropping the whole entity
+    would silently lose its other facts. `enforce_required=True` restores
+    the strict curation mode. Returns (valid, quarantined).
     """
     compiled = onto.compile()["entities"]
     checks = []
@@ -80,9 +87,10 @@ def validate_attributes(mentions: DataFrame, onto: Ontology):
                 bad = bad | (
                     v.isNotNull() & ~F.lower(v).isin("true", "false")
                 )
-        for attr in spec["required"]:
-            if attr not in spec["unique"]:
-                bad = bad | F.col("attributes").getItem(attr).isNull()
+        if enforce_required:
+            for attr in spec["required"]:
+                if attr not in spec["unique"]:
+                    bad = bad | F.col("attributes").getItem(attr).isNull()
         checks.append((label, bad))
     bad_expr = F.lit(False)
     for label, bad in checks:

@@ -112,3 +112,36 @@ def test_validate_attributes_quarantine(spark):
     valid, quarantine = normalize.validate_attributes(mentions, onto)
     assert [r["key"] for r in valid.collect()] == ["M1"]
     assert [r["key"] for r in quarantine.collect()] == ["M2"]
+
+
+def test_missing_required_attr_kept_by_default(spark):
+    """Reference parity: the extraction path writes records missing a
+    required (non-unique) attribute — only manual add_node enforces
+    `required`. Strict curation mode is opt-in."""
+    from kgforge.ontology import Attribute, Entity, Ontology
+
+    onto = Ontology(
+        entities=[
+            Entity("Stats", [
+                Attribute("name", "string", True, True),
+                Attribute("passes", "number", False, True),
+            ]),
+        ],
+        relations=[],
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("u", None, "Stats", "A", {"name": "A", "passes": "3"}),
+            ("u", None, "Stats", "B", {"name": "B"}),  # passes missing
+        ],
+        "url string, warc_ts timestamp, label string, key string, "
+        "attributes map<string,string>",
+    )
+    valid, quar = normalize.validate_attributes(mentions, onto)
+    assert sorted(r["key"] for r in valid.collect()) == ["A", "B"]
+    assert quar.count() == 0
+    strict_valid, strict_quar = normalize.validate_attributes(
+        mentions, onto, enforce_required=True
+    )
+    assert [r["key"] for r in strict_valid.collect()] == ["A"]
+    assert [r["key"] for r in strict_quar.collect()] == ["B"]

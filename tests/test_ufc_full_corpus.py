@@ -109,3 +109,43 @@ def test_part_of_connects_fights_to_events(ufc_graph):
     m = ufc_graph["kg"].match("Fight", "PART_OF", "Event")
     n = m.count()
     assert n >= 700  # every real page contributes its fight->event edge
+
+
+def test_wrapper_pipeline_resumes_after_crash(spark, tmp_path, monkeypatch):
+    """Crash-resume with wrappers enabled: stage 01 carries the html
+    column, and the resumed run must produce the same graph as a straight
+    run (the html binary survives the stage parquet round-trip)."""
+    import json
+
+    from kgforge.ontology import Ontology
+    from kgforge.plans.pipeline import run_pipeline
+
+    onto = Ontology.from_json(json.loads(FX.UFC_ONTOLOGY_JSON.read_text()))
+    gold_pages = [d["url"] for d in FX.load_gold("ufc")]
+    rows = [
+        (f"https://sports-statistics.com/{n}",
+         bytearray((FX.UFC_DIR / n).read_bytes()))
+        for n in gold_pages
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary").select(
+        "url",
+        F.to_timestamp(F.lit("2024-10-22 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out_dir = str(tmp_path / "kg")
+    monkeypatch.setenv("KGFORGE_FAIL_AFTER_STAGE", "02_ir")
+    with pytest.raises(RuntimeError):
+        run_pipeline(spark, pages, onto, out_dir,
+                     wrappers=["ufc_fight_stats"])
+    monkeypatch.delenv("KGFORGE_FAIL_AFTER_STAGE")
+    out = run_pipeline(spark, pages, onto, out_dir,
+                       wrappers=["ufc_fight_stats"])
+    KEY = ["subj_label", "subj_key", "pred", "obj_label", "obj_key"]
+    resumed = {tuple(r) for r in out["triples"].select(*KEY).collect()}
+
+    out2 = run_pipeline(spark, pages, onto, str(tmp_path / "kg2"),
+                        wrappers=["ufc_fight_stats"])
+    straight = {tuple(r) for r in out2["triples"].select(*KEY).collect()}
+    assert resumed == straight and len(resumed) >= 8 * 7
