@@ -177,12 +177,19 @@ class RunContext:
         n_new = 0
         if not todo.isEmpty():
             out = transform(todo.drop("bucket")).withColumn("bucket", bucket)
-            (
-                out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket")
-                .parquet(path)
-            )
+            if out.isEmpty():
+                # a dynamic-partitioned write of an empty DF leaves no
+                # readable footer (unlike plain writes, SPARK-23271); write
+                # the empty schema plainly so downstream reads see an
+                # empty-but-typed stage instead of UNABLE_TO_INFER_SCHEMA
+                out.write.mode("overwrite").parquet(path)
+            else:
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket")
+                    .parquet(path)
+                )
             wall_ms = int((time.monotonic() - t0) * 1000)
             written = self.spark.read.parquet(path)
             per_bucket = {

@@ -31,6 +31,24 @@ from kgforge.plans.lineage import RunContext
 from kgforge.sources.html import extract_text_udf
 
 
+def _text_expr(df: DataFrame, reuse_text_col: bool):
+    """The stage-01 text column: bs4-parity extraction from `html` when the
+    page has html (the byte-identical-per-url invariant); pages without
+    html (text-only loaders, pre-extracted corpora) keep their `text`.
+    `reuse_text_col=True` skips the UDF entirely when a trusted text column
+    exists (benchmark/entry paths)."""
+    if reuse_text_col and "text" in df.columns:
+        return F.col("text")
+    extracted = extract_text_udf(F.col("html"))
+    if "text" in df.columns:
+        return (
+            F.when(F.col("html").isNotNull(), extracted)
+            .otherwise(F.col("text"))
+            .alias("text")
+        )
+    return extracted.alias("text")
+
+
 def build_graph(
     spark: SparkSession,
     pages: DataFrame,
@@ -60,13 +78,9 @@ def build_graph(
     if lang_filter:
         df = df.filter(F.col("lang").isin(lang_filter))
     html_keep = ["html"] if wrappers else []
-    if reuse_text_col and "text" in df.columns:
-        text_df = df.select("url", "warc_ts", "text", "lang", *html_keep)
-    else:
-        text_df = df.select(
-            "url", "warc_ts", extract_text_udf(F.col("html")).alias("text"),
-            "lang", *html_keep,
-        )
+    text_df = df.select(
+        "url", "warc_ts", _text_expr(df, reuse_text_col), "lang", *html_keep
+    )
     # persist at the Python-UDF boundary: IR feeds both explode branches and
     # every downstream consumer — without this the bs4+extraction UDF chain
     # re-runs once per consumer (the single biggest wall-clock factor here)
@@ -158,16 +172,10 @@ def run_pipeline(
         if lang_filter:
             df = df.filter(F.col("lang").isin(lang_filter))
         html_keep = ["html"] if wrappers else []
-        if reuse_text_col and "text" in df.columns:
-            out = df.select("url", "warc_ts", "text", "lang", *html_keep)
-        else:
-            out = df.select(
-                "url",
-                "warc_ts",
-                extract_text_udf(F.col("html")).alias("text"),
-                "lang",
-                *html_keep,
-            )
+        out = df.select(
+            "url", "warc_ts", _text_expr(df, reuse_text_col), "lang",
+            *html_keep,
+        )
         return out.withColumn("url_host", F.parse_url("url", F.lit("HOST")))
 
     # repartition on full url, not url_host: extraction is per-row, and a

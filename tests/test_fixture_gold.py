@@ -109,3 +109,44 @@ def test_empty_placeholder_pages_flow_through(spark):
     mentions, _ = FX.extract_corpus_triples(spark, "ufc")
     urls = {r["url"] for r in mentions.select("url").distinct().collect()}
     assert not (urls & set(FX.UFC_EMPTY_PAGES))
+
+
+def test_madoff_full_pipeline_matches_gold(spark, workdir):
+    """madoff.txt through the COMPLETE staged pipeline (extraction +
+    linking + CC + materialize): the final graph equals the gold exactly,
+    role attributes included — linking must not merge any of the 18
+    actors."""
+    from pyspark.sql import functions as F
+
+    from kgforge.kg import KnowledgeGraph
+
+    pages = spark.createDataFrame(
+        [("file://madoff", FX.MADOFF_TXT.read_text())],
+        "url string, text string",
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-10-22 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    kg = KnowledgeGraph(spark, FX.madoff_ontology(), workdir)
+    out = kg.process_pages(pages, wrappers=["imdb_title_credits"])
+    gold = FX.load_gold("madoff")
+    triples = {
+        (r.subj_label, r.subj_key, r.pred, r.obj_label, r.obj_key)
+        for r in out["triples"].collect()
+    }
+    assert triples == {
+        (r["src_label"], r["src_key"], r["label"], r["dst_label"],
+         r["dst_key"])
+        for r in gold["relations"]
+    }
+    # roles survive edge materialization
+    roles = {
+        (r.src_key, r.props.get("role"))
+        for r in kg.edges().collect()
+    }
+    assert roles == {
+        (r["src_key"], r["attributes"]["role"]) for r in gold["relations"]
+    }
