@@ -182,3 +182,24 @@ def test_process_match_export_delete(spark, workdir):
     assert spark.read.text(f"{workdir}/export/nodes.cypher").count() == kg.nodes().count()
     kg.delete()
     assert kg.nodes() is None
+
+
+def test_process_sources_text_files(spark, workdir, tmp_path):
+    """Reference EP1 via file paths (process_sources): text-only documents
+    (html is NULL) must flow through the staged pipeline — regression for
+    stage 01 recomputing text from the absent html column."""
+    doc = tmp_path / "story.txt"
+    doc.write_text(
+        "Alan Abbott directed The Dark Tide. "
+        "Rosa Xu acted in The Dark Tide as Mara."
+    )
+    from kgforge.sources.pages import movies_ontology
+
+    kg = KnowledgeGraph(spark, movies_ontology(), f"{workdir}/g")
+    out = kg.process_sources([str(doc)])
+    triples = {
+        (r.subj_key, r.pred, r.obj_key)
+        for r in out["triples"].collect()
+    }
+    assert ("Alan Abbott", "DIRECTED", "The Dark Tide") in triples
+    assert ("Rosa Xu", "ACTED_IN", "The Dark Tide") in triples
