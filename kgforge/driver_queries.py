@@ -1114,6 +1114,58 @@ def cypher_validate(spark, sf_dir):
 
 
 @_q(
+    "curate_docs_audit",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {{OFFSET}}, replace(upper(text), ' ', '  ')
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, text,
+        CASE WHEN len(list_intersect(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 {_STOPLIST_SQL})) >= 2
+             THEN 'en' ELSE 'other' END AS pred_lang,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+        len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct
+      FROM corpus
+    ), flagged AS (
+      SELECT doc_id, text,
+        CASE WHEN pred_lang <> 'en' THEN 'lang'
+             WHEN n_tokens < 5
+                  OR 100 * n_punct > 100 * greatest(n_tokens, 1)
+             THEN 'quality' END AS reason
+      FROM sig
+    ), surv AS (
+      SELECT doc_id, text FROM flagged WHERE reason IS NULL
+    ), fps AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM surv
+    ), keepers AS (
+      SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp
+    )
+    SELECT doc_id AS id, reason FROM flagged WHERE reason IS NOT NULL
+    UNION ALL
+    SELECT f.doc_id AS id, 'exact_dup' AS reason
+    FROM fps f JOIN keepers k USING (fp) WHERE f.doc_id <> k.keep_id
+    """.replace("{OFFSET}", "1000000"),
+)
+def curate_docs_audit(spark, sf_dir):
+    """Corpus-curation funnel audit (functions/curate.py): language gate ->
+    quality gate -> exact dedup, each dropped doc with its first reason;
+    near-dup step off here so the whole funnel is SQL-expressible (the
+    LSH+CC variant is pytest-gated). Input = documents plus mutated copies
+    so the exact-dup leg is non-vacuous."""
+    from kgforge.functions.curate import curate_documents
+
+    docs = _docs_with_exact_variants(spark, sf_dir)
+    _kept, audit = curate_documents(docs, near_dup=False)
+    return audit
+
+
+@_q(
     "cypher_exec_agg",
     oracle="""
     SELECT r.r_name AS region, count(*)::BIGINT AS n_nations

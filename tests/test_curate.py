@@ -1,0 +1,65 @@
+"""Corpus-curation funnel (functions/curate.py): accountable drops through
+language -> quality -> exact-dup -> near-dup-cluster stages."""
+
+from __future__ import annotations
+
+import random
+
+from kgforge.functions.curate import curate_documents
+
+
+def _corpus(spark):
+    rng = random.Random(3)
+    words = [
+        "the", "of", "and", "research", "harbor", "signal", "window",
+        "garden", "travel", "stone", "river", "music",
+    ]
+    rows = []
+    # clean english docs
+    for i in range(10):
+        body = " ".join(rng.choice(words) for _ in range(40))
+        rows.append((i, f"the of and {body}"))
+    # near-dup cluster: 20 <- 21 <- 22 one-word mutations of a fresh text
+    base = ("the of and " + " ".join(
+        rng.choice(words) for _ in range(40)
+    )).split()
+    for j, did in enumerate((20, 21, 22)):
+        toks = list(base)
+        if j:
+            toks[10 + j] = f"zz{j}"
+        rows.append((did, " ".join(toks)))
+    # exact duplicate of doc 1 (case/whitespace variant)
+    rows.append((30, rows[1][1].upper().replace(" ", "  ")))
+    # non-english
+    rows.append((40, "zxq pqr mnl trk vsn wrd qpt lmn"))
+    # too short
+    rows.append((41, "the of and"))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_funnel_reasons_and_kept(spark):
+    df = _corpus(spark)
+    kept, audit = curate_documents(
+        df, minhash_kwargs={"threshold_num": 8, "threshold_den": 10}
+    )
+    reasons = {r.id: r.reason for r in audit.collect()}
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert reasons[40] == "lang"
+    assert reasons[41] == "quality"
+    assert reasons[30] == "exact_dup"
+    # near-dup cluster keeps its min id (20); mutations drop
+    assert reasons[21] == "near_dup" and reasons[22] == "near_dup"
+    assert 20 in kept_ids
+    # audit + kept partition the input exactly
+    all_ids = {r.doc_id for r in df.collect()}
+    assert kept_ids | set(reasons) == all_ids
+    assert not (kept_ids & set(reasons))
+
+
+def test_sql_expressible_variant_skips_lsh(spark):
+    df = _corpus(spark)
+    kept, audit = curate_documents(df, near_dup=False)
+    reasons = {r.reason for r in audit.collect()}
+    assert "near_dup" not in reasons
+    # the near-dup mutations survive without the LSH stage
+    assert {20, 21, 22} <= {r.doc_id for r in kept.collect()}
