@@ -57,3 +57,31 @@ def normalize_date(col: Column) -> Column:
         for fmt, pattern in _DATE_FORMATS
     ]
     return F.coalesce(*candidates, trimmed)
+
+
+def stringify_graph_response(response) -> str:
+    """F4: render a graph-query result for LLM/chat context (the QA-path
+    formatting of ref helpers.stringify_falkordb_response:52-66).
+
+    Accepts the engine's row shapes: a DataFrame (collected driver-side —
+    this is chat-context formatting, never a data-plane operator), a list
+    of Rows/lists/tuples, or a scalar. Reference semantics: a non-list or
+    empty input stringifies wholesale; a list of lists stringifies each
+    cell first, so nested graph values render stably.
+    """
+    from pyspark.sql import DataFrame, Row
+
+    if isinstance(response, DataFrame):
+        response = [list(r) for r in response.collect()]
+    if not isinstance(response, list) or len(response) == 0:
+        return str(response).strip()
+    rows = []
+    saw_nested = isinstance(response[0], (list, tuple, Row))
+    if not saw_nested:
+        return str(response).strip()
+    for row in response:
+        if isinstance(row, (list, tuple, Row)):
+            rows.append([str(v) for v in row])
+        else:
+            rows.append(str(row))
+    return str(rows).strip()

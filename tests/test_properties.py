@@ -111,3 +111,16 @@ def test_chunker_floor_drop_model(rows, k):
     full_chunks = [rows[i * k:(i + 1) * k] for i in range(len(rows) // k)]
     assert len(full_chunks) == len(rows) // k
     assert all(len(c) == k for c in full_chunks)
+
+
+def test_stringify_graph_response_shapes(spark):
+    """F4 parity (ref helpers.py:52-66): scalars/empty stringify wholesale;
+    nested rows stringify per-cell; DataFrames collect then format."""
+    from kgforge.functions.codecs import stringify_graph_response as S
+
+    assert S([]) == "[]"
+    assert S("done") == "done"
+    assert S([1, 2]) == "[1, 2]"
+    assert S([[1, "a"], [2, None]]) == "[['1', 'a'], ['2', 'None']]"
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    assert S(df) == "[['1', 'x']]"
