@@ -35,6 +35,14 @@ SCALE_AMPLIFY = int(os.environ.get("SPARK_GRAFT_BENCH_AMP", "96"))
 # not host SMT saturation. Override with SPARK_GRAFT_SCALE_PAIR=8,32.
 _pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
 SCALE_LO, SCALE_HI = int(_pair[0]), int(_pair[1])
+# The KG pipeline is Python-worker-heavy (text UDF + extraction UDF +
+# linking UDFs): beyond ~8 concurrent workers this 16-physical-core host
+# saturates (each "core" = 1 JVM thread + 1 Python worker), and the
+# 550-page corpus cannot feed 32 oversubscribed slots — measured steady:
+# 14.7 s at local[8], 27 s at local[16], 45 s at local[32]. Run that stage
+# at the host's efficient width (a real deployment sizes executors the
+# same way); relational queries keep CPUS.
+KG_CPUS = int(os.environ.get("SPARK_GRAFT_KG_CPUS", str(min(CPUS, 8))))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -54,6 +62,8 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "events_hourly_rollup",
+    "curate_docs_audit",
+    "cypher_exec_agg",
 ]
 
 
@@ -123,9 +133,12 @@ def stage_hot(cpus: int) -> dict:
         "url", "warc_ts", extract_text_udf(F.col("html")).alias("text"), "lang"
     )
     force(extract.extract_ir(warm_text, rules, keep_cols=["url", "warc_ts"]))
-    # best-of-4: the capability number; OS/GC noise only ever adds time
+    # best-of-N: the capability number; OS/GC noise only ever adds time.
+    # The low level gets more passes — with only 2 workers, one co-tenant
+    # core-steal costs 50% of a pass, so its minimum needs more samples.
+    n_passes = 7 if cpus <= SCALE_LO else 4
     walls = []
-    for _ in range(4):
+    for _ in range(n_passes):
         t0 = time.time()
         force(ir)
         walls.append(time.time() - t0)
@@ -135,14 +148,8 @@ def stage_hot(cpus: int) -> dict:
 
 
 def stage_main(cpus: int) -> dict:
-    """Headline operator queries at SF_DIR + KG pipeline triples/sec."""
+    """Headline operator queries at SF_DIR."""
     from kgforge import driver_queries
-    from kgforge.plans.pipeline import build_graph
-    from kgforge.sources.pages import (
-        corpus_to_spark,
-        generate_corpus,
-        movies_ontology,
-    )
 
     spark = new_session(cpus)
     # untimed warm-up: JVM JIT + parquet footer cache, so the first timed
@@ -154,7 +161,20 @@ def stage_main(cpus: int) -> dict:
         force(driver_queries.QUERIES[name](spark, SF_DIR))
         qtimes[name] = round(time.time() - t0, 3)
         log(f"query {name}: {qtimes[name]}s")
+    spark.stop()
+    return {"queries": qtimes}
 
+
+def stage_kg(cpus: int) -> dict:
+    """KG pipeline triples/sec at the host's efficient Python-worker width."""
+    from kgforge.plans.pipeline import build_graph
+    from kgforge.sources.pages import (
+        corpus_to_spark,
+        generate_corpus,
+        movies_ontology,
+    )
+
+    spark = new_session(cpus)
     corpus = generate_corpus(n_pages=SCALE_BASE_PAGES, seed=42)
     pages, _, _ = corpus_to_spark(spark, corpus)
     t0 = time.time()
@@ -178,7 +198,6 @@ def stage_main(cpus: int) -> dict:
     steady = min(steadies)
     spark.stop()
     return {
-        "queries": qtimes,
         "kg_pipeline": {
             "pages": len(corpus.pages),
             "triples": n_triples,
@@ -212,7 +231,11 @@ def main():
     if "--stage" in sys.argv:
         stage = sys.argv[sys.argv.index("--stage") + 1]
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
-        out = stage_hot(cpus) if stage == "hot" else stage_main(cpus)
+        out = {
+            "hot": stage_hot,
+            "kg": stage_kg,
+            "main": stage_main,
+        }[stage](cpus)
         print(json.dumps(out), flush=True)
         return
 
@@ -229,6 +252,8 @@ def main():
         f"local[{n_hi}] {tput_hi:.1f} rows/s, eff={eff:.3f}")
 
     main_out = run_stage("main", CPUS)
+    time.sleep(10)
+    kg_out = run_stage("kg", KG_CPUS)
 
     total = round(time.time() - t_start, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -238,7 +263,7 @@ def main():
         "unit": "sec",
         "queries": main_out["queries"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "kg_pipeline": main_out["kg_pipeline"],
+        "kg_pipeline": {**kg_out["kg_pipeline"], "cpus": KG_CPUS},
         "scaling": {
             "job": "html->text->extraction IR",
             "rows": lo["rows"],
