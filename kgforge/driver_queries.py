@@ -1113,6 +1113,46 @@ def cypher_validate(spark, sf_dir):
     )
 
 
+def _embeddings_with_near_variants(spark, sf_dir):
+    """embeddings ∪ perturbed copies (first component zeroed, ids offset):
+    planted pairs land at cosine ~0.99 while the natural background tops
+    out ~0.51, so the tau=0.75 threshold sits in a wide float-safe gap."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = e.select(
+        (F.col("vec_id") + _VARIANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0).cast("float")),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return e.unionByName(v)
+
+
+@_q(
+    "dedup_embedding",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_VARIANT_OFFSET},
+             ([0.0] || v.embedding[2:])::DOUBLE[]
+      FROM embeddings v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.75
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact upper-triangle baseline,
+    oracle-checked; the scale path is similarity.cosine_pairs_lsh, recall-
+    tested in pytest). Input = embeddings plus near-identical variants so
+    the threshold leg is non-vacuous."""
+    return S.cosine_pairs_exact(
+        _embeddings_with_near_variants(spark, sf_dir), tau=0.75
+    )
+
+
 @_q(
     "curate_docs_audit",
     f"""

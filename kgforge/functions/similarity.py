@@ -417,3 +417,63 @@ def lsh_topk(
     lifecycle API). For repeated query batches, build once and reuse."""
     index = lsh_build(corpus, id_col, vec_col, n_planes, n_tables)
     return lsh_query(index, queries, k, id_col, vec_col)
+
+
+# ----------------------------------------------------- cosine near-dup pairs
+
+
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: (id_a, id_b) with cosine >= tau,
+    id_a < id_b. Upper-triangle self-join — the ORACLE-CHECKED baseline
+    (O(n^2), fine at gate scale); the scale path is cosine_pairs_lsh,
+    exactly as exact-Jaccard pairs relate to MinHash-LSH pairs."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, on=[F.col("id_a") < F.col("id_b")])
+        .filter(cosine_sim(F.col("va"), F.col("vb")) >= tau)
+        .select("id_a", "id_b")
+    )
+
+
+def cosine_pairs_lsh(
+    corpus: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Near-dup pairs at scale: hyperplane-LSH bucket self-join proposes
+    candidates (equi-join on (table, bucket), never a cross product), exact
+    cosine verifies >= tau. Blocking can only lose pairs below the LSH
+    recall curve, never fabricate."""
+    index = lsh_build(corpus, id_col, vec_col, n_planes, n_tables)
+    a = index.bucketed.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("neighbor_id_v").alias("va"),
+        "tbl", "bucket",
+    )
+    b = index.bucketed.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("neighbor_id_v").alias("vb"),
+        "tbl", "bucket",
+    )
+    cands = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.filter(
+        cosine_sim(F.col("va"), F.col("vb")) >= tau
+    ).select("id_a", "id_b")

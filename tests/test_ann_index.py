@@ -85,3 +85,17 @@ def test_lsh_save_load_roundtrip(clustered, workdir):
     assert a == b
     exact = S.brute_force_topk(corpus, queries, k=5)
     assert _recall(S.lsh_query(index, queries, k=5), exact) >= 0.7
+
+
+def test_cosine_pairs_lsh_recall(spark):
+    """Embedding near-dup: the LSH scale path recovers the exact pair set
+    on the variant-planted driver embeddings (wide threshold gap)."""
+    from kgforge import driver_queries as dq
+
+    corpus = dq._embeddings_with_near_variants(spark, "/root/testdata/sf0.001")
+    exact = {tuple(r) for r in S.cosine_pairs_exact(corpus, 0.75).collect()}
+    lsh = {tuple(r) for r in S.cosine_pairs_lsh(corpus, 0.75).collect()}
+    assert exact, "planted variants must produce pairs"
+    assert len(exact & lsh) / len(exact) >= 0.95
+    # verification step: LSH never fabricates below-threshold pairs
+    assert lsh <= exact
