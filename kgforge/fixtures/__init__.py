@@ -31,8 +31,6 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HERE = Path(__file__).resolve().parent
-
 REFERENCE_ROOT = Path(os.environ.get("KGFORGE_REFERENCE", "/root/reference"))
 MADOFF_TXT = REFERENCE_ROOT / "tests/data/madoff.txt"
 UFC_DIR = REFERENCE_ROOT / "examples/data/ufc"
@@ -51,7 +49,14 @@ def reference_available() -> bool:
 
 
 def load_gold(corpus: str) -> list[dict]:
-    return json.loads((_HERE / f"gold_{corpus}.json").read_text())
+    """Frozen gold JSON, loaded via importlib.resources so it also works
+    when kgforge ships as a spark-submit --py-files zip (plain paths into
+    a zip are not openable)."""
+    from importlib.resources import files
+
+    return json.loads(
+        files("kgforge.fixtures").joinpath(f"gold_{corpus}.json").read_text()
+    )
 
 
 def madoff_ontology():
