@@ -22,6 +22,11 @@ def main() -> None:
     ap.add_argument("--ontology", required=True)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--lang", action="append", default=None)
+    ap.add_argument(
+        "--wrapper", action="append", default=None,
+        help="layout-wrapper name (operators/wrappers.py registry) for "
+             "template corpora; repeatable",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -33,7 +38,8 @@ def main() -> None:
     pages = spark.read.parquet(args.pages)
     onto = Ontology.load(args.ontology)
     out = run_pipeline(
-        spark, pages, onto, args.out, run_id=args.run_id, lang_filter=args.lang
+        spark, pages, onto, args.out, run_id=args.run_id,
+        lang_filter=args.lang, wrappers=args.wrapper,
     )
     n = out["triples"].count()
     print(f"triples: {n} -> {args.out}/08_triples")
