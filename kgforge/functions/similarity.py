@@ -1,6 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the scale doctrine:
+Surfaces: exact cosine top-k (oracle baseline), hyperplane-LSH and IVF
+approximate top-k with build/persist/query index lifecycles plus
+recall-target calibration, and cosine near-dup PAIRS (exact baseline +
+LSH-blocked scale path). Two paths throughout, per the scale doctrine:
 
 - **brute-force cosine top-k** — the exact baseline. Dot products are pure
   built-in expressions (`zip_with` + `aggregate`), evaluated in double
