@@ -26,6 +26,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -177,21 +178,25 @@ class RunContext:
         n_new = 0
         if not todo.isEmpty():
             out = transform(todo.drop("bucket")).withColumn("bucket", bucket)
-            if out.isEmpty():
-                # a dynamic-partitioned write of an empty DF leaves no
-                # readable footer (unlike plain writes, SPARK-23271); write
-                # the empty schema plainly so downstream reads see an
-                # empty-but-typed stage instead of UNABLE_TO_INFER_SCHEMA
-                out.write.mode("overwrite").parquet(path)
-            else:
-                (
-                    out.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("bucket")
-                    .parquet(path)
-                )
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
             wall_ms = int((time.monotonic() - t0) * 1000)
-            written = self.spark.read.parquet(path)
+            try:
+                written = self.spark.read.parquet(path)
+            except AnalysisException:
+                # a dynamic-partitioned write of an EMPTY stage output
+                # leaves no readable footer (unlike plain writes,
+                # SPARK-23271): write the empty schema plainly so
+                # downstream reads see an empty-but-typed stage. Checked
+                # here rather than pre-checking out.isEmpty(), which would
+                # cost a partial evaluation of the transform on every
+                # non-empty stage too.
+                out.limit(0).write.mode("overwrite").parquet(path)
+                written = self.spark.read.parquet(path)
             per_bucket = {
                 int(r["bucket"]): int(r["count"])
                 for r in written.groupBy("bucket").count().collect()
