@@ -14,7 +14,10 @@ gold_madoff.json / gold_ufc.json in this directory). Corpora:
 - ufc: 8 pages of /root/reference/examples/data/ufc under the reference's
   shipped examples/ufc/ontology.json, chosen to cover every result-method
   template variant in the 767-page corpus, plus 2 of the corpus's empty
-  placeholder files (they must flow through the P1 empty-doc filter).
+  placeholder files (they must flow through the P1 empty-doc filter);
+- poi: tests/data/{cities,restaurants}.json under the restaurants-KG
+  ontology of the reference's multi-agent test (test_multi_agent.py:
+  28-112) — structured JSON record dumps through the JsonRecords wrapper.
 
 Evaluation runs the PRODUCTION path end-to-end: html -> text (html.py)
 -> extract_ir with layout wrappers (operators/wrappers.py) -> sanitize ->
@@ -83,6 +86,61 @@ def ufc_ontology():
     return Ontology.from_json(json.loads(UFC_ONTOLOGY_JSON.read_text()))
 
 
+def poi_ontology():
+    """The restaurants-KG ontology of the reference's multi-agent test
+    (ref tests/test_multi_agent.py:28-112)."""
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    return Ontology(
+        entities=[
+            Entity("Country", [Attribute("name", "string", True, True)]),
+            Entity("City", [
+                Attribute("name", "string", True, True),
+                Attribute("weather", "string"),
+                Attribute("population", "number"),
+            ]),
+            Entity("Restaurant", [
+                Attribute("name", "string", True, True),
+                Attribute("description", "string"),
+                Attribute("rating", "number"),
+                Attribute("food_type", "string"),
+            ]),
+        ],
+        relations=[
+            Relation("IN_COUNTRY", "City", "Country", []),
+            Relation("IN_CITY", "Restaurant", "City", []),
+        ],
+    )
+
+
+POI_WRAPPERS = [
+    ("json_records", {
+        "label": "City", "key_field": "name",
+        "require_fields": ("country", "weather"),
+        "links": {"country": ("IN_COUNTRY", "Country")},
+    }),
+    ("json_records", {
+        "label": "Restaurant", "key_field": "name",
+        "require_fields": ("food_type",),
+        "links": {"city": ("IN_CITY", "City")},
+    }),
+]
+
+
+def _poi_pages(spark) -> DataFrame:
+    rows = [
+        (f"file://{name}",
+         (REFERENCE_ROOT / "tests/data" / name).read_text())
+        for name in ("cities.json", "restaurants.json")
+    ]
+    return spark.createDataFrame(rows, "url string, text string").select(
+        "url",
+        F.to_timestamp(F.lit("2024-10-22 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+    )
+
+
 def _madoff_pages(spark) -> DataFrame:
     text = MADOFF_TXT.read_text()
     return spark.createDataFrame(
@@ -127,6 +185,9 @@ def extract_corpus_triples(spark, corpus: str):
     elif corpus == "ufc":
         pages, onto = _ufc_pages(spark), ufc_ontology()
         wrappers = ["ufc_fight_stats"]
+    elif corpus == "poi":
+        pages, onto = _poi_pages(spark), poi_ontology()
+        wrappers = list(POI_WRAPPERS)
     else:  # pragma: no cover
         raise ValueError(corpus)
     rules = extract.compile_rules(onto)
@@ -195,7 +256,8 @@ def _pr_row(corpus, kind, pred: DataFrame, gold: DataFrame, keys: list[str]):
 
 def fixture_pr_report(spark) -> DataFrame:
     """-> DataFrame(corpus, kind, gold, predicted, tp, precision, recall)
-    — 3 kinds (relations / entities / attributes) x 2 corpora.
+    — 4 kinds (relations / entities / attributes / edge_attributes) x 3
+    corpora (madoff / ufc / poi).
 
     The `relations` rows are the north-rule claim: (subj, pred, obj)
     triples vs the reference's fixtures.
@@ -207,7 +269,7 @@ def fixture_pr_report(spark) -> DataFrame:
     if not reference_available():
         return spark.createDataFrame([], schema)
     rows = []
-    for corpus in ("madoff", "ufc"):
+    for corpus in ("madoff", "ufc", "poi"):
         mentions, raw_edges = extract_corpus_triples(spark, corpus)
         mentions = mentions.localCheckpoint(eager=True)
         raw_edges = raw_edges.localCheckpoint(eager=True)

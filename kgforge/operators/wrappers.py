@@ -400,9 +400,94 @@ class ImdbTitleCredits(Wrapper):
         return ents, rels
 
 
+# ---------------------------------------------------------------------------
+# Structured JSON record dumps (text-based)
+# ---------------------------------------------------------------------------
+
+class JsonRecords(Wrapper):
+    """Flat JSON record arrays -> entities + link relations.
+
+    The reference feeds structured JSON files through its TEXT loader and
+    asks the LLM to extract records (ref tests/test_multi_agent.py builds
+    restaurants/attractions KGs from tests/data/{restaurants,cities,
+    attractions}.json exactly this way). Deterministically: each record
+    becomes one entity of `label` keyed by `key_field`; scalar fields
+    become attributes (numbers via str()); each `links` field emits the
+    target entity and a relation to it.
+
+    `require_fields` scopes the wrapper to its record shape, so several
+    differently-bound JsonRecords wrappers can ride one extraction pass
+    over a mixed-document corpus (each claims only the files whose records
+    carry its fields).
+    """
+
+    name = "json_records"
+    needs = "text"
+    exclusive = True
+    default_bindings = {
+        "label": "Record",
+        "key_field": "name",
+        "skip_fields": ("id",),
+        "links": {},  # field -> (relation_label, target_label)
+        "require_fields": (),
+    }
+
+    def _records(self, content: str):
+        import json
+
+        s = content.lstrip()
+        if not s.startswith("["):
+            return None
+        try:
+            data = json.loads(content)
+        except ValueError:
+            return None
+        if not isinstance(data, list) or not data or not all(
+            isinstance(r, dict) for r in data
+        ):
+            return None
+        return data
+
+    def matches(self, content: str) -> bool:
+        data = self._records(content)
+        if data is None:
+            return False
+        b = self.bindings
+        need = set(b["require_fields"]) | {b["key_field"]}
+        return need <= set(data[0])
+
+    def extract(self, content: str):
+        b = self.bindings
+        ents: list[tuple] = []
+        rels: list[tuple] = []
+        skip = set(b["skip_fields"]) | {b["key_field"]} | set(b["links"])
+        for rec in self._records(content) or []:
+            key = rec.get(b["key_field"])
+            if key is None:
+                continue
+            key = str(key)
+            attrs = {b["key_field"]: key}
+            for field, value in rec.items():
+                if field in skip or isinstance(value, (dict, list)):
+                    continue
+                if value is not None:
+                    attrs[field] = str(value)
+            ents.append((b["label"], key, attrs))
+            for field, (rel_label, target_label) in b["links"].items():
+                tgt = rec.get(field)
+                if tgt is None:
+                    continue
+                ents.append((target_label, str(tgt), {}))
+                rels.append(
+                    (rel_label, b["label"], key, target_label, str(tgt), {})
+                )
+        return ents, rels
+
+
 _REGISTRY = {
     UfcFightStats.name: UfcFightStats,
     ImdbTitleCredits.name: ImdbTitleCredits,
+    JsonRecords.name: JsonRecords,
 }
 
 

@@ -93,7 +93,7 @@ def test_fixture_pr_meets_north_rule(spark):
     wrappers, sanitize, ontology filter) vs frozen gold: P/R >= 0.95 for
     every (corpus, kind), including the headline `relations` triples."""
     rows = FX.fixture_pr_report(spark).collect()
-    assert len(rows) == 8  # 2 corpora x 4 kinds
+    assert len(rows) == 12  # 3 corpora x 4 kinds
     by_key = {(r["corpus"], r["kind"]): r for r in rows}
     for (corpus, kind), r in by_key.items():
         assert r["precision"] >= 0.95, (corpus, kind, r)
@@ -101,6 +101,23 @@ def test_fixture_pr_meets_north_rule(spark):
     # the headline gate is non-vacuous
     assert by_key[("madoff", "relations")]["gold"] == 18
     assert by_key[("ufc", "relations")]["gold"] == 56
+    assert by_key[("poi", "relations")]["gold"] == 20
+
+
+def test_json_records_wrapper_scoping():
+    """The two differently-bound JsonRecords wrappers each claim only the
+    file whose records carry their fields (require_fields scoping)."""
+    from kgforge.operators.wrappers import resolve_wrappers
+
+    city_w, rest_w = resolve_wrappers(FX.POI_WRAPPERS)
+    cities = (FX.REFERENCE_ROOT / "tests/data/cities.json").read_text()
+    rests = (FX.REFERENCE_ROOT / "tests/data/restaurants.json").read_text()
+    assert city_w.matches(cities) and not city_w.matches(rests)
+    assert rest_w.matches(rests) and not rest_w.matches(cities)
+    ents, rels = rest_w.extract(rests)
+    assert ("Restaurant", "Trattoria da Enzo") in {(l, k) for l, k, _ in ents}
+    assert ("IN_CITY", "Restaurant", "Trattoria da Enzo", "City", "Rome", {}) \
+        in rels
 
 
 def test_empty_placeholder_pages_flow_through(spark):
