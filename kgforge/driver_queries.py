@@ -1257,7 +1257,8 @@ def cypher_exec_agg(spark, sf_dir):
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived
-    frozen gold, kgforge/fixtures/): madoff.txt + 8 UFC stat pages through
+    frozen gold, kgforge/fixtures/): madoff.txt + 8 UFC stat pages + the
+    restaurants-KG JSON records through
     the production html->text->wrapper-extraction path. The `relations`
     rows are the (subj, pred, obj) triple match; pytest
     (tests/test_fixture_gold.py) asserts precision/recall >= 0.95 on every
