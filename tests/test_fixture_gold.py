@@ -46,6 +46,14 @@ def test_gold_files_are_nontrivial():
     for doc in ufc:
         assert sum(e["label"] == "FightStatistics" for e in doc["entities"]) == 2
         assert len(doc["relations"]) == 7
+    poi = FX.load_gold("poi")
+    assert [d["url"] for d in poi] == [
+        "file://cities.json", "file://restaurants.json"
+    ]
+    assert sum(len(d["relations"]) for d in poi) == 20
+    assert {r["label"] for d in poi for r in d["relations"]} == {
+        "IN_COUNTRY", "IN_CITY"
+    }
 
 
 def test_ufc_wrapper_exact_on_title_bout():
