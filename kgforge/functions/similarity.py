@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 _HP_SEED = 4242
 
 
+def _save_json_meta(df_owner: DataFrame, path: str, payload: str) -> None:
+    """Persist small JSON metadata idempotently (mode=overwrite, like the
+    parquet half of each index). saveAsTextFile would throw on re-save,
+    leaving a half-overwritten index directory behind."""
+    spark = df_owner.sparkSession
+    spark.createDataFrame([(payload,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def dot_d(a: Column, b: Column) -> Column:
     """Double-precision dot product, strict left-to-right accumulation."""
     return F.aggregate(
@@ -153,8 +163,7 @@ class IvfIndex:
             "centroids": self.centroids,
             "default_n_probe": self.default_n_probe,
         }
-        sc = self.assigned.sparkSession.sparkContext
-        sc.parallelize([json.dumps(meta)], 1).saveAsTextFile(f"{path}/meta")
+        _save_json_meta(self.assigned, f"{path}/meta", json.dumps(meta))
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
@@ -174,10 +183,21 @@ def ivf_build(
     n_cells: int | None = None,
     seed: int = _HP_SEED,
     default_n_probe: int | None = None,
+    sample_queries: DataFrame | None = None,
+    calibrate: bool = True,
+    target_recall: float = 0.9,
 ) -> IvfIndex:
     """Fit the coarse quantizer (pyspark.ml KMeans, seeded) and assign every
     corpus row to its nearest cell. The assignment table is persisted —
-    the expensive pass happens once per corpus, not once per query batch."""
+    the expensive pass happens once per corpus, not once per query batch.
+
+    Unless `default_n_probe` is passed, the index is AUTO-CALIBRATED at
+    build time: `ivf_calibrate` runs on `sample_queries` (default: a small
+    deterministic corpus sample) so the stored default probes the fewest
+    cells reaching `target_recall` — a one-time cost at build, instead of
+    an un-calibrated half-the-cells fallback on every query (VERDICT r02).
+    Pass `calibrate=False` to skip it and keep the conservative fallback.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -196,13 +216,22 @@ def ivf_build(
         )
     )
     centroids = [c.tolist() for c in model.clusterCenters()]
-    if default_n_probe is None:
-        # conservative un-calibrated default (weakly-clustered corpora —
-        # driver embeddings: mean top-1 cosine ~0.37): probe half the
-        # cells. Clustered real embedding spaces should ivf_calibrate to a
-        # recall target, which typically lands at 2-4 probes.
-        default_n_probe = max(3, (n_cells + 1) // 2)
-    return IvfIndex(centroids, assigned, default_n_probe)
+    if default_n_probe is not None:
+        return IvfIndex(centroids, assigned, default_n_probe)
+    # conservative fallback (probe half the cells) only when calibration is
+    # explicitly disabled; otherwise calibrate on a sampled query set so the
+    # stored default is data-driven (typically 1-4 probes on clustered data)
+    index = IvfIndex(centroids, assigned, max(3, (n_cells + 1) // 2))
+    if calibrate:
+        if sample_queries is None:
+            sample_queries = corpus.select(id_col, vec_col).sort(
+                id_col
+            ).limit(32)
+        ivf_calibrate(
+            index, sample_queries, k=5, target_recall=target_recall,
+            id_col=id_col, vec_col=vec_col,
+        )
+    return index
 
 
 def ivf_query(
@@ -328,9 +357,8 @@ class LshIndex:
         )
         import json
 
-        sc = self.bucketed.sparkSession.sparkContext
-        sc.parallelize([json.dumps(self.planes.tolist())], 1).saveAsTextFile(
-            f"{path}/planes"
+        _save_json_meta(
+            self.bucketed, f"{path}/planes", json.dumps(self.planes.tolist())
         )
 
     @classmethod
@@ -363,16 +391,34 @@ def lsh_build(
     n_planes: int = 4,
     n_tables: int = 16,
     dim: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> LshIndex:
     """Bucket the corpus under seeded hyperplanes. `dim` skips the one
-    driver action otherwise needed to sniff the embedding width."""
+    driver action otherwise needed to sniff the embedding width.
+
+    (tbl, bucket) groups larger than `max_bucket` are dropped at build time
+    (dedup._cap_buckets — same guard the MinHash/SimHash blockers carry):
+    with 2^n_planes bucket values per table, a dense embedding mode (a
+    boilerplate crawl re-embedding near-identical pages) piles O(N/2^P)
+    rows onto one join key, and every downstream bucket join — lsh_query's
+    query⋈corpus and cosine_pairs_lsh's self-join — goes O(bucket^2) on the
+    one skew cell AQE cannot split. A row capped out of one table usually
+    survives in its other n_tables-1 buckets, so recall degrades only for
+    the non-discriminative mode itself — which exact/near dedup should have
+    collapsed first (see functions/curate.py ordering). The cap is applied
+    once here, so saved+loaded indexes keep it."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, n_tables)
     from kgforge.cache import persist_tracked
+    from kgforge.functions.dedup import _cap_buckets
 
     bucketed = persist_tracked(
-        _with_buckets(corpus, planes, id_col, vec_col, "neighbor_id")
+        _cap_buckets(
+            _with_buckets(corpus, planes, id_col, vec_col, "neighbor_id"),
+            ["tbl", "bucket"],
+            max_bucket,
+        )
     )
     return LshIndex(planes, bucketed)
 
@@ -386,7 +432,9 @@ def lsh_query(
 ) -> DataFrame:
     """Candidates = corpus rows sharing a (table, bucket) with the query in
     any table; exact cosine re-rank of candidates only. Equi-join on
-    (tbl, bucket) — shuffle keyed by bucket, never a cross product."""
+    (tbl, bucket) — shuffle keyed by bucket, never a cross product. The
+    corpus side is bucket-capped at build time (lsh_build max_bucket), so
+    per-key join fan-out is bounded by max_bucket x query-batch width."""
     qb = _with_buckets(queries, index.planes, id_col, vec_col, "query_id")
     cands = (
         qb.join(index.bucketed, on=["tbl", "bucket"])
@@ -415,10 +463,13 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_tables: int = 16,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """One-shot convenience: lsh_build + lsh_query (identical output to the
     lifecycle API). For repeated query batches, build once and reuse."""
-    index = lsh_build(corpus, id_col, vec_col, n_planes, n_tables)
+    index = lsh_build(
+        corpus, id_col, vec_col, n_planes, n_tables, max_bucket=max_bucket
+    )
     return lsh_query(index, queries, k, id_col, vec_col)
 
 
@@ -455,12 +506,18 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_tables: int = 16,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs at scale: hyperplane-LSH bucket self-join proposes
     candidates (equi-join on (table, bucket), never a cross product), exact
     cosine verifies >= tau. Blocking can only lose pairs below the LSH
-    recall curve, never fabricate."""
-    index = lsh_build(corpus, id_col, vec_col, n_planes, n_tables)
+    recall curve, never fabricate. Buckets above `max_bucket` are dropped
+    at build (see lsh_build) so a dense embedding mode cannot turn the
+    self-join into an O(bucket^2) skew cell — run exact dedup first to
+    collapse such modes, exactly like dedup.minhash_pairs."""
+    index = lsh_build(
+        corpus, id_col, vec_col, n_planes, n_tables, max_bucket=max_bucket
+    )
     a = index.bucketed.select(
         F.col("neighbor_id").alias("id_a"),
         F.col("neighbor_id_v").alias("va"),

@@ -49,6 +49,31 @@ def test_ivf_calibrate_picks_small_probe(clustered):
     assert index.default_n_probe == n_probe
 
 
+def test_ivf_autocalibrates_at_build(clustered):
+    """An un-calibrated build no longer falls back to probing half the
+    cells: ivf_build self-calibrates on a sampled query set (VERDICT r02
+    #4), landing a small probe count on clustered data."""
+    corpus, _ = clustered
+    index = S.ivf_build(corpus, n_cells=8)
+    assert 1 <= index.default_n_probe <= 4
+    uncal = S.ivf_build(corpus, n_cells=8, calibrate=False)
+    assert uncal.default_n_probe == 4  # the documented fallback, opt-in
+
+
+def test_index_save_is_idempotent(clustered, workdir):
+    """Re-saving to the same path must not half-overwrite the index
+    (ADVICE r02: saveAsTextFile threw on existing meta dirs)."""
+    corpus, queries = clustered
+    ivf = S.ivf_build(corpus, n_cells=8, default_n_probe=3)
+    ivf.save(f"{workdir}/ivf2")
+    ivf.save(f"{workdir}/ivf2")
+    assert S.IvfIndex.load(corpus.sparkSession, f"{workdir}/ivf2").default_n_probe == 3
+    lsh = S.lsh_build(corpus, n_planes=4, n_tables=4)
+    lsh.save(f"{workdir}/lsh2")
+    lsh.save(f"{workdir}/lsh2")
+    assert S.LshIndex.load(corpus.sparkSession, f"{workdir}/lsh2").planes.shape == (4, 4, 16)
+
+
 def test_ivf_save_load_roundtrip(clustered, workdir):
     corpus, queries = clustered
     index = S.ivf_build(corpus, n_cells=8, default_n_probe=3)
