@@ -238,6 +238,26 @@ class KnowledgeGraph:
             new_col,
         )
 
+    def _node_batch(self, rows: list[tuple[str, dict]]) -> DataFrame:
+        """Validated, key-collapsed node batch DF (last-wins in input
+        order, matching sequential MERGE calls). Shared by the parquet
+        join-rewrite and the Iceberg MERGE source — and by the equivalence
+        property test that pins the two paths to each other."""
+        by_key: dict[tuple, dict] = {}
+        for label, attributes in rows:
+            self._validate(label, attributes)
+            key = self._node_key(label, attributes)
+            props = by_key.setdefault((label, key), {})
+            props.update(
+                {k: ("" if v is None else str(v)) for k, v in attributes.items()}
+            )
+        return self.spark.createDataFrame(
+            [(label, key, props) for (label, key), props in by_key.items()],
+            "label string, key string, props map<string,string>",
+        ).select(
+            F.xxhash64("label", "key").alias("node_id"), "label", "key", "props"
+        )
+
     def add_nodes(self, rows: list[tuple[str, dict]]) -> None:
         """Batch MERGE (n:label {unique}) SET n += {...} for
         [(label, attributes), ...] (extract_data_step.py:222).
@@ -250,20 +270,7 @@ class KnowledgeGraph:
         """
         if not rows:
             return
-        by_key: dict[tuple, dict] = {}
-        for label, attributes in rows:
-            self._validate(label, attributes)
-            key = self._node_key(label, attributes)
-            props = by_key.setdefault((label, key), {})
-            props.update(
-                {k: ("" if v is None else str(v)) for k, v in attributes.items()}
-            )
-        batch = self.spark.createDataFrame(
-            [(label, key, props) for (label, key), props in by_key.items()],
-            "label string, key string, props map<string,string>",
-        ).select(
-            F.xxhash64("label", "key").alias("node_id"), "label", "key", "props"
-        )
+        batch = self._node_batch(rows)
         if self.iceberg_tables is not None:
             from kgforge.sinks.iceberg import merge_nodes
 
@@ -293,77 +300,27 @@ class KnowledgeGraph:
         """Single-row wrapper (reference API parity)."""
         self.add_nodes([(label, attributes)])
 
-    def add_edges(self, rows: list[tuple]) -> int:
+    def add_edges(self, rows: list[tuple], count_valid: bool = True) -> int:
         """Batch MATCH (s) MATCH (d) MERGE (s)-[r]->(d) SET r += {...} for
         [(relation, src_label, dst_label, src_attrs, dst_attrs, attributes),
         ...]. Returns how many edges were written; rows whose endpoint
         nodes don't exist are silently dropped — the reference's Cypher
         MATCH semantics (extract_data_step.py:227-269). Existence is ONE
         semi-join per endpoint side, not per-row scans.
+
+        `count_valid=False` is the bulk fast path: it skips the per-batch
+        count job used only to report how many rows survived the endpoint
+        MATCH, and returns -1 (unknown) instead — one Spark job fewer per
+        batch for callers that don't consume the count.
         """
         if not rows:
             return 0
-        by_key: dict[tuple, dict] = {}
-        for row in rows:
-            relation, src_label, dst_label, src_attrs, dst_attrs = row[:5]
-            attributes = row[5] if len(row) > 5 else {}
-            attributes = attributes or {}
-            self._validate(relation, attributes, is_relation=True)
-            self._validate(src_label, src_attrs)
-            self._validate(dst_label, dst_attrs)
-            sigs = [
-                (s, d) for (s, d, _) in self._compiled["relations"][relation]
-            ]
-            if (src_label, dst_label) not in sigs:
-                raise ValueError(
-                    f"relation '{relation}' does not connect "
-                    f"{src_label}->{dst_label} (helpers.py:137-213)"
-                )
-            k = (
-                relation,
-                src_label, self._node_key(src_label, src_attrs),
-                dst_label, self._node_key(dst_label, dst_attrs),
-            )
-            props = by_key.setdefault(k, {})
-            props.update(
-                {k_: ("" if v is None else str(v))
-                 for k_, v in attributes.items()}
-            )
+        keyed = self._edge_keyed(rows)  # validates (raises) before any IO
         nodes = self.nodes()
         if nodes is None:
             return 0
-        batch = self.spark.createDataFrame(
-            [k + (props,) for k, props in by_key.items()],
-            "label string, src_label string, src_key string, "
-            "dst_label string, dst_key string, props map<string,string>",
-        )
-        node_keys = nodes.select("label", "key")
-        batch = (
-            batch.join(
-                node_keys.select(
-                    F.col("label").alias("src_label"),
-                    F.col("key").alias("src_key"),
-                ),
-                on=["src_label", "src_key"],
-                how="left_semi",
-            )
-            .join(
-                node_keys.select(
-                    F.col("label").alias("dst_label"),
-                    F.col("key").alias("dst_key"),
-                ),
-                on=["dst_label", "dst_key"],
-                how="left_semi",
-            )
-            .select(
-                F.xxhash64("src_label", "src_key").alias("src_id"),
-                "label",
-                F.xxhash64("dst_label", "dst_key").alias("dst_id"),
-                "props", "src_label", "src_key", "dst_label", "dst_key",
-            )
-            .localCheckpoint()
-        )
-        n_valid = batch.count()
+        batch = self._edge_batch(keyed, nodes).localCheckpoint()
+        n_valid = batch.count() if count_valid else -1
         if n_valid == 0:
             return 0
         if self.iceberg_tables is not None:
@@ -396,6 +353,76 @@ class KnowledgeGraph:
         out = kept.unionByName(updated).unionByName(fresh).localCheckpoint()
         out.write.mode("overwrite").parquet(self.edges_path)
         return n_valid
+
+    def _edge_keyed(self, rows: list[tuple]) -> dict[tuple, dict]:
+        """Validate every edge row (raising on the first bad one) and
+        collapse duplicates last-wins in input order."""
+        by_key: dict[tuple, dict] = {}
+        for row in rows:
+            relation, src_label, dst_label, src_attrs, dst_attrs = row[:5]
+            attributes = row[5] if len(row) > 5 else {}
+            attributes = attributes or {}
+            self._validate(relation, attributes, is_relation=True)
+            self._validate(src_label, src_attrs)
+            self._validate(dst_label, dst_attrs)
+            sigs = [
+                (s, d) for (s, d, _) in self._compiled["relations"][relation]
+            ]
+            if (src_label, dst_label) not in sigs:
+                raise ValueError(
+                    f"relation '{relation}' does not connect "
+                    f"{src_label}->{dst_label} (helpers.py:137-213)"
+                )
+            k = (
+                relation,
+                src_label, self._node_key(src_label, src_attrs),
+                dst_label, self._node_key(dst_label, dst_attrs),
+            )
+            props = by_key.setdefault(k, {})
+            props.update(
+                {k_: ("" if v is None else str(v))
+                 for k_, v in attributes.items()}
+            )
+        return by_key
+
+    def _edge_batch(
+        self, keyed: dict[tuple, dict], nodes: DataFrame
+    ) -> DataFrame:
+        """Key-collapsed edge batch with both endpoints resolved against
+        `nodes` (rows with a missing endpoint drop out via the two
+        semi-joins — Cypher MATCH semantics). Shared by the parquet
+        join-rewrite, the Iceberg MERGE source, and the equivalence
+        property test."""
+        batch = self.spark.createDataFrame(
+            [k + (props,) for k, props in keyed.items()],
+            "label string, src_label string, src_key string, "
+            "dst_label string, dst_key string, props map<string,string>",
+        )
+        node_keys = nodes.select("label", "key")
+        return (
+            batch.join(
+                node_keys.select(
+                    F.col("label").alias("src_label"),
+                    F.col("key").alias("src_key"),
+                ),
+                on=["src_label", "src_key"],
+                how="left_semi",
+            )
+            .join(
+                node_keys.select(
+                    F.col("label").alias("dst_label"),
+                    F.col("key").alias("dst_key"),
+                ),
+                on=["dst_label", "dst_key"],
+                how="left_semi",
+            )
+            .select(
+                F.xxhash64("src_label", "src_key").alias("src_id"),
+                "label",
+                F.xxhash64("dst_label", "dst_key").alias("dst_id"),
+                "props", "src_label", "src_key", "dst_label", "dst_key",
+            )
+        )
 
     def add_edge(
         self,

@@ -22,6 +22,7 @@ crash between stages.
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -32,6 +33,42 @@ from pyspark.sql import functions as F
 
 STAGE_COMPLETE = "stage_complete"
 PARTITION = "partition"
+
+
+def _footer_counts(path: str) -> dict[str, int] | None:
+    """Per-file row counts from parquet FOOTER metadata — no data scan.
+
+    The write already produced the files; their footers carry exact row
+    counts, so lineage counters cost one tiny metadata read per file
+    instead of a second full pass over the stage output (VERDICT r02 #3:
+    harmless at sf0.1, a real tax at 100 TB). Returns None when footers
+    are unreachable (object store without a local mount, torn file) so the
+    caller can fall back to the scan; a cluster deployment would swap this
+    for the write's task metrics via a QueryExecutionListener, same idea.
+    """
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in here
+        return None
+    counts: dict[str, int] = {}
+    try:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith("."):
+                    p = os.path.join(root, f)
+                    counts[p] = pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        return None
+    return counts
+
+
+def _part_index(file_path: str) -> int:
+    """part-00012-<uuid>... -> 12 (the writer task's partition index)."""
+    name = os.path.basename(file_path)
+    try:
+        return int(name.split("-")[1])
+    except (IndexError, ValueError):
+        return -1
 
 
 @dataclass
@@ -111,18 +148,27 @@ class RunContext:
         wall_ms = int((time.monotonic() - t0) * 1000)
 
         out = self.spark.read.parquet(path)
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .count()
-            .collect()
-        )
+        footer = _footer_counts(path)
+        if footer is not None:
+            per_part: dict[int, int] = {}
+            for p, c in footer.items():
+                idx = _part_index(p)
+                per_part[idx] = per_part.get(idx, 0) + c
+        else:  # metadata unreachable -> the old one-pass scan
+            per_part = {
+                int(r["partition_id"]): int(r["count"])
+                for r in out.groupBy(
+                    F.spark_partition_id().alias("partition_id")
+                )
+                .count()
+                .collect()
+            }
         now = time.time()
         rows = [
-            (self.run_id, name, int(r["partition_id"]), int(r["count"]),
-             wall_ms, PARTITION, now)
-            for r in per_part
+            (self.run_id, name, pid, c, wall_ms, PARTITION, now)
+            for pid, c in sorted(per_part.items())
         ]
-        total = sum(r["count"] for r in per_part)
+        total = sum(per_part.values())
         rows.append(
             (self.run_id, name, -1, int(total), wall_ms, STAGE_COMPLETE, now)
         )
@@ -197,11 +243,21 @@ class RunContext:
                 # non-empty stage too.
                 out.limit(0).write.mode("overwrite").parquet(path)
                 written = self.spark.read.parquet(path)
-            per_bucket = {
-                int(r["bucket"]): int(r["count"])
-                for r in written.groupBy("bucket").count().collect()
-                if int(r["bucket"]) not in done
-            }
+            footer = _footer_counts(path)
+            if footer is not None:  # counts from footers, not a re-scan
+                agg: dict[int, int] = {}
+                for p, c in footer.items():
+                    m = re.search(r"bucket=(\d+)", p)
+                    if m:
+                        b = int(m.group(1))
+                        agg[b] = agg.get(b, 0) + c
+                per_bucket = {b: c for b, c in agg.items() if b not in done}
+            else:
+                per_bucket = {
+                    int(r["bucket"]): int(r["count"])
+                    for r in written.groupBy("bucket").count().collect()
+                    if int(r["bucket"]) not in done
+                }
             now = time.time()
             rows = [
                 (self.run_id, name, b, c, wall_ms, "bucket_complete", now)
@@ -212,7 +268,11 @@ class RunContext:
                 self._append_lineage(rows)
 
         final = self.spark.read.parquet(path)
-        total = final.count()
+        footer_all = _footer_counts(path)
+        total = (
+            sum(footer_all.values()) if footer_all is not None
+            else final.count()
+        )
         self._append_lineage(
             [
                 (

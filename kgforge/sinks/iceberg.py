@@ -33,16 +33,26 @@ _OVERLAY = (
 
 
 def iceberg_catalogs(spark: SparkSession) -> list[str]:
-    """Names of configured Iceberg catalogs (empty: no runtime wired in)."""
-    out = []
-    for key, value in spark.sparkContext.getConf().getAll():
+    """Names of configured Iceberg catalogs (empty: no runtime wired in).
+
+    Scans BOTH the context-creation-time conf and the runtime SQL conf
+    (``SET`` output): catalogs registered after session start via
+    ``spark.conf.set("spark.sql.catalog.x", ...)`` are only visible in the
+    latter (ADVICE r02)."""
+    pairs = list(spark.sparkContext.getConf().getAll())
+    try:
+        pairs += [(r["key"], r["value"]) for r in spark.sql("SET").collect()]
+    except Exception:
+        pass
+    out = set()
+    for key, value in pairs:
         parts = key.split(".")
         if (
             len(parts) == 4
             and parts[:3] == ["spark", "sql", "catalog"]
-            and "iceberg" in value.lower()
+            and "iceberg" in (value or "").lower()
         ):
-            out.append(parts[3])
+            out.add(parts[3])
     return sorted(out)
 
 

@@ -80,3 +80,58 @@ def test_partial_files_without_lineage_are_replaced(spark, workdir):
     out = ctx.run_stage_bucketed("02_ir", inp, _transform, n_buckets=8)
     assert out.count() == 100
     assert out.filter(F.col("out") == -1).count() == 0
+
+
+def test_footer_counters_match_scan(spark, workdir):
+    """Lineage counters now come from parquet footers (no second scan,
+    VERDICT r02 #3); they must equal what a real scan reports."""
+    from kgforge.plans.lineage import _footer_counts
+
+    ctx = RunContext(spark, f"{workdir}/plain")
+    inp = _input(spark, 1000)
+    out = ctx.run_stage(
+        "01_x", lambda: _transform(inp), repartition_col="url",
+        num_partitions=4,
+    )
+    lin = ctx.lineage()
+    parts = {
+        r.partition_id: r.rows
+        for r in lin.filter(F.col("status") == "partition").collect()
+    }
+    assert sum(parts.values()) == 1000
+    total = lin.filter(F.col("status") == "stage_complete").collect()
+    assert len(total) == 1 and total[0].rows == 1000
+    # per-file footer counts == per-file scan counts (the old method)
+    scan = {
+        r.f: r.n
+        for r in out.groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    footer = _footer_counts(ctx.stage_path("01_x"))
+    assert {k.split("/")[-1] for k in footer} == {
+        k.split("/")[-1] for k in scan
+    }
+    assert sorted(footer.values()) == sorted(scan.values())
+
+
+def test_footer_counters_bucketed_match_scan(spark, workdir):
+    ctx = RunContext(spark, f"{workdir}/bucketed")
+    inp = _input(spark, 600)
+    out = ctx.run_stage_bucketed("02_x", inp, _transform, n_buckets=16)
+    assert out.count() == 600
+    lin = ctx.lineage()
+    per_bucket = {
+        r.partition_id: r.rows
+        for r in lin.filter(F.col("status") == "bucket_complete").collect()
+    }
+    scan = {
+        int(r.bucket): r.n
+        for r in spark.read.parquet(ctx.stage_path("02_x"))
+        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_bucket == scan
+    total = lin.filter(
+        (F.col("stage") == "02_x") & (F.col("status") == "stage_complete")
+    ).collect()
+    assert total[0].rows == 600

@@ -45,3 +45,15 @@ def test_kg_requires_catalog_for_iceberg_tables(spark, workdir):
         KnowledgeGraph(
             spark, onto, workdir, iceberg_tables=("c.kg.nodes", "c.kg.edges")
         )
+
+
+def test_runtime_set_catalog_detected(spark):
+    """Catalogs registered AFTER session start via spark.conf.set must be
+    visible (ADVICE r02: getConf() is a creation-time snapshot)."""
+    key = "spark.sql.catalog.rt_test"
+    spark.conf.set(key, "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert "rt_test" in iceberg_catalogs(spark)
+    finally:
+        spark.conf.unset(key)
+    assert "rt_test" not in iceberg_catalogs(spark)

@@ -162,6 +162,17 @@ def test_batch_add_nodes_and_edges(kg):
     row = kg.edges().filter("src_key = 'A1'").first()
     assert row.props["role"] == "r1"
 
+    # bulk fast path: count_valid=False skips the per-batch count job,
+    # returns -1, and writes the identical table
+    n3 = kg.add_edges(
+        [("ACTED_IN", "Actor", "Movie", {"name": "A2"}, {"title": "M2"},
+          {"role": "fast"})],
+        count_valid=False,
+    )
+    assert n3 == -1
+    assert kg.edges().filter("src_key = 'A2'").first().props["role"] == "fast"
+    assert kg.edges().count() == 50  # upsert, no duplicate rows
+
 
 def test_process_match_export_delete(spark, workdir):
     from kgforge.sources.pages import corpus_to_spark, generate_corpus, movies_ontology
