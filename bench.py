@@ -64,6 +64,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "curate_docs_audit",
     "cypher_exec_agg",
+    "cypher_var_length",
 ]
 
 
@@ -165,7 +166,7 @@ def stage_main(cpus: int) -> dict:
     return {"queries": qtimes}
 
 
-def stage_kg(cpus: int) -> dict:
+def stage_kg(cpus: int, n_steady: int = 2) -> dict:
     """KG pipeline triples/sec at the host's efficient Python-worker width."""
     from kgforge.plans.pipeline import build_graph
     from kgforge.sources.pages import (
@@ -188,7 +189,7 @@ def stage_kg(cpus: int) -> dict:
     # steady state = best of two further passes (JIT keeps improving into
     # the second pass at this tiny per-pass volume)
     steadies = []
-    for _ in range(2):
+    for _ in range(n_steady):
         t0 = time.time()
         out2 = build_graph(spark, pages, movies_ontology())
         n2 = out2["triples"].count()
@@ -234,6 +235,7 @@ def main():
         out = {
             "hot": stage_hot,
             "kg": stage_kg,
+            "kg1": lambda c: stage_kg(c, n_steady=1),
             "main": stage_main,
         }[stage](cpus)
         print(json.dumps(out), flush=True)
@@ -254,6 +256,13 @@ def main():
     main_out = run_stage("main", CPUS)
     time.sleep(10)
     kg_out = run_stage("kg", KG_CPUS)
+    # like-for-like cross-round comparison (VERDICT r02 #8): also run the
+    # KG stage at the full CPUS width (the round-1 configuration), one
+    # steady pass — so r1<->r2<->r3 kg tables need no footnote
+    kg_full = None
+    if CPUS != KG_CPUS:
+        time.sleep(10)
+        kg_full = run_stage("kg1", CPUS)
 
     total = round(time.time() - t_start, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -264,6 +273,11 @@ def main():
         "queries": main_out["queries"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg_pipeline": {**kg_out["kg_pipeline"], "cpus": KG_CPUS},
+        **(
+            {"kg_pipeline_full_width": {
+                **kg_full["kg_pipeline"], "cpus": CPUS}}
+            if kg_full is not None else {}
+        ),
         "scaling": {
             "job": "html->text->extraction IR",
             "rows": lo["rows"],

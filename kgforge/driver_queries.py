@@ -1254,6 +1254,80 @@ def cypher_exec_agg(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_var_length",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C' || o_custkey::VARCHAR AS src,
+             'O' || o_orderkey::VARCHAR AS dst
+      FROM orders
+      UNION ALL
+      SELECT DISTINCT 'O' || l_orderkey::VARCHAR, 'S' || l_suppkey::VARCHAR
+      FROM lineitem
+    ), walk(src, dst, d) AS (
+      SELECT src, dst, 1 FROM e
+      UNION
+      SELECT w.src, e.dst, w.d + 1
+      FROM walk w JOIN e ON e.src = w.dst WHERE w.d < 2
+    )
+    SELECT src AS cust, count(DISTINCT dst)::BIGINT AS n_reach
+    FROM walk WHERE src LIKE 'C%'
+    GROUP BY src ORDER BY cust
+    """,
+)
+def cypher_var_length(spark, sf_dir):
+    """Variable-length MATCH (-[:R*1..2]->, ref fixtures/prompts.py:384)
+    executed by the Cypher compiler's bounded frontier expansion, oracle =
+    DuckDB recursive-CTE walk over the same Customer->Order->Supplier
+    graph. Key prefixes (C/O/S) keep key strings globally unique so
+    count(DISTINCT x) agrees across engines."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ckey = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    okey = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+    lokey = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    skey = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+
+    def _nodes(df, label, key):
+        return df.select(
+            F.xxhash64(F.lit(label), key).alias("node_id"),
+            F.lit(label).alias("label"),
+            key.alias("key"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        ).dropDuplicates(["node_id"])
+
+    nodes = (
+        _nodes(o, "Customer", ckey)
+        .unionByName(_nodes(o, "Order", okey))
+        .unionByName(_nodes(li, "Supplier", skey))
+    )
+    empty_props = F.create_map().cast("map<string,string>")
+    edges = (
+        o.select(
+            F.xxhash64(F.lit("Customer"), ckey).alias("src_id"),
+            F.lit("CONN").alias("label"),
+            F.xxhash64(F.lit("Order"), okey).alias("dst_id"),
+            empty_props.alias("props"),
+        )
+        .unionByName(
+            li.select(
+                F.xxhash64(F.lit("Order"), lokey).alias("src_id"),
+                F.lit("CONN").alias("label"),
+                F.xxhash64(F.lit("Supplier"), skey).alias("dst_id"),
+                empty_props.alias("props"),
+            ).dropDuplicates(["src_id", "dst_id"])
+        )
+    )
+    return run_cypher(
+        "MATCH (c:Customer)-[:CONN*1..2]->(x) "
+        "RETURN c AS cust, count(DISTINCT x) AS n_reach ORDER BY cust",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

@@ -43,9 +43,17 @@ _LABEL_IN_NODE = re.compile(r":([^){]+)")
 
 
 def _clean_label(raw: str) -> str:
-    """'var:Label {..}' / ':Label' fragments -> bare label text."""
+    """'var:Label {..}' / ':Label' / ':Label*1..3' fragments -> bare label.
+
+    Stripping the `*m..n` quantifier is a deliberate deviation from the
+    reference, which leaves it attached and so flags every variable-length
+    leg its own prompt documents (fixtures/prompts.py:384) as 'Relation
+    LABEL*1..3 not found' — bouncing valid stored queries back to the LLM.
+    Here those queries are executable (plans/cypher_exec.py), so the
+    validator must resolve the bare label."""
     label = raw.split(":")[1] if ":" in raw else raw
     label = label.split("{")[0] if "{" in label else label
+    label = label.split("*")[0]
     return label.strip()
 
 
@@ -74,7 +82,8 @@ def _leg_endpoints(cypher: str, spans: list, idx: int):
     label_m = _EDGE_LABEL.search(span.group(0))
     if label_m is None:
         return None
-    rel_label = label_m.group(1).strip()
+    # quantifier stripped for the same reason as _clean_label
+    rel_label = label_m.group(1).split("*")[0].strip()
 
     before = cypher[spans[idx - 1].end() if idx > 0 else 0 : span.start()]
     # a comma starts a fresh MATCH pattern: only the segment after it is

@@ -107,6 +107,113 @@ def test_count_distinct_and_star(graph):
     assert (out[0].nf, out[0].n) == (3, 4)
 
 
+def test_quoted_keywords_are_not_clauses(graph):
+    """ADVICE r02: keywords / LIMIT digits inside string literals must not
+    be parsed as clauses or split points."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (x:Fight) WHERE x.title = 'RETURN AND LIMIT 3' RETURN x",
+        nodes, edges,
+    ).collect()
+    assert out == []
+    out = run_cypher(
+        "MATCH (x:Fight) WHERE x.title CONTAINS 'v Bo' AND x.title "
+        "CONTAINS 'Ana AND' RETURN x",
+        nodes, edges,
+    ).collect()
+    assert out == []
+    out = run_cypher(
+        "MATCH (x:Fight) WHERE x.title = 'Ana v Bo' RETURN x", nodes, edges
+    ).collect()
+    assert [r.x for r in out] == ["Ana v Bo"]
+
+
+def test_var_length_reference_surface(graph):
+    """-[:R*minHops..maxHops]-> from the reference's documented Cypher
+    surface (ref fixtures/prompts.py:384) compiles to bounded frontier
+    expansion."""
+    nodes, edges = graph
+    # 2 hops: Fighter -> Fight -> Event (mixed labels need no rel filter)
+    out = run_cypher(
+        "MATCH (f:Fighter)-[*2..2]->(e:Event) RETURN DISTINCT f, e ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.e) for r in out] == [
+        ("Ana", "Open 1"), ("Bo", "Open 1"), ("Cy", "Open 1"),
+    ]
+    # *1..2 includes both the 1-hop Fight and the 2-hop Event
+    out = run_cypher(
+        "MATCH (f:Fighter {name: 'Ana'})-[*1..2]->(x) RETURN x ORDER BY x",
+        nodes, edges,
+    ).collect()
+    assert [r.x for r in out] == ["Ana v Bo", "Open 1"]
+    # label-filtered var-length leg
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN*1..3]->(x) RETURN DISTINCT x ORDER BY x",
+        nodes, edges,
+    ).collect()
+    assert [r.x for r in out] == ["Ana v Bo", "Bo v Cy"]
+
+
+def test_shortest_path_length(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH p = shortestPath((f:Fighter {name: 'Ana'})-[*..5]->(e:Event)) "
+        "RETURN f, e, length(p) AS hops",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.e, r.hops) for r in out] == [("Ana", "Open 1", 2)]
+
+
+def test_shortest_path_min_dist_on_diamond(spark):
+    """Min distance wins when multiple walk lengths reach the target."""
+    nodes = spark.createDataFrame(
+        [(i, "N", f"n{i}", {}) for i in range(4)],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, "E", 1), (1, "E", 3), (0, "E", 3), (0, "E", 2), (2, "E", 3)],
+        "src_id bigint, label string, dst_id bigint",
+    ).withColumn("props", F.create_map().cast("map<string,string>"))
+    out = run_cypher(
+        "MATCH p = shortestPath((a:N {})-[:E*..4]->(b:N)) "
+        "RETURN a, b, length(p) AS d ORDER BY a, b",
+        nodes, edges,
+    ).collect()
+    got = {(r.a, r.b): r.d for r in out}
+    assert got[("n0", "n3")] == 1  # direct edge beats the 2-hop walks
+    assert got[("n0", "n1")] == 1 and got[("n1", "n3")] == 1
+
+
+def test_var_length_validator_accepts_quantifier(spark, workdir):
+    """kg.query validates first (F5): the quantifier must not make the
+    bare relation label unresolvable."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[
+            Entity("City", [Attribute("name", "string", True, True)]),
+        ],
+        relations=[Relation("ROAD", "City", "City", [])],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([("City", {"name": c}) for c in "abcd"])
+    kg.add_edges([
+        ("ROAD", "City", "City", {"name": s}, {"name": d})
+        for s, d in [("a", "b"), ("b", "c"), ("c", "d")]
+    ])
+    out = kg.query(
+        "MATCH (s:City {name: 'a'})-[:ROAD*1..2]->(t:City) RETURN t ORDER BY t"
+    ).collect()
+    assert [r.t for r in out] == ["b", "c"]
+    out = kg.query(
+        "MATCH p = shortestPath((s:City {name: 'a'})-[:ROAD*..8]->(t:City "
+        "{name: 'd'})) RETURN length(p) AS d"
+    ).collect()
+    assert [r.d for r in out] == [3]
+
+
 def test_unsupported_shapes_raise(graph):
     nodes, edges = graph
     with pytest.raises(CypherUnsupported):
