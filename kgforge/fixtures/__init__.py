@@ -17,7 +17,12 @@ gold_madoff.json / gold_ufc.json in this directory). Corpora:
   placeholder files (they must flow through the P1 empty-doc filter);
 - poi: tests/data/{cities,restaurants}.json under the restaurants-KG
   ontology of the reference's multi-agent test (test_multi_agent.py:
-  28-112) — structured JSON record dumps through the JsonRecords wrapper.
+  28-112) — structured JSON record dumps through the JsonRecords wrapper;
+- attractions: the HELD-OUT corpus (tests/data/{cities,attractions}.json,
+  ref test_multi_agent.py:114-229). Its gold was derived and frozen AFTER
+  the JsonRecords wrapper shipped, and the production path runs the
+  existing wrapper with only new BINDINGS — a generalization gate: the
+  wrapper approach must transfer to a corpus it was never tuned on.
 
 Evaluation runs the PRODUCTION path end-to-end: html -> text (html.py)
 -> extract_ir with layout wrappers (operators/wrappers.py) -> sanitize ->
@@ -113,6 +118,32 @@ def poi_ontology():
     )
 
 
+def attractions_ontology():
+    """The attractions-KG ontology of the reference's multi-agent test
+    (ref tests/test_multi_agent.py:114-229)."""
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    return Ontology(
+        entities=[
+            Entity("Country", [Attribute("name", "string", True, True)]),
+            Entity("City", [
+                Attribute("name", "string", True, True),
+                Attribute("weather", "string"),
+                Attribute("population", "number"),
+            ]),
+            Entity("Attraction", [
+                Attribute("name", "string", True, True),
+                Attribute("description", "string"),
+                Attribute("type", "string"),
+            ]),
+        ],
+        relations=[
+            Relation("IN_COUNTRY", "City", "Country", []),
+            Relation("IN_CITY", "Attraction", "City", []),
+        ],
+    )
+
+
 POI_WRAPPERS = [
     ("json_records", {
         "label": "City", "key_field": "name",
@@ -127,11 +158,26 @@ POI_WRAPPERS = [
 ]
 
 
-def _poi_pages(spark) -> DataFrame:
+ATTRACTIONS_WRAPPERS = [
+    # the SAME wrapper class as poi, new bindings only (held-out gate)
+    ("json_records", {
+        "label": "City", "key_field": "name",
+        "require_fields": ("country", "weather"),
+        "links": {"country": ("IN_COUNTRY", "Country")},
+    }),
+    ("json_records", {
+        "label": "Attraction", "key_field": "name",
+        "require_fields": ("type", "city"),
+        "links": {"city": ("IN_CITY", "City")},
+    }),
+]
+
+
+def _json_pages(spark, names: tuple[str, ...]) -> DataFrame:
     rows = [
         (f"file://{name}",
          (REFERENCE_ROOT / "tests/data" / name).read_text())
-        for name in ("cities.json", "restaurants.json")
+        for name in names
     ]
     return spark.createDataFrame(rows, "url string, text string").select(
         "url",
@@ -139,6 +185,14 @@ def _poi_pages(spark) -> DataFrame:
         F.lit(None).cast("binary").alias("html"),
         "text",
     )
+
+
+def _poi_pages(spark) -> DataFrame:
+    return _json_pages(spark, ("cities.json", "restaurants.json"))
+
+
+def _attractions_pages(spark) -> DataFrame:
+    return _json_pages(spark, ("cities.json", "attractions.json"))
 
 
 def _madoff_pages(spark) -> DataFrame:
@@ -188,6 +242,9 @@ def extract_corpus_triples(spark, corpus: str):
     elif corpus == "poi":
         pages, onto = _poi_pages(spark), poi_ontology()
         wrappers = list(POI_WRAPPERS)
+    elif corpus == "attractions":
+        pages, onto = _attractions_pages(spark), attractions_ontology()
+        wrappers = list(ATTRACTIONS_WRAPPERS)
     else:  # pragma: no cover
         raise ValueError(corpus)
     rules = extract.compile_rules(onto)
@@ -256,8 +313,8 @@ def _pr_row(corpus, kind, pred: DataFrame, gold: DataFrame, keys: list[str]):
 
 def fixture_pr_report(spark) -> DataFrame:
     """-> DataFrame(corpus, kind, gold, predicted, tp, precision, recall)
-    — 4 kinds (relations / entities / attributes / edge_attributes) x 3
-    corpora (madoff / ufc / poi).
+    — 4 kinds (relations / entities / attributes / edge_attributes) x 4
+    corpora (madoff / ufc / poi / attractions).
 
     The `relations` rows are the north-rule claim: (subj, pred, obj)
     triples vs the reference's fixtures.
@@ -269,7 +326,7 @@ def fixture_pr_report(spark) -> DataFrame:
     if not reference_available():
         return spark.createDataFrame([], schema)
     rows = []
-    for corpus in ("madoff", "ufc", "poi"):
+    for corpus in ("madoff", "ufc", "poi", "attractions"):
         mentions, raw_edges = extract_corpus_triples(spark, corpus)
         mentions = mentions.localCheckpoint(eager=True)
         raw_edges = raw_edges.localCheckpoint(eager=True)

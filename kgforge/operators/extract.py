@@ -192,8 +192,22 @@ class _CompiledRules:
         # ONLY commas split (the mention grammar itself never contains
         # one), so comma-free behavior is byte-identical to round 1;
         # "Z and W" without a comma stays a single mention (ambiguous:
-        # could be one title), exactly as before.
-        _LIST = rf"{MENTION}(?:,[ \t]+(?:and[ \t]+)?{MENTION})*"
+        # could be one title), exactly as before. A series element that is
+        # itself followed by a relation verb (or "was") is the SUBJECT of
+        # a coordinate clause, not a list member — "X directed Y, and Z
+        # produced W" must not emit DIRECTED(X -> Z) (ADVICE r02). Verbs
+        # are lowercase-matched, so capitalized title words never
+        # terminate a series.
+        verb_alt = "|".join(
+            sorted(
+                {r"was"}
+                | {r["verb"].replace(" ", r"\s+") for r in rules["relations"]}
+            )
+        )
+        _LIST = (
+            rf"{MENTION}(?:,[ \t]+(?:and[ \t]+)?"
+            rf"(?!{MENTION}[ \t]+(?:{verb_alt})\b){MENTION})*"
+        )
         self.rel_patterns = []
         for r in rules["relations"]:
             verb = r["verb"].replace(" ", r"\s+")

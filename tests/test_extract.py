@@ -166,6 +166,45 @@ def test_comma_list_passive_agents():
     }
 
 
+def test_comma_series_does_not_swallow_coordinate_clause():
+    """ADVICE r02: 'X directed Y, and Z produced W.' — Z is the subject of
+    the second clause, not a second object of DIRECTED."""
+    _, rels = _cr().extract_document(
+        "Lana Wachowski directed Speed Racer, and Alan Smithee acted in "
+        "Hope Floats."
+    )
+    assert _triples(rels) == {
+        ("Person", "Lana Wachowski", "DIRECTED", "Movie", "Speed Racer"),
+        ("Person", "Alan Smithee", "ACTED_IN", "Movie", "Hope Floats"),
+    }
+    # series + trailing coordinate clause: both series members kept
+    _, rels2 = _cr().extract_document(
+        "Ana Reyes directed Iron Harvest, Silent Run, and Mira Voss "
+        "acted in Glass City."
+    )
+    t2 = _triples(rels2)
+    assert ("Person", "Ana Reyes", "DIRECTED", "Movie", "Iron Harvest") in t2
+    assert ("Person", "Ana Reyes", "DIRECTED", "Movie", "Silent Run") in t2
+    assert ("Person", "Ana Reyes", "DIRECTED", "Movie", "Mira Voss") not in t2
+    assert ("Person", "Mira Voss", "ACTED_IN", "Movie", "Glass City") in t2
+    # passive coordinate clause terminator ('was')
+    _, rels3 = _cr().extract_document(
+        "Rosa Xu directed The Dark Tide, and Glass City was directed by "
+        "Alan Abbott."
+    )
+    t3 = _triples(rels3)
+    assert ("Person", "Rosa Xu", "DIRECTED", "Movie", "Glass City") not in t3
+    assert ("Person", "Alan Abbott", "DIRECTED", "Movie", "Glass City") in t3
+    # a series whose member contains a connector ('Sand and Fog') is NOT
+    # terminated by the guard (verbs only, lowercase-matched)
+    _, rels4 = _cr().extract_document(
+        "Rosa Xu acted in The Dark Tide, Sand and Fog."
+    )
+    assert ("Person", "Rosa Xu", "ACTED_IN", "Movie", "Sand and Fog") in (
+        _triples(rels4)
+    )
+
+
 def test_appositive_typing():
     ents, _ = _cr().extract_document(
         "Rosa Xu, a Person, lives quietly. The Dark Tide is a Movie."

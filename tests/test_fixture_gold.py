@@ -54,6 +54,18 @@ def test_gold_files_are_nontrivial():
     assert {r["label"] for d in poi for r in d["relations"]} == {
         "IN_COUNTRY", "IN_CITY"
     }
+    # held-out generalization corpus (frozen r3): 10 cities + 20 attractions
+    att = FX.load_gold("attractions")
+    assert [d["url"] for d in att] == [
+        "file://cities.json", "file://attractions.json"
+    ]
+    assert sum(len(d["relations"]) for d in att) == 30
+    assert sum(
+        e["label"] == "Attraction" for d in att for e in d["entities"]
+    ) == 20
+    assert {r["label"] for d in att for r in d["relations"]} == {
+        "IN_COUNTRY", "IN_CITY"
+    }
 
 
 def test_ufc_wrapper_exact_on_title_bout():
@@ -101,7 +113,7 @@ def test_fixture_pr_meets_north_rule(spark):
     wrappers, sanitize, ontology filter) vs frozen gold: P/R >= 0.95 for
     every (corpus, kind), including the headline `relations` triples."""
     rows = FX.fixture_pr_report(spark).collect()
-    assert len(rows) == 12  # 3 corpora x 4 kinds
+    assert len(rows) == 16  # 4 corpora x 4 kinds
     by_key = {(r["corpus"], r["kind"]): r for r in rows}
     for (corpus, kind), r in by_key.items():
         assert r["precision"] >= 0.95, (corpus, kind, r)
@@ -110,6 +122,7 @@ def test_fixture_pr_meets_north_rule(spark):
     assert by_key[("madoff", "relations")]["gold"] == 18
     assert by_key[("ufc", "relations")]["gold"] == 56
     assert by_key[("poi", "relations")]["gold"] == 20
+    assert by_key[("attractions", "relations")]["gold"] == 30
 
 
 def test_json_records_wrapper_scoping():
