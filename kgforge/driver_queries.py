@@ -1328,6 +1328,118 @@ def cypher_var_length(spark, sf_dir):
     )
 
 
+def _customer_order_graph(spark, sf_dir):
+    """Customer -[:PLACED {status}]-> Order graph from the driver tables.
+    Key prefixes keep key strings unique across labels; PLACED edges carry
+    the order status as a RELATIONSHIP property (the reference's relations
+    have attributes, ref ontology.py Relation.attributes)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ckey = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    ockey = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    okey = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+    empty = F.create_map().cast("map<string,string>")
+    nodes = (
+        c.select(
+            F.xxhash64(F.lit("Customer"), ckey).alias("node_id"),
+            F.lit("Customer").alias("label"),
+            ckey.alias("key"),
+            empty.alias("props"),
+        )
+        .unionByName(
+            o.select(
+                F.xxhash64(F.lit("Order"), okey).alias("node_id"),
+                F.lit("Order").alias("label"),
+                okey.alias("key"),
+                empty.alias("props"),
+            )
+        )
+    )
+    edges = o.select(
+        F.xxhash64(F.lit("Customer"), ockey).alias("src_id"),
+        F.lit("PLACED").alias("label"),
+        F.xxhash64(F.lit("Order"), okey).alias("dst_id"),
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus").cast("string")
+        ).alias("props"),
+    )
+    return nodes, edges
+
+
+@_q(
+    "cypher_optional_match",
+    oracle="""
+    SELECT 'C' || c_custkey::VARCHAR AS cust,
+           count(o_orderkey)::BIGINT AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY cust
+    """,
+)
+def cypher_optional_match(spark, sf_dir):
+    """OPTIONAL MATCH compiled to a LEFT OUTER join: customers keep a row
+    with count 0 when they placed no order (1/3 of TPC-H customers) —
+    oracle = SQL LEFT JOIN + count(non-null)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_order_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+        "RETURN c AS cust, count(o) AS n_orders ORDER BY cust",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "cypher_with_having",
+    oracle="""
+    SELECT 'C' || o_custkey::VARCHAR AS cust,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY 1 HAVING count(*) >= 20
+    ORDER BY n_orders DESC, cust
+    LIMIT 10 OFFSET 2
+    """,
+)
+def cypher_with_having(spark, sf_dir):
+    """WITH <agg> WHERE <cond> (Cypher's HAVING idiom) plus SKIP/LIMIT
+    paging — oracle = GROUP BY/HAVING/ORDER/OFFSET SQL."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_order_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c AS cust, count(o) AS n_orders WHERE n_orders >= 20 "
+        "RETURN cust, n_orders ORDER BY n_orders DESC, cust SKIP 2 LIMIT 10",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "cypher_edge_props",
+    oracle="""
+    SELECT 'C' || o_custkey::VARCHAR AS cust, count(*)::BIGINT AS n_f
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1 ORDER BY n_f DESC, cust LIMIT 50
+    """,
+)
+def cypher_edge_props(spark, sf_dir):
+    """Relationship-variable property access (-[r:PLACED]-> ... WHERE
+    r.status = 'F', count(r)) — relations carry attributes in the
+    reference's data model, so stored queries filter on them."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_order_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer)-[r:PLACED]->(o:Order) WHERE r.status = 'F' "
+        "RETURN c AS cust, count(r) AS n_f "
+        "ORDER BY n_f DESC, cust LIMIT 50",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

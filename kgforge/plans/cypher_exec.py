@@ -8,18 +8,33 @@ read subset those prompts actually produce, against the materialized
 `nodes(node_id, label, key, props)` / `edges(src_id, label, dst_id, props)`
 tables:
 
-    MATCH (a:L1)-[:R1]->(b:L2)<-[:R2]-(c), (d:L3) ...
+    MATCH (a:L1)-[r:R1]->(b:L2)<-[:R2]-(c), (d:L3) ...
     MATCH (a:L1)-[:R1*1..3]->(b:L2)                  -- variable length
     MATCH p = shortestPath((a:L1)-[:R1*..6]->(b:L2)) -- RETURN length(p)
-    WHERE a.prop = 'x' AND b.n >= 3 AND c.name CONTAINS 'y'
-    RETURN a, b.prop AS p, count(c) AS n  [DISTINCT]
-    ORDER BY n DESC, p LIMIT 10
+    WHERE a.prop = 'x' AND r.role <> 'self' AND c.name CONTAINS 'y'
+    OPTIONAL MATCH (a)-[:R3]->(e:L4) [WHERE e.prop = 'z']
+    WITH a, count(e) AS n [WHERE n >= 3]             -- aggregate + HAVING
+    RETURN a, b.prop AS p, n  [DISTINCT]
+    ORDER BY n DESC, p SKIP 5 LIMIT 10
 
 Semantics and scope:
 
 - patterns are chains of directed legs; comma-separated patterns join on
   shared variables (cartesian when disjoint, as in Cypher). Undirected
   legs raise (direction carries meaning in the property graph).
+- a relationship variable ``-[r:R]->`` binds the edge; ``r.prop`` reads
+  its props map in WHERE / RETURN, ``count(r)`` counts matched edges.
+  Rel vars on variable-length legs raise (they'd bind a rel LIST).
+- ``OPTIONAL MATCH`` compiles to a LEFT OUTER join of the optional
+  pattern onto the bound plan (shared variables are the join keys; at
+  least one is required). A ``WHERE`` directly following an OPTIONAL
+  MATCH filters inside the optional side before the left join — Cypher's
+  match-time semantics — while a WHERE after a plain MATCH filters the
+  joined plan. Unmatched rows carry NULL keys/props, so ``count(e)``
+  over an optional var skips them (Cypher parity).
+- one ``WITH`` clause (aggregating or plain projection) pipelines into
+  RETURN; a WHERE after WITH is the HAVING idiom, filtering on the
+  WITH-produced columns. Further MATCH after WITH is out of subset.
 - variable-length legs ``-[:R*m..n]->`` compile to bounded iterative
   frontier expansion (the bfs_distances shape from plans/graph_query:
   per-level equi-join + dropDuplicates + localCheckpoint, early exit on a
@@ -54,7 +69,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _CLAUSE = re.compile(
-    r"\bMATCH\b|\bWHERE\b|\bRETURN\b|\bORDER\s+BY\b|\bLIMIT\b|\bSKIP\b",
+    r"\bOPTIONAL\s+MATCH\b|\bMATCH\b|\bWHERE\b|\bWITH\b|\bRETURN\b"
+    r"|\bORDER\s+BY\b|\bLIMIT\b|\bSKIP\b",
     re.IGNORECASE,
 )
 _NODE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)")
@@ -117,33 +133,41 @@ class CypherUnsupported(ValueError):
     """Query uses syntax outside the executed subset."""
 
 
-def _split_clauses(cypher: str) -> dict:
+def _split_clauses(cypher: str) -> list[tuple[str, str]]:
+    """Ordered (KEYWORD, body) list — order matters because a WHERE binds
+    to the clause it follows (MATCH vs OPTIONAL MATCH vs WITH)."""
     text = cypher.strip().rstrip(";")
     parts = []
     last = 0
-    for m in _CLAUSE.finditer(_mask_quotes(text)):
+    masked = _mask_quotes(text)
+    for m in _CLAUSE.finditer(masked):
+        kw = re.sub(r"\s+", "_", m.group(0).upper())
+        # the WITH in `STARTS WITH` / `ENDS WITH` is an operator, not a clause
+        if kw == "WITH" and re.search(
+            r"\b(?:STARTS|ENDS)\s+$", masked[: m.start()], re.IGNORECASE
+        ):
+            continue
         parts.append((text[last:m.start()], None))
-        parts.append((m.group(0).upper().replace(" ", "_"), "kw"))
+        parts.append((kw, "kw"))
         last = m.end()
     parts.append((text[last:], None))
-    clauses: dict[str, list[str]] = {}
-    current = None
+    segs: list[tuple[str, str]] = []
     for chunk, kind in parts:
         if kind == "kw":
-            key = "ORDER_BY" if chunk.startswith("ORDER") else chunk
-            current = key
-            clauses.setdefault(key, [])
-        elif current and chunk.strip():
-            clauses[current].append(chunk.strip())
-    return clauses
+            segs.append((chunk, ""))
+        elif segs and chunk.strip():
+            kw, body = segs[-1]
+            segs[-1] = (kw, (body + " " + chunk.strip()).strip())
+    return segs
 
 
 def _parse_pattern(pattern: str, var_gen, max_hops: int = MAX_VAR_HOPS):
     """One comma-free pattern -> (node specs, leg list).
 
     node spec: var -> (label|None, inline props dict)
-    leg: (src_var, rel_label|None, dst_var, hops) — hops is None for a
-    plain single-hop leg, else the (min, max) of a `*m..n` quantifier.
+    leg: (src_var, rel_label|None, dst_var, hops, rel_var) — hops is None
+    for a plain single-hop leg, else the (min, max) of a `*m..n`
+    quantifier; rel_var is the bound relationship variable or None.
     """
     nodes: list[tuple] = []
     legs: list[tuple] = []
@@ -175,7 +199,7 @@ def _parse_pattern(pattern: str, var_gen, max_hops: int = MAX_VAR_HOPS):
                     f"expected edge at: {pattern[pos:]!r}"
                 )
             break
-        left, _rel_var, rel_label, quant, qmin, qdots, qmax, right = em.groups()
+        left, rel_var, rel_label, quant, qmin, qdots, qmax, right = em.groups()
         pos = em.end()
         nm = _NODE.match(pattern, pos)
         if nm is None:
@@ -194,9 +218,9 @@ def _parse_pattern(pattern: str, var_gen, max_hops: int = MAX_VAR_HOPS):
                 raise CypherUnsupported(f"bad quantifier in {pattern!r}")
             hops = (lo, hi)
         if left == "-" and right == "->":
-            legs.append((prev[0], rel_label, cur[0], hops))
+            legs.append((prev[0], rel_label, cur[0], hops, rel_var))
         elif left == "<-" and right == "-":
-            legs.append((cur[0], rel_label, prev[0], hops))
+            legs.append((cur[0], rel_label, prev[0], hops, rel_var))
         else:
             raise CypherUnsupported(
                 "undirected legs are not executable (direction carries "
@@ -227,6 +251,24 @@ def _split_top_commas(s: str) -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+_OPS = {
+    "=": lambda col, val: col == val,
+    "<>": lambda col, val: col != val,
+    "<": lambda col, val: col < val,
+    "<=": lambda col, val: col <= val,
+    ">": lambda col, val: col > val,
+    ">=": lambda col, val: col >= val,
+    "CONTAINS": lambda col, val: col.contains(val),
+    "STARTS WITH": lambda col, val: col.startswith(val),
+    "ENDS WITH": lambda col, val: col.endswith(val),
+}
+
+_PLAIN_COND = re.compile(
+    r"(\w+)\s*(=|<>|<=|>=|<|>)"
+    r"\s*('(?:[^']*)'|\"(?:[^\"]*)\"|-?\d+(?:\.\d+)?)"
+)
+
+
 def run_cypher(
     cypher: str,
     nodes: DataFrame,
@@ -234,23 +276,82 @@ def run_cypher(
     max_hops: int = MAX_VAR_HOPS,
 ) -> DataFrame:
     """Execute a read-only Cypher query against the graph tables."""
-    clauses = _split_clauses(cypher)
-    if "MATCH" not in clauses or "RETURN" not in clauses:
+    # ---- ordered clause scan: WHERE binds to the clause it follows ----
+    required_matches: list[str] = []
+    required_wheres: list[str] = []
+    optional_groups: list[tuple[str, list[str]]] = []
+    with_text: str | None = None
+    with_wheres: list[str] = []
+    ret_parts: list[str] = []
+    order_texts: list[str] = []
+    limit_text: str | None = None
+    skip_text: str | None = None
+    ctx = None
+    for kw, body in _split_clauses(cypher):
+        if kw == "MATCH":
+            if with_text is not None:
+                raise CypherUnsupported("MATCH after WITH is out of subset")
+            if optional_groups:
+                raise CypherUnsupported(
+                    "MATCH after OPTIONAL MATCH is out of subset"
+                )
+            required_matches.append(body)
+            ctx = "required"
+        elif kw == "OPTIONAL_MATCH":
+            if with_text is not None:
+                raise CypherUnsupported(
+                    "OPTIONAL MATCH after WITH is out of subset"
+                )
+            optional_groups.append((body, []))
+            ctx = "optional"
+        elif kw == "WHERE":
+            if ctx == "required":
+                required_wheres.append(body)
+            elif ctx == "optional":
+                optional_groups[-1][1].append(body)
+            elif ctx == "with":
+                with_wheres.append(body)
+            else:
+                raise CypherUnsupported(
+                    "WHERE must follow MATCH, OPTIONAL MATCH or WITH"
+                )
+        elif kw == "WITH":
+            if with_text is not None:
+                raise CypherUnsupported("only one WITH clause is supported")
+            with_text = body
+            ctx = "with"
+        elif kw == "RETURN":
+            ret_parts.append(body)
+            ctx = "return"
+        elif kw == "ORDER_BY":
+            order_texts.append(body)
+        elif kw == "LIMIT":
+            limit_text = body
+        elif kw == "SKIP":
+            skip_text = body
+    if not required_matches or not ret_parts:
         raise CypherUnsupported("only MATCH ... RETURN queries are executed")
-    if "SKIP" in clauses:
-        raise CypherUnsupported("SKIP is not supported")
+
     counter = iter(range(10_000))
     var_gen = (f"_anon{i}" for i in counter)
 
     var_specs: dict[str, tuple] = {}
-    all_legs: list[tuple] = []
+    rel_vars: set[str] = set()  # bound relationship variables
     path_vars: dict[str, tuple] = {}  # path var -> its shortestPath leg
-    pattern_groups: list[list[str]] = []  # vars per comma-pattern
-    for match_text in clauses["MATCH"]:
-        for pat in _split_top_commas(match_text):
+
+    def parse_patterns(text: str, allow_shortest: bool = True):
+        """-> (vars per comma-pattern, legs as 6-tuples
+        (src, rel_label, dst, hops, rel_var, path_var))."""
+        groups: list[list[str]] = []
+        legs: list[tuple] = []
+        for pat in _split_top_commas(text):
             path_var = None
             sm = _SHORTEST.match(pat)
             if sm is not None:
+                if not allow_shortest:
+                    raise CypherUnsupported(
+                        "shortestPath inside OPTIONAL MATCH is out of subset"
+                    )
                 path_var, pat = sm.group(1), sm.group(2)
             pnodes, plegs = _parse_pattern(pat, var_gen, max_hops)
             if path_var is not None:
@@ -261,17 +362,38 @@ def run_cypher(
                 path_vars[path_var] = plegs[0]
             group = []
             for var, label, props in pnodes:
+                if var in rel_vars:
+                    raise CypherUnsupported(
+                        f"{var!r} is already bound as a relationship"
+                    )
                 if var in var_specs:
                     old_label, old_props = var_specs[var]
                     label = label or old_label
                     props = {**old_props, **props}
                 var_specs[var] = (label, props)
                 group.append(var)
-            all_legs.extend(
-                [leg + (None,) for leg in plegs] if path_var is None
-                else [plegs[0] + (path_var,)]
-            )
-            pattern_groups.append(group)
+            for src, rel, dst, hops, rel_var in plegs:
+                if rel_var is not None:
+                    if hops is not None:
+                        raise CypherUnsupported(
+                            "a variable on a variable-length leg would bind "
+                            "a relationship LIST; out of subset"
+                        )
+                    if rel_var in var_specs or rel_var in rel_vars:
+                        raise CypherUnsupported(
+                            f"duplicate variable {rel_var!r}"
+                        )
+                    rel_vars.add(rel_var)
+                legs.append((src, rel, dst, hops, rel_var, path_var))
+            groups.append(group)
+        return groups, legs
+
+    pattern_groups: list[list[str]] = []
+    all_legs: list[tuple] = []
+    for match_text in required_matches:
+        groups, legs = parse_patterns(match_text)
+        pattern_groups.extend(groups)
+        all_legs.extend(legs)
 
     def node_df(var: str) -> DataFrame:
         label, props = var_specs[var]
@@ -314,7 +436,7 @@ def run_cypher(
         Level-wise frontier joins, deduped + localCheckpoint per level,
         early exit when the frontier drains (graph_query.bfs_distances
         iterative hygiene)."""
-        src, rel, dst, (lo, hi), path_var = leg
+        src, rel, dst, (lo, hi), _rel_var, path_var = leg
         e = _rel_edges(rel).dropDuplicates()
         track_min = path_var is not None
         # origin pruning applies to the FIRST frontier only — later hops
@@ -365,15 +487,21 @@ def run_cypher(
         return out
 
     def leg_df(leg) -> DataFrame:
-        src, rel, dst, hops, path_var = leg
+        src, rel, dst, hops, rel_var, path_var = leg
         if src == dst:
             raise CypherUnsupported("self-loop legs are not supported")
         if hops is not None:
             return _var_pairs(leg)
-        return _rel_edges(rel).select(
+        e = edges
+        if rel is not None:
+            e = e.filter(F.col("label") == rel)
+        cols = [
             F.col("src_id").alias(f"{src}__id"),
             F.col("dst_id").alias(f"{dst}__id"),
-        )
+        ]
+        if rel_var is not None:
+            cols.append(F.col("props").alias(f"{rel_var}__props"))
+        return e.select(*cols)
 
     pending = list(enumerate(all_legs))
     # seed with the first pattern's first variable
@@ -412,94 +540,223 @@ def run_cypher(
             e = leg_df(leg)
             plan = plan.join(e, on=[f"{src}__id", f"{dst}__id"])
 
-    # ---- WHERE --------------------------------------------------------
+    # ---- WHERE (var.prop namespace) -----------------------------------
     def prop_col(var: str, prop: str) -> Column:
-        if var not in var_specs:
+        if var not in var_specs and var not in rel_vars:
             raise CypherUnsupported(f"unknown variable {var!r}")
         return F.col(f"{var}__props")[prop]
 
-    for where_text in clauses.get("WHERE", []):
-        for cond_text in _split_keyword(where_text, r"\bAND\b"):
-            cond_text = cond_text.strip()
-            if not cond_text:
-                continue
-            cm = _COND.fullmatch(cond_text)
-            if cm is None:
-                raise CypherUnsupported(f"unsupported condition {cond_text!r}")
-            var, prop, op, lit = cm.groups()
-            col = prop_col(var, prop)
-            op = re.sub(r"\s+", " ", op.upper())
-            if lit[0] in "'\"":
-                val: Column | str = lit[1:-1]
+    def apply_conds(df: DataFrame, where_texts: list[str],
+                    known: set[str]) -> DataFrame:
+        for where_text in where_texts:
+            for cond_text in _split_keyword(where_text, r"\bAND\b"):
+                cond_text = cond_text.strip()
+                if not cond_text:
+                    continue
+                cm = _COND.fullmatch(cond_text)
+                if cm is None:
+                    raise CypherUnsupported(
+                        f"unsupported condition {cond_text!r}"
+                    )
+                var, prop, op, lit = cm.groups()
+                if var not in known:
+                    raise CypherUnsupported(
+                        f"variable {var!r} is not bound in this clause"
+                    )
+                col = prop_col(var, prop)
+                if lit[0] in "'\"":
+                    val: Column | str = lit[1:-1]
+                else:
+                    col = col.try_cast("double")
+                    val = F.lit(float(lit))
+                df = df.filter(_OPS[re.sub(r"\s+", " ", op.upper())](col, val))
+        return df
+
+    bound_rels = {leg[4] for leg in all_legs if leg[4] is not None}
+    plan = apply_conds(plan, required_wheres, bound | bound_rels)
+
+    # ---- OPTIONAL MATCH: left-join each optional group ----------------
+    for opt_text, opt_wheres in optional_groups:
+        known_before = set(bound)
+        groups, legs = parse_patterns(opt_text, allow_shortest=False)
+        if any(leg[3] is not None for leg in legs):
+            raise CypherUnsupported(
+                "variable-length legs inside OPTIONAL MATCH are out of subset"
+            )
+        opt_vars = {v for g in groups for v in g}
+        opt_rels = {leg[4] for leg in legs if leg[4] is not None}
+        shared = opt_vars & known_before
+        if not shared:
+            raise CypherUnsupported(
+                "OPTIONAL MATCH must share a variable with the bound pattern"
+            )
+        sub_bound: set[str] = set()
+        seed_var = sorted(shared)[0]
+        sub = node_df(seed_var)
+        sub_bound.add(seed_var)
+        pend = list(enumerate(legs))
+        progress = True
+        while pend and progress:
+            progress = False
+            for item in list(pend):
+                _idx, leg = item
+                src, dst = leg[0], leg[2]
+                if src in sub_bound or dst in sub_bound:
+                    e = leg_df(leg)
+                    join_keys = [
+                        f"{v}__id" for v in dict.fromkeys((src, dst))
+                        if v in sub_bound
+                    ]
+                    sub = sub.join(e, on=join_keys)
+                    for v in (src, dst):
+                        if v not in sub_bound:
+                            sub_bound.add(v)
+                            sub = sub.join(node_df(v), on=f"{v}__id")
+                    pend.remove(item)
+                    progress = True
+        if pend or sub_bound != opt_vars:
+            raise CypherUnsupported(
+                "OPTIONAL MATCH pattern must be connected"
+            )
+        # a WHERE after OPTIONAL MATCH filters the optional side BEFORE
+        # the left join (Cypher match-time semantics)
+        sub = apply_conds(sub, opt_wheres, opt_vars | opt_rels)
+        sub = sub.drop(
+            *[c for v in shared for c in (f"{v}__key", f"{v}__props")]
+        )
+        plan = plan.join(
+            sub, on=[f"{v}__id" for v in sorted(shared)], how="left"
+        )
+        bound |= opt_vars
+
+    # ---- projection compiler (shared by WITH and RETURN) --------------
+    def compile_projection(
+        df: DataFrame, text: str, columns_ns: set[str] | None
+    ) -> DataFrame:
+        distinct = False
+        if re.match(r"DISTINCT\b", text, re.IGNORECASE):
+            distinct = True
+            text = text[len("DISTINCT"):].strip()
+        keys: list[tuple[str, Column]] = []
+        aggs: list[tuple[str, Column]] = []
+        for item in _split_top_commas(text):
+            m = _RET_ITEM.fullmatch(item.strip())
+            if m is None:
+                raise CypherUnsupported(f"unsupported return item {item!r}")
+            (cnt, cnt_distinct, cnt_arg, length_fn, length_arg,
+             var, prop, alias) = m.groups()
+            if columns_ns is not None:
+                # post-WITH namespace: bare column names + count()
+                if length_fn:
+                    raise CypherUnsupported("length() after WITH")
+                if cnt:
+                    arg = cnt_arg.strip()
+                    name = alias or (
+                        f"count_{arg.replace('.', '_').replace('*', 'all')}"
+                    )
+                    if arg == "*":
+                        c = F.count("*")
+                    elif arg in columns_ns:
+                        c = (
+                            F.countDistinct(arg) if cnt_distinct
+                            else F.count(arg)
+                        )
+                    else:
+                        raise CypherUnsupported(
+                            f"unknown column {arg!r} after WITH"
+                        )
+                    aggs.append((name, c.cast("long")))
+                elif prop or var not in columns_ns:
+                    raise CypherUnsupported(
+                        f"RETURN after WITH must use WITH column names, "
+                        f"got {item!r}"
+                    )
+                else:
+                    keys.append((alias or var, F.col(var)))
+            elif length_fn:
+                if length_arg not in path_vars:
+                    raise CypherUnsupported(
+                        "length() takes a shortestPath variable, "
+                        f"got {length_arg!r}"
+                    )
+                name = alias or f"length_{length_arg}"
+                keys.append((name, F.col(f"{length_arg}__len")))
+            elif cnt:
+                arg = cnt_arg.strip()
+                name = alias or (
+                    f"count_{arg.replace('.', '_').replace('*', 'all')}"
+                )
+                if arg == "*":
+                    c = F.count("*")
+                else:
+                    v, _, p = arg.partition(".")
+                    if p:
+                        target = prop_col(v, p)
+                    elif v in rel_vars:
+                        target = F.col(f"{v}__props")
+                    else:
+                        if v not in var_specs:
+                            raise CypherUnsupported(f"unknown variable {v!r}")
+                        target = F.col(f"{v}__key")
+                    c = (
+                        F.countDistinct(target)
+                        if cnt_distinct
+                        else F.count(target)
+                    )
+                aggs.append((name, c.cast("long")))
             else:
-                col = col.try_cast("double")
-                val = F.lit(float(lit))
-            expr = {
-                "=": lambda: col == val,
-                "<>": lambda: col != val,
-                "<": lambda: col < val,
-                "<=": lambda: col <= val,
-                ">": lambda: col > val,
-                ">=": lambda: col >= val,
-                "CONTAINS": lambda: col.contains(val),
-                "STARTS WITH": lambda: col.startswith(val),
-                "ENDS WITH": lambda: col.endswith(val),
-            }[op]()
-            plan = plan.filter(expr)
+                if not prop and var in rel_vars:
+                    raise CypherUnsupported(
+                        f"RETURN a relationship property ({var}.prop), "
+                        f"not the bare relationship {var!r}"
+                    )
+                name = alias or (f"{var}_{prop}" if prop else var)
+                col = prop_col(var, prop) if prop else F.col(f"{var}__key")
+                if not prop and var not in var_specs:
+                    raise CypherUnsupported(f"unknown variable {var!r}")
+                keys.append((name, col))
+
+        if aggs:
+            grouped = df.groupBy(
+                *[c.alias(n) for n, c in keys]
+            ) if keys else df.groupBy()
+            out = grouped.agg(*[c.alias(n) for n, c in aggs])
+        else:
+            out = df.select(*[c.alias(n) for n, c in keys])
+            if distinct:
+                out = out.dropDuplicates()
+        return out
+
+    # ---- WITH (aggregate / project, then HAVING-style WHERE) ----------
+    ns: set[str] | None = None
+    if with_text is not None:
+        plan = compile_projection(plan, with_text, None)
+        ns = set(plan.columns)
+        for wt in with_wheres:
+            for cond_text in _split_keyword(wt, r"\bAND\b"):
+                cond_text = cond_text.strip()
+                if not cond_text:
+                    continue
+                cm = _PLAIN_COND.fullmatch(cond_text)
+                if cm is None or cm.group(1) not in ns:
+                    raise CypherUnsupported(
+                        f"WHERE after WITH must compare a WITH column to a "
+                        f"literal: {cond_text!r}"
+                    )
+                name, op, lit = cm.groups()
+                col = F.col(name)
+                if lit[0] in "'\"":
+                    val: Column | str = lit[1:-1]
+                else:
+                    col = col.try_cast("double")
+                    val = F.lit(float(lit))
+                plan = plan.filter(_OPS[op](col, val))
 
     # ---- RETURN -------------------------------------------------------
-    ret_text = " ".join(clauses["RETURN"])
-    distinct = False
-    if re.match(r"DISTINCT\b", ret_text, re.IGNORECASE):
-        distinct = True
-        ret_text = ret_text[len("DISTINCT"):].strip()
-    keys: list[tuple[str, Column]] = []
-    aggs: list[tuple[str, Column]] = []
-    for item in _split_top_commas(ret_text):
-        m = _RET_ITEM.fullmatch(item.strip())
-        if m is None:
-            raise CypherUnsupported(f"unsupported return item {item!r}")
-        cnt, cnt_distinct, cnt_arg, length_fn, length_arg, var, prop, alias = (
-            m.groups()
-        )
-        if length_fn:
-            if length_arg not in path_vars:
-                raise CypherUnsupported(
-                    f"length() takes a shortestPath variable, got {length_arg!r}"
-                )
-            name = alias or f"length_{length_arg}"
-            keys.append((name, F.col(f"{length_arg}__len")))
-        elif cnt:
-            arg = cnt_arg.strip()
-            name = alias or f"count_{arg.replace('.', '_').replace('*', 'all')}"
-            if arg == "*":
-                c = F.count("*")
-            else:
-                v, _, p = arg.partition(".")
-                target = prop_col(v, p) if p else F.col(f"{v}__key")
-                c = (
-                    F.countDistinct(target)
-                    if cnt_distinct
-                    else F.count(target)
-                )
-            aggs.append((name, c.cast("long")))
-        else:
-            name = alias or (f"{var}_{prop}" if prop else var)
-            col = prop_col(var, prop) if prop else F.col(f"{var}__key")
-            keys.append((name, col))
+    out = compile_projection(plan, " ".join(ret_parts), ns)
 
-    if aggs:
-        grouped = plan.groupBy(
-            *[c.alias(n) for n, c in keys]
-        ) if keys else plan.groupBy()
-        out = grouped.agg(*[c.alias(n) for n, c in aggs])
-    else:
-        out = plan.select(*[c.alias(n) for n, c in keys])
-        if distinct:
-            out = out.dropDuplicates()
-
-    # ---- ORDER BY / LIMIT --------------------------------------------
-    for order_text in clauses.get("ORDER_BY", []):
+    # ---- ORDER BY / SKIP / LIMIT --------------------------------------
+    for order_text in order_texts:
         order_cols = []
         for part in _split_top_commas(order_text):
             om = re.fullmatch(
@@ -515,6 +772,8 @@ def run_cypher(
                 col.desc() if (direction or "").upper() == "DESC" else col.asc()
             )
         out = out.orderBy(*order_cols)
-    if "LIMIT" in clauses:
-        out = out.limit(int(clauses["LIMIT"][0].strip()))
+    if skip_text is not None:
+        out = out.offset(int(skip_text.strip()))
+    if limit_text is not None:
+        out = out.limit(int(limit_text.strip()))
     return out

@@ -220,10 +220,20 @@ def test_unsupported_shapes_raise(graph):
         run_cypher("MATCH (a)-[:R]-(b) RETURN a", nodes, edges)  # undirected
     with pytest.raises(CypherUnsupported):
         run_cypher("CREATE (a:X) RETURN a", nodes, edges)
-    with pytest.raises(CypherUnsupported):
+    with pytest.raises(CypherUnsupported):  # MATCH chained after WITH
         run_cypher(
-            "MATCH (a:Fighter) RETURN a SKIP 2", nodes, edges
+            "MATCH (a:Fighter) WITH a MATCH (a)-[:FOUGHT_IN]->(f) RETURN a",
+            nodes,
+            edges,
         )
+
+
+def test_skip_offsets_sorted_rows(graph):
+    nodes, edges = graph
+    got = run_cypher(
+        "MATCH (a:Fighter) RETURN a ORDER BY a SKIP 1 LIMIT 1", nodes, edges
+    ).collect()
+    assert [r.a for r in got] == ["Bo"]
 
 
 def test_kg_query_surface(spark, workdir):
@@ -257,3 +267,137 @@ def test_kg_query_surface(spark, workdir):
     # wrong direction is rejected by the validator before execution
     with pytest.raises(ValueError, match="direction"):
         kg.query("MATCH (a:Actor)<-[:ACTED_IN]-(m:Movie) RETURN a")
+
+
+@pytest.fixture(scope="module")
+def movie_graph(spark):
+    """Actors -> movies with RELATIONSHIP props (role), for the rel-var /
+    OPTIONAL MATCH / WITH subset (ref fixtures/prompts.py documents these
+    constructs in the generated-query surface)."""
+    nodes = spark.createDataFrame(
+        [
+            (1, "Person", "alice", {"age": "30"}),
+            (2, "Person", "bob", {"age": "40"}),
+            (3, "Person", "carol", {"age": "25"}),
+            (10, "Movie", "m1", {"year": "1999"}),
+            (11, "Movie", "m2", {"year": "2003"}),
+        ],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, "ACTED_IN", 10, {"role": "Neo"}),
+            (1, "ACTED_IN", 11, {"role": "Neo2"}),
+            (2, "ACTED_IN", 10, {"role": "Agent"}),
+            (1, "KNOWS", 2, {}),
+        ],
+        "src_id bigint, label string, dst_id bigint, props map<string,string>",
+    )
+    return nodes.cache(), edges.cache()
+
+
+def test_rel_var_props_in_where_and_return(movie_graph):
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person)-[r:ACTED_IN]->(m:Movie) "
+        "WHERE r.role STARTS WITH 'Neo' "
+        "RETURN p, m, r.role AS role ORDER BY role",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.m, r.role) for r in out] == [
+        ("alice", "m1", "Neo"), ("alice", "m2", "Neo2")
+    ]
+
+
+def test_count_rel_var(movie_graph):
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person)-[r:ACTED_IN]->(m:Movie) "
+        "RETURN p, count(r) AS n ORDER BY p",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.n) for r in out] == [("alice", 2), ("bob", 1)]
+
+
+def test_optional_match_left_join_semantics(movie_graph):
+    """Rows with no optional match survive with NULLs; count() skips them."""
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[:ACTED_IN]->(m:Movie) "
+        "RETURN p, count(m) AS n ORDER BY p",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.n) for r in out] == [
+        ("alice", 2), ("bob", 1), ("carol", 0)
+    ]
+
+
+def test_optional_match_where_filters_at_match_time(movie_graph):
+    """A WHERE after OPTIONAL MATCH narrows the optional side only — rows
+    that then fail to match still appear with NULL (not filtered out)."""
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[:ACTED_IN]->(m:Movie) "
+        "WHERE m.year = '1999' RETURN p, count(m) AS n ORDER BY p",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.n) for r in out] == [
+        ("alice", 1), ("bob", 1), ("carol", 0)
+    ]
+
+
+def test_optional_match_nulls_projected(movie_graph):
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[r:ACTED_IN]->(m:Movie) "
+        "WHERE m.year = '2003' RETURN p, m, r.role AS role ORDER BY p",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.m, r.role) for r in out] == [
+        ("alice", "m2", "Neo2"), ("bob", None, None), ("carol", None, None)
+    ]
+
+
+def test_with_having_idiom(movie_graph):
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+        "WITH p, count(m) AS n WHERE n >= 2 RETURN p, n",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.n) for r in out] == [("alice", 2)]
+
+
+def test_with_plain_projection_rename(movie_graph):
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person)-[:KNOWS]->(q:Person) "
+        "WITH p AS a, q AS b RETURN a, b",
+        nodes, edges,
+    ).collect()
+    assert [(r.a, r.b) for r in out] == [("alice", "bob")]
+
+
+def test_new_subset_boundaries_raise(movie_graph):
+    nodes, edges = movie_graph
+    with pytest.raises(CypherUnsupported):  # rel var would bind a rel LIST
+        run_cypher(
+            "MATCH (p)-[r:ACTED_IN*1..2]->(m) RETURN p", nodes, edges
+        )
+    with pytest.raises(CypherUnsupported):  # disjoint optional pattern
+        run_cypher(
+            "MATCH (p:Person) OPTIONAL MATCH (x:Movie) RETURN p",
+            nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported):  # RETURN col unknown after WITH
+        run_cypher(
+            "MATCH (p:Person) WITH p RETURN p, count(z) AS n", nodes, edges
+        )
+    with pytest.raises(CypherUnsupported):  # bare rel var in RETURN
+        run_cypher(
+            "MATCH (p)-[r:ACTED_IN]->(m) RETURN r", nodes, edges
+        )
+    with pytest.raises(CypherUnsupported):  # duplicate var as node and rel
+        run_cypher(
+            "MATCH (p:Person)-[p:ACTED_IN]->(m) RETURN m", nodes, edges
+        )
