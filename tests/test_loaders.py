@@ -102,9 +102,55 @@ def test_pdf_loader_per_page(spark, files):
     assert [r.content for r in out] == texts
 
 
-def test_url_rejected(spark):
-    with pytest.raises(NotImplementedError):
-        load_source(spark, "https://example.com/x")
+@pytest.fixture()
+def http_fixture_server(tmp_path):
+    """Localhost HTTP server serving one fixture page (S4 live-fetch test
+    without external network)."""
+    import functools
+    import http.server
+    import threading
+
+    html = (
+        "<html><head><title>T</title></head><body>"
+        "<h1>Rosa Vance</h1>\n\n\n<p>directed The Long Tide.</p>"
+        "</body></html>"
+    )
+    (tmp_path / "page.html").write_text(html, encoding="utf-8")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    handler.log_message = lambda *a, **k: None
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", html
+    finally:
+        srv.shutdown()
+
+
+def test_url_loader_live_fetch(spark, http_fixture_server):
+    """S4: distributed fetch + the same bs4-parity text pipeline as the
+    stored-bytes path (ref document_loaders/url.py:22-50); fetch failures
+    yield NULL content instead of failing the job."""
+    from kgforge.sources.html import html_to_text
+    from kgforge.sources.loaders import load_url
+
+    base, html = http_fixture_server
+    out = load_url(
+        spark, [f"{base}/page.html", f"{base}/missing.html"]
+    ).orderBy("source").collect()
+    by_src = {r.source.rsplit("/", 1)[1]: r for r in out}
+    assert by_src["page.html"].content == html_to_text(html)
+    assert "Rosa Vance" in by_src["page.html"].content
+    assert by_src["page.html"].doc_id == 0
+    assert by_src["missing.html"].content is None  # 404 -> NULL, no crash
+
+
+def test_url_factory_dispatch(spark, http_fixture_server):
+    base, html = http_fixture_server
+    out = load_source(spark, f"{base}/page.html").collect()
+    assert len(out) == 1 and "Rosa Vance" in out[0].content
 
 
 def test_csv_chunking_survives_multi_split_files(spark, tmp_path):
