@@ -137,7 +137,10 @@ def stage_hot(cpus: int) -> dict:
     # best-of-N: the capability number; OS/GC noise only ever adds time.
     # The low level gets more passes — with only 2 workers, one co-tenant
     # core-steal costs 50% of a pass, so its minimum needs more samples.
-    n_passes = 7 if cpus <= SCALE_LO else 4
+    if "--passes" in sys.argv:
+        n_passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    else:
+        n_passes = 7 if cpus <= SCALE_LO else 4
     walls = []
     for _ in range(n_passes):
         t0 = time.time()
@@ -209,16 +212,18 @@ def stage_kg(cpus: int, n_steady: int = 2) -> dict:
     }
 
 
-def run_stage(stage: str, cpus: int) -> dict:
+def run_stage(stage: str, cpus: int, passes: int | None = None) -> dict:
     """Re-exec this file in a fresh interpreter; parse its stdout JSON."""
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo" + (
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
+           "--cpus", str(cpus)]
+    if passes is not None:
+        cmd += ["--passes", str(passes)]
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--stage", stage,
-         "--cpus", str(cpus)],
-        capture_output=True, text=True, env=env, cwd="/root/repo",
+        cmd, capture_output=True, text=True, env=env, cwd="/root/repo",
     )
     sys.stderr.write(proc.stderr[-4000:])
     if proc.returncode != 0:
@@ -243,15 +248,36 @@ def main():
 
     t_start = time.time()
     n_lo, n_hi = SCALE_LO, SCALE_HI
-    lo = run_stage("hot", n_lo)
-    time.sleep(10)  # let the previous JVM's teardown threads drain
-    hi = run_stage("hot", n_hi)
-    time.sleep(10)
-    tput_lo = lo["rows"] / lo["sec"]
-    tput_hi = hi["rows"] / hi["sec"]
+    # Drift-robust protocol: this host's co-tenant load drifts on a
+    # minutes scale (measured: the same probe 55% slower one hour apart),
+    # so one lo-block followed by one hi-block samples DIFFERENT host
+    # conditions and corrupts the ratio. Instead interleave lo/hi sessions
+    # in pairs and take, per level, the best pass across all its sessions:
+    # noise only ever adds time, so the minima are the capability numbers,
+    # and interleaving gives both levels a shot at every quiet window.
+    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+    lo_runs: list[float] = []
+    hi_runs: list[float] = []
+    pair_effs = []
+    lo = hi = None
+    for i in range(n_pairs):
+        lo = run_stage("hot", n_lo, passes=3)
+        time.sleep(10)  # let the previous JVM's teardown threads drain
+        hi = run_stage("hot", n_hi, passes=2)
+        time.sleep(10)
+        lo_runs.extend(lo["runs"])
+        hi_runs.extend(hi["runs"])
+        pair_eff = (lo["rows"] / min(hi["runs"])) / (
+            (n_hi / n_lo) * (lo["rows"] / min(lo["runs"]))
+        )
+        pair_effs.append(round(pair_eff, 3))
+        log(f"scaling pair {i + 1}/{n_pairs}: eff={pair_eff:.3f}")
+    tput_lo = lo["rows"] / min(lo_runs)
+    tput_hi = hi["rows"] / min(hi_runs)
     eff = tput_hi / ((n_hi / n_lo) * tput_lo)
     log(f"scaling: local[{n_lo}] {tput_lo:.1f} rows/s, "
-        f"local[{n_hi}] {tput_hi:.1f} rows/s, eff={eff:.3f}")
+        f"local[{n_hi}] {tput_hi:.1f} rows/s, eff={eff:.3f} "
+        f"(pairs: {pair_effs})")
 
     main_out = run_stage("main", CPUS)
     time.sleep(10)
@@ -286,8 +312,9 @@ def main():
             "rows_per_sec_lo": round(tput_lo, 1),
             "rows_per_sec_hi": round(tput_hi, 1),
             "efficiency_n_to_4n": round(eff, 3),
-            "runs_lo": lo["runs"],
-            "runs_hi": hi["runs"],
+            "per_pair_efficiency": pair_effs,
+            "runs_lo": lo_runs,
+            "runs_hi": hi_runs,
         },
     }
     print(json.dumps(out), flush=True)
