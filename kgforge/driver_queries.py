@@ -388,6 +388,38 @@ def w2_sessionize_events(spark, sf_dir):
     )
 
 
+@_q(
+    "w3_session_agg",
+    """
+    WITH numbered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts)
+                     > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM numbered
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def w3_session_agg(spark, sf_dir):
+    """Batch twin of the stateful streaming sessionizer
+    (streaming/sessionize.py::sessionize_stream): per-session aggregate
+    rows with the same 30-min gap rule. The streaming face emits exactly
+    these rows for closed sessions (tests/test_sessionize.py parity)."""
+    from kgforge.streaming.sessionize import session_agg
+
+    return session_agg(_t(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # §2.7 set ops
 # =====================================================================
