@@ -1010,6 +1010,57 @@ def skew_replicated_join(spark, sf_dir):
     )
 
 
+@_q(
+    "bucketed_cocolated_join",
+    """
+    SELECT c_nationkey::BIGINT AS nationkey, count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def bucketed_cocolated_join(spark, sf_dir):
+    """North-star bucket layout (range/bucket partitioning on the join key):
+    both sides written via sinks.bucketed.write_bucketed so the fact-dim
+    join co-locates with ZERO Exchange (plan asserted in
+    tests/test_bucketed_layout.py), then a per-nation rollup. The reference
+    has no table layout at all (single FalkorDB instance)."""
+    import os
+
+    from kgforge.sinks import bucketed as B
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".work",
+        "gate_bucketed",
+        tag,
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    B.write_bucketed(
+        o, f"gate_orders_{tag}", f"{base}/orders",
+        bucket_col="o_custkey", n_buckets=16,
+    )
+    B.write_bucketed(
+        c, f"gate_cust_{tag}", f"{base}/customer",
+        bucket_col="c_custkey", n_buckets=16,
+    )
+    joined = spark.table(f"gate_orders_{tag}").join(
+        spark.table(f"gate_cust_{tag}"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 # =====================================================================
 # graph query surface (EP3): traversal with recursive-CTE oracle
 # =====================================================================
