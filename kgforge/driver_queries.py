@@ -1104,6 +1104,98 @@ def graph_bfs_distances(spark, sf_dir):
     return out.select(F.col("id").cast("long"), F.col("dist").cast("long"))
 
 
+@_q(
+    "graph_pagerank",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM e
+    ), deg AS (
+      SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT id, 1000000000::BIGINT AS rank FROM nodes
+    ), c1 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r0 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.id,
+             (150000000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS rank
+      FROM nodes n LEFT JOIN c1 c ON n.id = c.id
+    ), c2 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r1 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.id,
+             (150000000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS rank
+      FROM nodes n LEFT JOIN c2 c ON n.id = c.id
+    ), c3 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r2 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT n.id::BIGINT AS id,
+           (150000000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS rank
+    FROM nodes n LEFT JOIN c3 c ON n.id = c.id
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """3-iteration PageRank (BIGINT fixed-point so the hash-compare is
+    exact across engines) on the symmetrized customer—supplier graph;
+    oracle is the same recurrence as unrolled chained CTEs."""
+    from kgforge.plans.graph_query import pagerank, symmetrize
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    out = pagerank(symmetrize(edges), n_iter=3, scaled=True)
+    return out.select(F.col("id").cast("long"), F.col("rank").cast("long"))
+
+
+@_q(
+    "graph_triangles",
+    """
+    WITH se AS (SELECT c_nationkey AS g, c_custkey AS id FROM customer),
+    e AS (
+      SELECT a.g AS g, a.id AS a, b.id AS b
+      FROM se a JOIN se b ON a.g = b.g AND a.id < b.id
+    )
+    SELECT e1.g::BIGINT AS nationkey, count(*)::BIGINT AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.g = e1.g AND e2.a = e1.b
+              JOIN e e3 ON e3.g = e1.g AND e3.a = e1.a AND e3.b = e2.b
+    GROUP BY e1.g
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-nation triangle count on the same-nation customer clique graph;
+    Spark runs the degree-oriented two-join plan, the oracle the naive
+    a<b<c three-way SQL join — counts must agree exactly."""
+    from kgforge.plans.graph_query import triangle_count
+
+    se = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"), F.col("c_custkey").alias("id")
+    )
+    a = se.select("g", F.col("id").alias("src"))
+    b = se.select("g", F.col("id").alias("dst"))
+    edges = a.join(b, on="g").filter(F.col("src") < F.col("dst"))
+    out = triangle_count(edges, group_col="g")
+    return out.select(
+        F.col("g").cast("long").alias("nationkey"), "n_triangles"
+    )
+
+
 @_q("graph_match_pattern")  # runs over the built KG -> rows-only
 def graph_match_pattern(spark, sf_dir):
     """MATCH (p:Person)-[:DIRECTED]->(m:Movie) over the materialized graph."""

@@ -112,3 +112,128 @@ def k_hop(
     if exactly:
         return dists.filter(F.col("dist") == k).select("id")
     return dists.select("id", "dist")
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    scaled: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list: (id, rank).
+
+    edges(src long, dst long). Per-node formulation
+    ``r'(v) = (1-d) + d * sum_{u->v} r(u)/outdeg(u)``; dangling nodes
+    contribute nothing (the standard simplified variant). One equi-join +
+    one aggregate per iteration — partial aggregation collapses hot dst
+    keys map-side — with `localCheckpoint` truncating lineage per round
+    (same iterative hygiene as bfs_distances / connected components).
+
+    ``scaled=True`` runs the recurrence in BIGINT fixed-point (rank x 1e9,
+    integral division at every step): bit-identical across engines and
+    partial-agg orders, which is what the driver's cross-engine oracle
+    hash-compare needs (float ranks drift in the last ulp with summation
+    order). Entity-importance ranking over the constructed KG; the
+    reference has no graph analytics at all (single FalkorDB instance).
+    """
+    e = edges.select("src", "dst").dropDuplicates()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = e.join(deg, on="src").localCheckpoint()
+    if scaled:
+        ranks = nodes.select(
+            "id", F.lit(1_000_000_000).cast("long").alias("rank")
+        )
+        share = F.expr("rank div outdeg")
+        newrank = F.expr(
+            "CAST(150000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+            " AS BIGINT)"
+        )
+    else:
+        ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+        share = F.col("rank") / F.col("outdeg")
+        newrank = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
+            F.col("s"), F.lit(0.0)
+        )
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(ed, ranks.id == ed.src)
+            .select(F.col("dst").alias("id"), share.alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, on="id", how="left")
+            .select("id", newrank.alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def triangle_count(
+    edges: DataFrame, group_col: str | None = None
+) -> DataFrame:
+    """Count triangles: (group, n_triangles) or a single n_triangles row.
+
+    edges(src, dst [, group]); direction ignored, self-loops dropped.
+    Degree-ordered orientation first — every undirected edge points from
+    its lower-(degree, id) endpoint to the higher one — so the wedge
+    join's per-key fan-out is bounded by O(sqrt(m)) even on power-law
+    graphs (the classic node-iterator++ skew guard); then one wedge join
+    + one closing equi-join, all Catalyst-planned. Each triangle is
+    counted exactly once: orientation by a total order makes the oriented
+    graph acyclic, leaving one (x -> y -> z, x -> z) witness per triangle.
+    """
+    cols = [group_col] if group_col else []
+    und = (
+        edges.select(
+            *cols,
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(cols + ["a", "b"])
+    )
+    dg = (
+        und.select(*cols, F.col("a").alias("id"))
+        .unionByName(und.select(*cols, F.col("b").alias("id")))
+        .groupBy(*cols, "id")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = und.join(
+        dg.select(
+            *cols, F.col("id").alias("a"), F.col("deg").alias("da")
+        ),
+        on=cols + ["a"],
+    ).join(
+        dg.select(
+            *cols, F.col("id").alias("b"), F.col("deg").alias("db")
+        ),
+        on=cols + ["b"],
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        *cols,
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    path = oriented.select(
+        *cols, F.col("u").alias("x"), F.col("v").alias("y")
+    ).join(
+        oriented.select(*cols, F.col("u").alias("y"), F.col("v").alias("z")),
+        on=cols + ["y"],
+    )
+    tri = path.join(
+        oriented.select(*cols, F.col("u").alias("x"), F.col("v").alias("z")),
+        on=cols + ["x", "z"],
+        how="left_semi",
+    )
+    grouped = tri.groupBy(*cols) if cols else tri.groupBy()
+    return grouped.agg(F.count("*").cast("long").alias("n_triangles"))

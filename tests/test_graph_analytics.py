@@ -1,0 +1,81 @@
+"""PageRank + triangle counting over edge lists (graph analytics surface).
+
+The driver gates (graph_pagerank / graph_triangles) hash-compare against
+DuckDB; these tests pin the closed-form behavior the gates can't express:
+fixed points, orientation correctness, group semantics, scaled-vs-float
+agreement.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.plans.graph_query import pagerank, symmetrize, triangle_count
+
+
+def _edges(spark, pairs, group=None):
+    if group is not None:
+        return spark.createDataFrame(
+            [(g, a, b) for g, a, b in pairs], "g long, src long, dst long"
+        )
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_cycle_fixed_point(spark):
+    # 2-cycle: r = 0.15 + 0.85 * r has fixed point 1.0, reached at once
+    ranks = {
+        r.id: r.rank
+        for r in pagerank(
+            _edges(spark, [(1, 2), (2, 1)]), n_iter=4
+        ).collect()
+    }
+    assert ranks == {1: pytest.approx(1.0), 2: pytest.approx(1.0)}
+
+
+def test_pagerank_star_orders_hub_first(spark):
+    e = _edges(spark, [(1, 99), (2, 99), (3, 99)])
+    ranks = {r.id: r.rank for r in pagerank(e, n_iter=5).collect()}
+    assert ranks[99] > ranks[1]
+    assert ranks[1] == pytest.approx(0.15)  # leaves have no in-edges
+
+
+def test_pagerank_scaled_tracks_float(spark):
+    pairs = [(i, (i * 3 + 1) % 7) for i in range(7)] + [
+        (i, (i + 1) % 7) for i in range(7)
+    ]
+    e = symmetrize(_edges(spark, pairs))
+    flt = {r.id: r.rank for r in pagerank(e, n_iter=3).collect()}
+    fix = {
+        r.id: r.rank / 1e9
+        for r in pagerank(e, n_iter=3, scaled=True).collect()
+    }
+    assert set(flt) == set(fix)
+    for k in flt:
+        # integral division truncates <=1e-9 per edge per iteration
+        assert flt[k] == pytest.approx(fix[k], abs=1e-6)
+
+
+def test_triangles_clique_and_star(spark):
+    clique4 = [
+        (a, b) for a in range(1, 5) for b in range(1, 5) if a < b
+    ]
+    n = triangle_count(_edges(spark, clique4)).first().n_triangles
+    assert n == 4  # C(4,3)
+    star = [(0, i) for i in range(1, 6)]
+    assert triangle_count(_edges(spark, star)).first().n_triangles == 0
+
+
+def test_triangles_direction_and_dups_ignored(spark):
+    tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)]
+    assert triangle_count(_edges(spark, tri)).first().n_triangles == 1
+
+
+def test_triangles_grouped(spark):
+    g0 = [(0, a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    g1 = [(1, 10, 11), (1, 11, 12)]  # open wedge: no triangle
+    out = {
+        r.g: r.n_triangles
+        for r in triangle_count(
+            _edges(spark, g0 + g1, group=True), group_col="g"
+        ).collect()
+    }
+    assert out == {0: 4}  # wedge-only group yields no row
