@@ -1430,6 +1430,61 @@ def cypher_exec_agg(spark, sf_dir):
 
 
 @_q(
+    "cypher_num_agg",
+    """
+    SELECT n_name AS nation,
+           CAST(sum(c_custkey) AS DOUBLE) AS total_key,
+           CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY nation
+    """,
+)
+def cypher_num_agg(spark, sf_dir):
+    """Numeric Cypher aggregates (sum/min/max over props) compiled to a
+    Catalyst join+agg plan. Sum runs over integer-valued props (exact in
+    double regardless of summation order) and min/max are order-free, so
+    the cross-engine hash compare is stable. Graph = customer -[:FROM]->
+    nation from the driver tables."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("custkey"), F.col("c_custkey").cast("string"),
+            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+        ).alias("props"),
+    ).unionByName(
+        nation.select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("key"),
+            F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+        )
+    )
+    edges = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("src_id"),
+        F.lit("FROM").alias("label"),
+        F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer)-[:FROM]->(n:Nation) "
+        "RETURN n AS nation, sum(c.custkey) AS total_key, "
+        "min(c.acctbal) AS min_bal, max(c.acctbal) AS max_bal "
+        "ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_var_length",
     """
     WITH RECURSIVE e AS (

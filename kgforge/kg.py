@@ -467,8 +467,8 @@ class KnowledgeGraph:
 
     def query(self, cypher: str) -> DataFrame:
         """Execute a read-only Cypher query (the subset the reference's
-        prompt produces: MATCH chains, WHERE, RETURN + count aggregates,
-        ORDER BY, LIMIT) against the graph tables, after validating labels
+        prompt produces: MATCH chains, WHERE, RETURN + count/sum/avg/min/max
+        aggregates, ORDER BY, LIMIT) against the graph tables, after validating labels
         and directions against the ontology (F5) — invalid queries raise
         with the validator's messages, like the reference re-prompts on
         them (graph_query_step.py:40-44)."""
@@ -479,6 +479,55 @@ class KnowledgeGraph:
         if errors:
             raise ValueError("; ".join(errors))
         return run_cypher(cypher, self.nodes(), self.edges())
+
+    def pagerank(
+        self,
+        n_iter: int = 10,
+        damping: float = 0.85,
+        relation: str | None = None,
+    ) -> DataFrame:
+        """Entity importance over the graph: (label, key, rank).
+
+        Runs float power-iteration PageRank over the edge table (optionally
+        one relation type only) and joins ranks back to node identities.
+        Isolated nodes get the teleport mass (1 - damping). The reference
+        exposes no analytics over its FalkorDB graph; this is the Spark-side
+        equivalent of "which entities matter" for curation/disambiguation.
+        """
+        from kgforge.plans.graph_query import pagerank as _pr
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        ranks = _pr(
+            e.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            ),
+            n_iter=n_iter,
+            damping=damping,
+        )
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        return n.join(ranks, on="id", how="left").select(
+            "label",
+            "key",
+            F.coalesce(F.col("rank"), F.lit(1.0 - damping)).alias("rank"),
+        )
+
+    def triangle_counts(self, relation: str | None = None) -> DataFrame:
+        """Triangle count over the undirected projection of the edge table
+        (optionally one relation type): single-row (n_triangles)."""
+        from kgforge.plans.graph_query import triangle_count
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        return triangle_count(
+            e.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            )
+        )
 
     def register_views(self, prefix: str | None = None) -> None:
         """Expose the graph to Spark SQL: <name>_nodes / <name>_edges."""

@@ -49,9 +49,10 @@ Semantics and scope:
   it. Exact (BFS levels ARE min distances).
 - `RETURN var` projects the node's key (the unique-attribute value — node
   identity in this engine and in the reference's MERGE). `var.prop` reads
-  the props map. `count(var)` / `count(*)` / `count(DISTINCT var)`
-  aggregate, grouped by the non-aggregate return items (Cypher's implicit
-  grouping).
+  the props map. `count(var)` / `count(*)` / `count(DISTINCT var)` and the
+  numeric aggregates `sum/avg/min/max(var.prop)` (props try_cast to
+  double) aggregate, grouped by the non-aggregate return items (Cypher's
+  implicit grouping); the same functions work over WITH columns.
 - property comparisons against numeric literals compare numerically
   (props store strings; `try_cast` double), string literals compare as
   strings.
@@ -89,12 +90,14 @@ _COND = re.compile(
     re.IGNORECASE,
 )
 _RET_ITEM = re.compile(
-    r"^(?:(count)\s*\(\s*(DISTINCT\s+)?(\*|\w+(?:\.\w+)?)\s*\)"
+    r"^(?:(count|sum|avg|min|max)\s*\(\s*(DISTINCT\s+)?(\*|\w+(?:\.\w+)?)\s*\)"
     r"|(length)\s*\(\s*(\w+)\s*\)"
     r"|(\w+)(?:\.(\w+))?)"
     r"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE,
 )
+# numeric aggregates operate on try_cast-double props (props store strings)
+_NUM_AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
 
 
 def _mask_quotes(s: str) -> str:
@@ -650,22 +653,36 @@ def run_cypher(
                 if length_fn:
                     raise CypherUnsupported("length() after WITH")
                 if cnt:
+                    fnl = cnt.lower()
                     arg = cnt_arg.strip()
                     name = alias or (
-                        f"count_{arg.replace('.', '_').replace('*', 'all')}"
+                        f"{fnl}_{arg.replace('.', '_').replace('*', 'all')}"
                     )
-                    if arg == "*":
-                        c = F.count("*")
-                    elif arg in columns_ns:
-                        c = (
-                            F.countDistinct(arg) if cnt_distinct
-                            else F.count(arg)
-                        )
+                    if fnl == "count":
+                        if arg == "*":
+                            c = F.count("*")
+                        elif arg in columns_ns:
+                            c = (
+                                F.countDistinct(arg) if cnt_distinct
+                                else F.count(arg)
+                            )
+                        else:
+                            raise CypherUnsupported(
+                                f"unknown column {arg!r} after WITH"
+                            )
+                        aggs.append((name, c.cast("long")))
                     else:
-                        raise CypherUnsupported(
-                            f"unknown column {arg!r} after WITH"
+                        if cnt_distinct:
+                            raise CypherUnsupported(
+                                "DISTINCT is only supported with count()"
+                            )
+                        if arg == "*" or arg not in columns_ns:
+                            raise CypherUnsupported(
+                                f"unknown column {arg!r} after WITH"
+                            )
+                        aggs.append(
+                            (name, _NUM_AGGS[fnl](F.col(arg).try_cast("double")))
                         )
-                    aggs.append((name, c.cast("long")))
                 elif prop or var not in columns_ns:
                     raise CypherUnsupported(
                         f"RETURN after WITH must use WITH column names, "
@@ -682,28 +699,45 @@ def run_cypher(
                 name = alias or f"length_{length_arg}"
                 keys.append((name, F.col(f"{length_arg}__len")))
             elif cnt:
+                fnl = cnt.lower()
                 arg = cnt_arg.strip()
                 name = alias or (
-                    f"count_{arg.replace('.', '_').replace('*', 'all')}"
+                    f"{fnl}_{arg.replace('.', '_').replace('*', 'all')}"
                 )
-                if arg == "*":
-                    c = F.count("*")
-                else:
-                    v, _, p = arg.partition(".")
-                    if p:
-                        target = prop_col(v, p)
-                    elif v in rel_vars:
-                        target = F.col(f"{v}__props")
+                if fnl == "count":
+                    if arg == "*":
+                        c = F.count("*")
                     else:
-                        if v not in var_specs:
-                            raise CypherUnsupported(f"unknown variable {v!r}")
-                        target = F.col(f"{v}__key")
-                    c = (
-                        F.countDistinct(target)
-                        if cnt_distinct
-                        else F.count(target)
+                        v, _, p = arg.partition(".")
+                        if p:
+                            target = prop_col(v, p)
+                        elif v in rel_vars:
+                            target = F.col(f"{v}__props")
+                        else:
+                            if v not in var_specs:
+                                raise CypherUnsupported(
+                                    f"unknown variable {v!r}"
+                                )
+                            target = F.col(f"{v}__key")
+                        c = (
+                            F.countDistinct(target)
+                            if cnt_distinct
+                            else F.count(target)
+                        )
+                    aggs.append((name, c.cast("long")))
+                else:
+                    if cnt_distinct:
+                        raise CypherUnsupported(
+                            "DISTINCT is only supported with count()"
+                        )
+                    v, _, p = arg.partition(".")
+                    if not p:
+                        raise CypherUnsupported(
+                            f"{fnl}() takes a property (var.prop), got {arg!r}"
+                        )
+                    aggs.append(
+                        (name, _NUM_AGGS[fnl](prop_col(v, p).try_cast("double")))
                     )
-                aggs.append((name, c.cast("long")))
             else:
                 if not prop and var in rel_vars:
                     raise CypherUnsupported(

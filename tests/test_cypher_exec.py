@@ -401,3 +401,40 @@ def test_new_subset_boundaries_raise(movie_graph):
         run_cypher(
             "MATCH (p:Person)-[p:ACTED_IN]->(m) RETURN m", nodes, edges
         )
+
+
+def test_numeric_aggregates(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "RETURN x.title AS title, sum(f.wins) AS total_wins, "
+        "max(f.wins) AS best, avg(f.wins) AS mean "
+        "ORDER BY title",
+        nodes, edges,
+    ).collect()
+    assert [(r.title, r.total_wins, r.best, r.mean) for r in out] == [
+        ("Ana v Bo", 19.0, 12.0, 9.5),
+        ("Bo v Cy", 10.0, 7.0, 5.0),
+    ]
+
+
+def test_numeric_aggregate_after_with(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH x.rounds AS rounds, count(f) AS fighters "
+        "RETURN sum(rounds) AS total_rounds, min(fighters) AS min_fighters",
+        nodes, edges,
+    ).collect()
+    assert [(r.total_rounds, r.min_fighters) for r in out] == [(8.0, 2.0)]
+
+
+def test_numeric_aggregate_rejects_distinct_and_bare_var(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN sum(DISTINCT f.wins) AS s",
+            nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher("MATCH (f:Fighter) RETURN sum(f) AS s", nodes, edges)

@@ -214,3 +214,24 @@ def test_process_sources_text_files(spark, workdir, tmp_path):
     }
     assert ("Alan Abbott", "DIRECTED", "The Dark Tide") in triples
     assert ("Rosa Xu", "ACTED_IN", "The Dark Tide") in triples
+
+
+def test_facade_graph_analytics(kg):
+    """kg.pagerank / kg.triangle_counts run over the materialized tables."""
+    kg.add_nodes(
+        [("Actor", {"name": f"A{i}"}) for i in range(3)]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": f"A{i}"}, {"title": "M"}, {})
+            for i in range(3)
+        ]
+    )
+    pr = {(r.label, r.key): r.rank for r in kg.pagerank(n_iter=5).collect()}
+    assert len(pr) == 4
+    # the movie receives all the mass; actors keep only teleport mass
+    assert pr[("Movie", "M")] > pr[("Actor", "A0")]
+    assert pr[("Actor", "A0")] == pytest.approx(0.15)
+    # star graph has no triangles
+    assert kg.triangle_counts().first().n_triangles == 0
