@@ -65,6 +65,7 @@ HEADLINE = [
     "curate_docs_audit",
     "cypher_exec_agg",
     "cypher_var_length",
+    "graph_pagerank",
 ]
 
 

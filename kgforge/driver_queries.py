@@ -1160,7 +1160,7 @@ def graph_pagerank(spark, sf_dir):
         )
         .dropDuplicates()
     )
-    out = pagerank(symmetrize(edges), n_iter=3, scaled=True)
+    out = pagerank(symmetrize(edges), n_iter=3, scaled=True, dedup=False)
     return out.select(F.col("id").cast("long"), F.col("rank").cast("long"))
 
 

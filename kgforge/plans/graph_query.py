@@ -119,6 +119,7 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     scaled: bool = False,
+    dedup: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list: (id, rank).
 
@@ -135,16 +136,24 @@ def pagerank(
     hash-compare needs (float ranks drift in the last ulp with summation
     order). Entity-importance ranking over the constructed KG; the
     reference has no graph analytics at all (single FalkorDB instance).
+    ``dedup=False`` skips the defensive edge dropDuplicates when the
+    caller guarantees distinct edges (e.g. output of ``symmetrize``).
     """
-    e = edges.select("src", "dst").dropDuplicates()
+    e = edges.select("src", "dst")
+    if dedup:
+        e = e.dropDuplicates()
+    # persist (not localCheckpoint) the loop-invariant relations: persist
+    # keeps the plan's output partitioning, so the per-iteration join on
+    # src and the left join on id reuse the existing exchanges instead of
+    # reshuffling the (large) edge relation every round
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .dropDuplicates()
-        .localCheckpoint()
+        .persist()
     )
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ed = e.join(deg, on="src").localCheckpoint()
+    ed = e.join(deg, on="src").persist()
     if scaled:
         ranks = nodes.select(
             "id", F.lit(1_000_000_000).cast("long").alias("rank")
@@ -170,8 +179,10 @@ def pagerank(
         ranks = (
             nodes.join(contrib, on="id", how="left")
             .select("id", newrank.alias("rank"))
-            .localCheckpoint()
+            .localCheckpoint()  # eager: the last round materializes ranks
         )
+    ed.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -219,11 +230,15 @@ def triangle_count(
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = e.select(
-        *cols,
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint()
+    from kgforge.cache import persist_tracked
+
+    oriented = persist_tracked(
+        e.select(
+            *cols,
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
     path = oriented.select(
         *cols, F.col("u").alias("x"), F.col("v").alias("y")
     ).join(
