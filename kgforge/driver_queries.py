@@ -1670,6 +1670,57 @@ def cypher_edge_props(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_undirected",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.n_name AS a, b.n_name AS b
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    ), sym AS (
+      SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+    )
+    SELECT a AS nation, count(*)::BIGINT AS n_neighbors
+    FROM sym GROUP BY a ORDER BY nation
+    """,
+)
+def cypher_undirected(spark, sf_dir):
+    """Undirected relationship legs (-[:R]-, ref prompt surface 'omit it
+    for either direction'): SAME_REGION edges are stored one-way
+    (low name -> high name), yet every nation must see all same-region
+    peers — the executor unions both orientations of the edge relation.
+    Oracle = the explicit two-orientation UNION ALL in SQL."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nation = _t(spark, sf_dir, "nation")
+    nodes = nation.select(
+        F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+        F.lit("Nation").alias("label"),
+        F.col("n_name").alias("key"),
+        F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+    )
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_name") < F.col("b.n_name")),
+        )
+        .select(
+            F.xxhash64(F.lit("Nation"), "a.n_name").alias("src_id"),
+            F.lit("SAME_REGION").alias("label"),
+            F.xxhash64(F.lit("Nation"), "b.n_name").alias("dst_id"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+    )
+    return run_cypher(
+        "MATCH (a:Nation)-[:SAME_REGION]-(b:Nation) "
+        "RETURN a AS nation, count(b) AS n_neighbors ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

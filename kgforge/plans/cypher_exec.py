@@ -19,9 +19,15 @@ tables:
 
 Semantics and scope:
 
-- patterns are chains of directed legs; comma-separated patterns join on
-  shared variables (cartesian when disjoint, as in Cypher). Undirected
-  legs raise (direction carries meaning in the property graph).
+- patterns are chains of legs; comma-separated patterns join on shared
+  variables (cartesian when disjoint, as in Cypher). An undirected leg
+  ``-[:R]-`` (ref prompt: "omit it for either direction") matches the
+  relationship in either orientation — compiled as the union of the edge
+  relation with its reverse (one binding per fitting orientation, exact
+  openCypher semantics); undirected variable-length / shortestPath legs
+  expand over the symmetrized edge set. ``allShortestPaths`` is accepted
+  as a synonym of ``shortestPath`` (identical once only ``length(p)`` is
+  observable).
 - a relationship variable ``-[r:R]->`` binds the edge; ``r.prop`` reads
   its props map in WHERE / RETURN, ``count(r)`` counts matched edges.
   Rel vars on variable-length legs raise (they'd bind a rel LIST).
@@ -80,7 +86,7 @@ _EDGE = re.compile(
     r"(\*\s*(\d+)?\s*(?:(\.\.)\s*(\d+)?)?)?\s*\]\s*(->|-)"
 )
 _SHORTEST = re.compile(
-    r"^(\w+)\s*=\s*(?:all)?shortestPath\s*\(\s*(.+)\s*\)$",
+    r"^(\w+)\s*=\s*(?:all)?shortestPaths?\s*\(\s*(.+)\s*\)$",
     re.IGNORECASE | re.DOTALL,
 )
 MAX_VAR_HOPS = 8  # bound for unbounded * / shortestPath expansion
@@ -221,14 +227,15 @@ def _parse_pattern(pattern: str, var_gen, max_hops: int = MAX_VAR_HOPS):
                 raise CypherUnsupported(f"bad quantifier in {pattern!r}")
             hops = (lo, hi)
         if left == "-" and right == "->":
-            legs.append((prev[0], rel_label, cur[0], hops, rel_var))
+            legs.append((prev[0], rel_label, cur[0], hops, rel_var, False))
         elif left == "<-" and right == "-":
-            legs.append((cur[0], rel_label, prev[0], hops, rel_var))
+            legs.append((cur[0], rel_label, prev[0], hops, rel_var, False))
+        elif left == "-" and right == "-":
+            # undirected: matches the relationship in either orientation
+            # (ref prompt surface: "omit it for either direction")
+            legs.append((prev[0], rel_label, cur[0], hops, rel_var, True))
         else:
-            raise CypherUnsupported(
-                "undirected legs are not executable (direction carries "
-                "meaning in the property graph); use graph_query helpers"
-            )
+            raise CypherUnsupported("<-[...]-> legs are not valid Cypher")
         prev = cur
     return nodes, legs
 
@@ -375,7 +382,7 @@ def run_cypher(
                     props = {**old_props, **props}
                 var_specs[var] = (label, props)
                 group.append(var)
-            for src, rel, dst, hops, rel_var in plegs:
+            for src, rel, dst, hops, rel_var, undirected in plegs:
                 if rel_var is not None:
                     if hops is not None:
                         raise CypherUnsupported(
@@ -387,7 +394,7 @@ def run_cypher(
                             f"duplicate variable {rel_var!r}"
                         )
                     rel_vars.add(rel_var)
-                legs.append((src, rel, dst, hops, rel_var, path_var))
+                legs.append((src, rel, dst, hops, rel_var, path_var, undirected))
             groups.append(group)
         return groups, legs
 
@@ -439,8 +446,16 @@ def run_cypher(
         Level-wise frontier joins, deduped + localCheckpoint per level,
         early exit when the frontier drains (graph_query.bfs_distances
         iterative hygiene)."""
-        src, rel, dst, (lo, hi), _rel_var, path_var = leg
-        e = _rel_edges(rel).dropDuplicates()
+        src, rel, dst, (lo, hi), _rel_var, path_var, undirected = leg
+        e = _rel_edges(rel)
+        if undirected:
+            e = e.unionByName(
+                e.select(
+                    F.col("dst_id").alias("src_id"),
+                    F.col("src_id").alias("dst_id"),
+                )
+            )
+        e = e.dropDuplicates()
         track_min = path_var is not None
         # origin pruning applies to the FIRST frontier only — later hops
         # pass through nodes of any label
@@ -490,7 +505,7 @@ def run_cypher(
         return out
 
     def leg_df(leg) -> DataFrame:
-        src, rel, dst, hops, rel_var, path_var = leg
+        src, rel, dst, hops, rel_var, path_var, undirected = leg
         if src == dst:
             raise CypherUnsupported("self-loop legs are not supported")
         if hops is not None:
@@ -504,7 +519,20 @@ def run_cypher(
         ]
         if rel_var is not None:
             cols.append(F.col("props").alias(f"{rel_var}__props"))
-        return e.select(*cols)
+        fwd = e.select(*cols)
+        if not undirected:
+            return fwd
+        # Cypher: an undirected leg matches the relationship once per
+        # orientation that fits — the union of both orientations, one
+        # scan each, no dedup (a stored (a->b) yields both (src=a,dst=b)
+        # and (src=b,dst=a) bindings, as in openCypher)
+        rcols = [
+            F.col("dst_id").alias(f"{src}__id"),
+            F.col("src_id").alias(f"{dst}__id"),
+        ]
+        if rel_var is not None:
+            rcols.append(F.col("props").alias(f"{rel_var}__props"))
+        return fwd.unionByName(e.select(*rcols))
 
     pending = list(enumerate(all_legs))
     # seed with the first pattern's first variable

@@ -216,8 +216,8 @@ def test_var_length_validator_accepts_quantifier(spark, workdir):
 
 def test_unsupported_shapes_raise(graph):
     nodes, edges = graph
-    with pytest.raises(CypherUnsupported):
-        run_cypher("MATCH (a)-[:R]-(b) RETURN a", nodes, edges)  # undirected
+    with pytest.raises(CypherUnsupported):  # double-arrow is not Cypher
+        run_cypher("MATCH (a)<-[:R]->(b) RETURN a", nodes, edges)
     with pytest.raises(CypherUnsupported):
         run_cypher("CREATE (a:X) RETURN a", nodes, edges)
     with pytest.raises(CypherUnsupported):  # MATCH chained after WITH
@@ -226,6 +226,54 @@ def test_unsupported_shapes_raise(graph):
             nodes,
             edges,
         )
+
+
+def test_undirected_leg_matches_both_orientations(graph):
+    """Ref prompt surface: 'Specify relationship direction or omit it for
+    either direction' — an undirected leg binds each stored edge twice,
+    once per orientation (openCypher semantics)."""
+    nodes, edges = graph
+    got = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]-(x) RETURN f, x ORDER BY f, x",
+        nodes,
+        edges,
+    ).collect()
+    # directed: only Fighter->Fight rows; undirected adds nothing new here
+    assert [(r.f, r.x) for r in got] == [
+        ("Ana", "Ana v Bo"), ("Bo", "Ana v Bo"), ("Bo", "Bo v Cy"),
+        ("Cy", "Bo v Cy"),
+    ]
+    # anchored from the Fight side the same undirected leg walks backwards
+    got = run_cypher(
+        "MATCH (x:Fight {title: 'Ana v Bo'})-[:FOUGHT_IN]-(f:Fighter) "
+        "RETURN f ORDER BY f",
+        nodes,
+        edges,
+    ).collect()
+    assert [r.f for r in got] == ["Ana", "Bo"]
+
+
+def test_undirected_var_length_walks_both_ways(graph):
+    nodes, edges = graph
+    # Ana -2hops- x over FOUGHT_IN ignoring direction: Ana..Fight..{Ana,Bo}
+    got = run_cypher(
+        "MATCH (a:Fighter {name: 'Ana'})-[:FOUGHT_IN*2..2]-(x:Fighter) "
+        "RETURN x ORDER BY x",
+        nodes,
+        edges,
+    ).collect()
+    assert [r.x for r in got] == ["Ana", "Bo"]
+
+
+def test_all_shortest_paths_synonym(graph):
+    nodes, edges = graph
+    got = run_cypher(
+        "MATCH p = allShortestPaths((a:Fighter {name: 'Ana'})-[*..6]-"
+        "(e:Event)) RETURN e, length(p) AS d",
+        nodes,
+        edges,
+    ).collect()
+    assert [(r.e, r.d) for r in got] == [("Open 1", 2)]
 
 
 def test_skip_offsets_sorted_rows(graph):
