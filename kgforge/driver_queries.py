@@ -1196,6 +1196,52 @@ def graph_triangles(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_weighted_sssp",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.n_name AS src, b.n_name AS dst,
+             abs(a.n_nationkey - b.n_nationkey)::BIGINT AS w
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_name <> b.n_name
+    ), walk(id, d, h) AS (
+      SELECT (SELECT min(n_name) FROM nation), 0::BIGINT, 0
+      UNION
+      SELECT p.dst, w.d + p.w, w.h + 1
+      FROM walk w JOIN pairs p ON p.src = w.id WHERE w.h < 4
+    )
+    SELECT id AS nation, min(d)::BIGINT AS dist
+    FROM walk GROUP BY id ORDER BY nation
+    """,
+)
+def graph_weighted_sssp(spark, sf_dir):
+    """Single-source minimal-weight paths (the prompt-documented
+    algo.SSpaths surface) via bounded Bellman-Ford relaxation on the
+    same-region nation graph with |nationkey delta| integer weights;
+    oracle = exhaustive recursive-CTE walk enumeration, min total weight
+    per reachable node. Integer weights keep the compare bit-exact."""
+    from kgforge.plans.graph_query import weighted_sssp
+
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_name") != F.col("b.n_name")),
+    ).select(
+        F.col("a.n_name").alias("src"),
+        F.col("b.n_name").alias("dst"),
+        F.abs(F.col("a.n_nationkey") - F.col("b.n_nationkey"))
+        .cast("long")
+        .alias("w"),
+    )
+    src = n.agg(F.min("n_name").alias("id"))
+    out = weighted_sssp(edges, src, max_hops=4)
+    return out.select(
+        F.col("id").alias("nation"), F.col("d").cast("long").alias("dist")
+    )
+
+
 @_q("graph_match_pattern")  # runs over the built KG -> rows-only
 def graph_match_pattern(spark, sf_dir):
     """MATCH (p:Person)-[:DIRECTED]->(m:Movie) over the materialized graph."""

@@ -114,6 +114,48 @@ def k_hop(
     return dists.select("id", "dist")
 
 
+def weighted_sssp(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Single-source(-set) minimal-weight paths: (id, dist).
+
+    The reference's prompt surface documents FalkorDB's ``algo.SSpaths`` /
+    ``algo.SPpaths`` (single-source / single-pair minimal-weight paths,
+    ref fixtures/prompts.py:395-398); this is the Spark-side equivalent.
+    edges(src, dst, w) with non-negative numeric w; sources(id). Returns
+    the minimum total weight over walks of <= max_hops edges — bounded
+    Bellman-Ford: each round relaxes every edge once (one equi-join on
+    src + one min-aggregate, partial aggregation collapses hot dst keys
+    map-side), `localCheckpoint` truncates lineage per round, early exit
+    when a round improves nothing (at which point the bound is immaterial
+    and dist IS the true shortest-path weight). Integer weights make the
+    result bit-exact across engines (the driver gate's oracle is a
+    recursive-CTE walk enumeration over the same graph).
+    """
+    dist = sources.select(
+        "id", F.lit(0).cast("long").alias("d")
+    ).localCheckpoint()
+    e = edges.select("src", "dst", "w")
+    for _ in range(max_hops):
+        cand = (
+            dist.join(e, dist.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        new = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        # converged when no (id, d) pair changed: every new row already
+        # existed — probe is one cheap anti-join on gate-scale relations
+        if new.join(dist, on=["id", "d"], how="left_anti").isEmpty():
+            dist = new
+            break
+        dist = new
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,

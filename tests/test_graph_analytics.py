@@ -79,3 +79,41 @@ def test_triangles_grouped(spark):
         ).collect()
     }
     assert out == {0: 4}  # wedge-only group yields no row
+
+
+def test_weighted_sssp_prefers_cheap_long_path(spark):
+    # 1->2->3->4 costs 1+1+1=3; the direct 1->4 edge costs 10 — three
+    # relaxation rounds must beat the one-hop path
+    from kgforge.plans.graph_query import weighted_sssp
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    dist = {r.id: r.d for r in weighted_sssp(e, src, max_hops=8).collect()}
+    assert dist == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_weighted_sssp_hop_bound_truncates(spark):
+    # with max_hops=1 only the direct edge is reachable at its weight
+    from kgforge.plans.graph_query import weighted_sssp
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 10)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    dist = {r.id: r.d for r in weighted_sssp(e, src, max_hops=1).collect()}
+    assert dist == {1: 0, 2: 1, 3: 10}
+    dist = {r.id: r.d for r in weighted_sssp(e, src, max_hops=2).collect()}
+    assert dist == {1: 0, 2: 1, 3: 2}
+
+
+def test_weighted_sssp_unreachable_absent(spark):
+    from kgforge.plans.graph_query import weighted_sssp
+
+    e = spark.createDataFrame([(1, 2, 5)], "src long, dst long, w long")
+    src = spark.createDataFrame([(1,)], "id long")
+    out = weighted_sssp(e, src, max_hops=4).collect()
+    assert {r.id for r in out} == {1, 2}
