@@ -1767,6 +1767,58 @@ def cypher_undirected(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_where_in_or",
+    oracle="""
+    SELECT n_name AS nation, count(*)::BIGINT AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('FRANCE', 'GERMANY', 'CANADA') OR c_acctbal >= 9000
+    GROUP BY n_name ORDER BY nation
+    """,
+)
+def cypher_where_in_or(spark, sf_dir):
+    """WHERE-grammar surface beyond AND-chains: list membership
+    (`n.name IN [...]`) and OR disjunction with Cypher precedence, both
+    common in stored/generated queries. The whole WHERE compiles to ONE
+    Catalyst Filter. Integer threshold on acctbal keeps the string-prop
+    try_cast double compare exact vs DuckDB's decimal."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("acctbal"), F.col("c_acctbal").cast("string")
+        ).alias("props"),
+    ).unionByName(
+        nation.select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("key"),
+            F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+        )
+    )
+    edges = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("src_id"),
+        F.lit("FROM").alias("label"),
+        F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer)-[:FROM]->(n:Nation) "
+        "WHERE n.name IN ['FRANCE', 'GERMANY', 'CANADA'] "
+        "OR c.acctbal >= 9000 "
+        "RETURN n AS nation, count(c) AS n_cust ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

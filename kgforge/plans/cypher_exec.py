@@ -12,6 +12,7 @@ tables:
     MATCH (a:L1)-[:R1*1..3]->(b:L2)                  -- variable length
     MATCH p = shortestPath((a:L1)-[:R1*..6]->(b:L2)) -- RETURN length(p)
     WHERE a.prop = 'x' AND r.role <> 'self' AND c.name CONTAINS 'y'
+    WHERE a.prop IN ['x', 'y'] OR b.rank >= 3 AND c.tag IS NOT NULL
     OPTIONAL MATCH (a)-[:R3]->(e:L4) [WHERE e.prop = 'z']
     WITH a, count(e) AS n [WHERE n >= 3]             -- aggregate + HAVING
     RETURN a, b.prop AS p, n  [DISTINCT]
@@ -62,6 +63,12 @@ Semantics and scope:
 - property comparisons against numeric literals compare numerically
   (props store strings; `try_cast` double), string literals compare as
   strings.
+- WHERE supports ``AND``/``OR`` with Cypher precedence (AND binds
+  tighter; parenthesized boolean groups are out of subset), membership
+  ``var.prop IN ['a', 'b']`` / ``IN [1, 2]`` (homogeneous literal lists),
+  and ``var.prop IS [NOT] NULL`` (a missing props key is NULL, so this
+  also tests unmatched OPTIONAL rows). All compile to one Column
+  expression per WHERE — a single Catalyst Filter, no per-conjunct scan.
 
 Everything compiles to label-filtered equi-joins + hash aggregation —
 Catalyst reorders/broadcasts them like any relational plan; there is no
@@ -94,6 +101,10 @@ _COND = re.compile(
     r"(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>|CONTAINS|STARTS\s+WITH|ENDS\s+WITH)"
     r"\s*('(?:[^']*)'|\"(?:[^\"]*)\"|-?\d+(?:\.\d+)?)",
     re.IGNORECASE,
+)
+_NULL_COND = re.compile(r"(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL", re.IGNORECASE)
+_IN_COND = re.compile(
+    r"(\w+)\.(\w+)\s+IN\s+\[(.*)\]", re.IGNORECASE | re.DOTALL
 )
 _RET_ITEM = re.compile(
     r"^(?:(count|sum|avg|min|max)\s*\(\s*(DISTINCT\s+)?(\*|\w+(?:\.\w+)?)\s*\)"
@@ -577,30 +588,79 @@ def run_cypher(
             raise CypherUnsupported(f"unknown variable {var!r}")
         return F.col(f"{var}__props")[prop]
 
+    def bound_prop_col(var: str, prop: str, known: set[str]) -> Column:
+        if var not in known:
+            raise CypherUnsupported(
+                f"variable {var!r} is not bound in this clause"
+            )
+        return prop_col(var, prop)
+
+    def compile_cond(cond_text: str, known: set[str]) -> Column:
+        nm = _NULL_COND.fullmatch(cond_text)
+        if nm is not None:
+            var, prop, neg = nm.groups()
+            col = bound_prop_col(var, prop, known)
+            return col.isNotNull() if neg else col.isNull()
+        im = _IN_COND.fullmatch(cond_text)
+        if im is not None:
+            var, prop, body = im.groups()
+            col = bound_prop_col(var, prop, known)
+            strs, nums = [], []
+            for item in _split_keyword(body, ","):
+                item = item.strip()
+                if not item:
+                    continue
+                if item[0] in "'\"" and item[-1:] == item[0]:
+                    strs.append(item[1:-1])
+                elif re.fullmatch(r"-?\d+(?:\.\d+)?", item):
+                    nums.append(float(item))
+                else:
+                    raise CypherUnsupported(f"bad IN list item {item!r}")
+            if strs and nums:
+                raise CypherUnsupported("mixed-type IN list")
+            if nums:
+                return col.try_cast("double").isin(nums)
+            if strs:
+                return col.isin(strs)
+            return F.lit(False)  # IN [] matches nothing (Cypher parity)
+        cm = _COND.fullmatch(cond_text)
+        if cm is None:
+            raise CypherUnsupported(f"unsupported condition {cond_text!r}")
+        var, prop, op, lit = cm.groups()
+        col = bound_prop_col(var, prop, known)
+        if lit[0] in "'\"":
+            val: Column | str = lit[1:-1]
+        else:
+            col = col.try_cast("double")
+            val = F.lit(float(lit))
+        return _OPS[re.sub(r"\s+", " ", op.upper())](col, val)
+
     def apply_conds(df: DataFrame, where_texts: list[str],
                     known: set[str]) -> DataFrame:
+        # Cypher precedence: AND over OR; each WHERE becomes ONE Column
+        # expression / Catalyst Filter (parenthesized groups out of subset)
         for where_text in where_texts:
-            for cond_text in _split_keyword(where_text, r"\bAND\b"):
-                cond_text = cond_text.strip()
-                if not cond_text:
+            or_parts = _split_keyword(where_text, r"\bOR\b")
+            disjuncts: list[Column] = []
+            for or_part in or_parts:
+                conjs = [
+                    compile_cond(c.strip(), known)
+                    for c in _split_keyword(or_part, r"\bAND\b")
+                    if c.strip()
+                ]
+                if not conjs:
+                    if len(or_parts) > 1:
+                        raise CypherUnsupported("dangling OR in WHERE")
                     continue
-                cm = _COND.fullmatch(cond_text)
-                if cm is None:
-                    raise CypherUnsupported(
-                        f"unsupported condition {cond_text!r}"
-                    )
-                var, prop, op, lit = cm.groups()
-                if var not in known:
-                    raise CypherUnsupported(
-                        f"variable {var!r} is not bound in this clause"
-                    )
-                col = prop_col(var, prop)
-                if lit[0] in "'\"":
-                    val: Column | str = lit[1:-1]
-                else:
-                    col = col.try_cast("double")
-                    val = F.lit(float(lit))
-                df = df.filter(_OPS[re.sub(r"\s+", " ", op.upper())](col, val))
+                expr = conjs[0]
+                for c in conjs[1:]:
+                    expr = expr & c
+                disjuncts.append(expr)
+            if disjuncts:
+                expr = disjuncts[0]
+                for d in disjuncts[1:]:
+                    expr = expr | d
+                df = df.filter(expr)
         return df
 
     bound_rels = {leg[4] for leg in all_legs if leg[4] is not None}

@@ -486,3 +486,83 @@ def test_numeric_aggregate_rejects_distinct_and_bare_var(graph):
         )
     with pytest.raises(CypherUnsupported):
         run_cypher("MATCH (f:Fighter) RETURN sum(f) AS s", nodes, edges)
+
+
+def test_where_in_string_list(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name IN ['Ana', 'Cy'] "
+        "RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Cy"]
+
+
+def test_where_in_numeric_list(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.wins IN [3, 12] RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Cy"]
+
+
+def test_where_in_empty_list_matches_nothing(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name IN [] RETURN f", nodes, edges
+    ).collect()
+    assert out == []
+
+
+def test_where_or_binds_looser_than_and(graph):
+    # Cypher precedence: a OR b AND c  ==  a OR (b AND c)
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WHERE f.name = 'Cy' OR f.wins >= 7 AND x.title CONTAINS 'Ana' "
+        "RETURN f, x.title AS title ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.title) for r in out] == [
+        ("Ana", "Ana v Bo"), ("Bo", "Ana v Bo"), ("Cy", "Bo v Cy"),
+    ]
+
+
+def test_where_is_null_on_missing_prop(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.nick IS NULL AND f.wins >= 7 "
+        "RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Bo"]
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.wins IS NOT NULL RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Bo", "Cy"]
+
+
+def test_where_or_inside_literal_not_split(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name <> 'X OR Y AND Z' "
+        "RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Bo", "Cy"]
+
+
+def test_where_rejects_mixed_in_list_and_dangling_or(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            "MATCH (f:Fighter) WHERE f.name IN ['Ana', 7] RETURN f",
+            nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported):
+        run_cypher(
+            "MATCH (f:Fighter) WHERE f.name = 'Ana' OR RETURN f",
+            nodes, edges,
+        )
