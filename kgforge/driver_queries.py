@@ -1819,6 +1819,82 @@ def cypher_where_in_or(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_rel_alternation",
+    oracle="""
+    WITH links AS (
+      SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT n_name AS nation, count(*)::BIGINT AS n_linked
+    FROM links GROUP BY n_name ORDER BY nation
+    """,
+)
+def cypher_rel_alternation(spark, sf_dir):
+    """Relationship-type alternation (-[:FROM|LOCATED_IN]->, openCypher
+    multi-type legs): one label-isin edge scan instead of a per-type
+    union. Customers and suppliers both link to nations; the oracle is
+    the explicit per-type UNION ALL."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    empty = F.create_map().cast("map<string,string>")
+    ckey = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    skey = F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+    nodes = (
+        customer.select(
+            F.xxhash64(F.lit("Customer"), ckey).alias("node_id"),
+            F.lit("Customer").alias("label"),
+            ckey.alias("key"),
+            empty.alias("props"),
+        )
+        .unionByName(
+            supplier.select(
+                F.xxhash64(F.lit("Supplier"), skey).alias("node_id"),
+                F.lit("Supplier").alias("label"),
+                skey.alias("key"),
+                empty.alias("props"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+                F.lit("Nation").alias("label"),
+                F.col("n_name").alias("key"),
+                empty.alias("props"),
+            )
+        )
+    )
+    edges = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.xxhash64(F.lit("Customer"), ckey).alias("src_id"),
+            F.lit("FROM").alias("label"),
+            F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+            empty.alias("props"),
+        )
+        .unionByName(
+            supplier.join(
+                nation, supplier.s_nationkey == nation.n_nationkey
+            ).select(
+                F.xxhash64(F.lit("Supplier"), skey).alias("src_id"),
+                F.lit("LOCATED_IN").alias("label"),
+                F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+                empty.alias("props"),
+            )
+        )
+    )
+    return run_cypher(
+        "MATCH (x)-[:FROM|LOCATED_IN]->(n:Nation) "
+        "RETURN n AS nation, count(x) AS n_linked ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

@@ -9,6 +9,7 @@ read subset those prompts actually produce, against the materialized
 tables:
 
     MATCH (a:L1)-[r:R1]->(b:L2)<-[:R2]-(c), (d:L3) ...
+    MATCH (a)-[:R1|R2]->(b)                          -- type alternation
     MATCH (a:L1)-[:R1*1..3]->(b:L2)                  -- variable length
     MATCH p = shortestPath((a:L1)-[:R1*..6]->(b:L2)) -- RETURN length(p)
     WHERE a.prop = 'x' AND r.role <> 'self' AND c.name CONTAINS 'y'
@@ -89,7 +90,7 @@ _CLAUSE = re.compile(
 )
 _NODE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)")
 _EDGE = re.compile(
-    r"(<-|-)\s*\[\s*(\w+)?\s*(?::\s*(\w+))?\s*"
+    r"(<-|-)\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*:?\w+)*))?\s*"
     r"(\*\s*(\d+)?\s*(?:(\.\.)\s*(\d+)?)?)?\s*\]\s*(->|-)"
 )
 _SHORTEST = re.compile(
@@ -103,6 +104,15 @@ _COND = re.compile(
     re.IGNORECASE,
 )
 _NULL_COND = re.compile(r"(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL", re.IGNORECASE)
+
+
+def _label_pred(rel: str) -> Column:
+    """Edge-label predicate; `A|B` alternation (openCypher `[:A|B]` /
+    legacy `[:A|:B]`) matches any listed type."""
+    alts = [r.strip().lstrip(":") for r in rel.split("|")]
+    if len(alts) == 1:
+        return F.col("label") == alts[0]
+    return F.col("label").isin(alts)
 _IN_COND = re.compile(
     r"(\w+)\.(\w+)\s+IN\s+\[(.*)\]", re.IGNORECASE | re.DOTALL
 )
@@ -437,7 +447,7 @@ def run_cypher(
     def _rel_edges(rel) -> DataFrame:
         e = edges
         if rel is not None:
-            e = e.filter(F.col("label") == rel)
+            e = e.filter(_label_pred(rel))
         return e.select("src_id", "dst_id")
 
     def _seeded(e: DataFrame, src: str) -> DataFrame:
@@ -523,7 +533,7 @@ def run_cypher(
             return _var_pairs(leg)
         e = edges
         if rel is not None:
-            e = e.filter(F.col("label") == rel)
+            e = e.filter(_label_pred(rel))
         cols = [
             F.col("src_id").alias(f"{src}__id"),
             F.col("dst_id").alias(f"{dst}__id"),

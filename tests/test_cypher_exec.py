@@ -566,3 +566,28 @@ def test_where_rejects_mixed_in_list_and_dangling_or(graph):
             "MATCH (f:Fighter) WHERE f.name = 'Ana' OR RETURN f",
             nodes, edges,
         )
+
+
+def test_rel_type_alternation(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (a)-[:FOUGHT_IN|PART_OF]->(b) RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert out[0].n == 6  # 4 FOUGHT_IN + 2 PART_OF
+    # legacy [:A|:B] spelling is accepted too
+    out = run_cypher(
+        "MATCH (a)-[:FOUGHT_IN|:PART_OF]->(b) RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert out[0].n == 6
+
+
+def test_rel_type_alternation_var_length(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN|PART_OF*2..2]->(e:Event) "
+        "RETURN DISTINCT f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Bo", "Cy"]
