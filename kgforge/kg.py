@@ -529,6 +529,54 @@ class KnowledgeGraph:
             )
         )
 
+    def shortest_path_weights(
+        self,
+        sources: list[tuple[str, str]],
+        weight_prop: str | None = None,
+        relation: str | None = None,
+        max_hops: int = 8,
+    ) -> DataFrame:
+        """Min-total-weight distance from a source entity set:
+        (label, key, dist) — the FalkorDB ``algo.SSpaths`` surface
+        (ref fixtures/prompts.py:395-398) over the materialized graph.
+
+        ``sources`` is a list of (label, key) pairs. Edge weight comes
+        from ``weight_prop`` (try_cast double; a missing/unparseable prop
+        counts 1.0) or defaults to 1.0 per hop, making dist the hop
+        count. Unreachable nodes are absent from the result.
+        """
+        from kgforge.plans.graph_query import weighted_sssp
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        w = (
+            F.coalesce(
+                F.col("props")[weight_prop].try_cast("double"), F.lit(1.0)
+            )
+            if weight_prop is not None
+            else F.lit(1.0)
+        )
+        edges = e.select(
+            F.col("src_id").alias("src"),
+            F.col("dst_id").alias("dst"),
+            w.alias("w"),
+        )
+        n = self.nodes()
+        pred = None
+        for label, key in sources:
+            c = (F.col("label") == label) & (F.col("key") == key)
+            pred = c if pred is None else (pred | c)
+        if pred is None:
+            raise ValueError("sources must be a non-empty list")
+        src_df = n.filter(pred).select(F.col("node_id").alias("id"))
+        dist = weighted_sssp(edges, src_df, max_hops=max_hops)
+        return n.select(
+            F.col("node_id").alias("id"), "label", "key"
+        ).join(dist, on="id").select("label", "key", "d").withColumnRenamed(
+            "d", "dist"
+        )
+
     def register_views(self, prefix: str | None = None) -> None:
         """Expose the graph to Spark SQL: <name>_nodes / <name>_edges."""
         p = prefix or self.name

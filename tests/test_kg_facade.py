@@ -235,3 +235,11 @@ def test_facade_graph_analytics(kg):
     assert pr[("Actor", "A0")] == pytest.approx(0.15)
     # star graph has no triangles
     assert kg.triangle_counts().first().n_triangles == 0
+    # hop-count SSSP from one actor: itself 0, the movie 1
+    d = {
+        (r.label, r.key): r.dist
+        for r in kg.shortest_path_weights(
+            [("Actor", "A0")]
+        ).collect()
+    }
+    assert d == {("Actor", "A0"): 0.0, ("Movie", "M"): 1.0}
