@@ -65,7 +65,9 @@ HEADLINE = [
     "curate_docs_audit",
     "cypher_exec_agg",
     "cypher_var_length",
+    "cypher_where_in_or",
     "graph_pagerank",
+    "graph_weighted_sssp",
 ]
 
 
