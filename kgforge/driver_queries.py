@@ -1242,6 +1242,59 @@ def graph_weighted_sssp(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_closeness",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT n_name AS src,
+             lead(n_name) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dst
+      FROM nation
+    ), pairs AS (
+      SELECT src, dst FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst, src FROM chain WHERE dst IS NOT NULL
+    ), walk(lm, id, d) AS (
+      SELECT n_name, n_name, 0 FROM nation
+      UNION
+      SELECT w.lm, p.dst, w.d + 1
+      FROM walk w JOIN pairs p ON p.src = w.id WHERE w.d < 8
+    ), md AS (
+      SELECT lm, id, min(d) AS d FROM walk GROUP BY lm, id
+    )
+    SELECT lm AS nation,
+           (count(*) FILTER (WHERE d > 0))::BIGINT AS n_reached,
+           sum(d)::BIGINT AS total_dist
+    FROM md GROUP BY lm ORDER BY nation
+    """,
+)
+def graph_closeness(spark, sf_dir):
+    """Sampled-landmark closeness centrality via landmark-parallel BFS
+    (all landmarks share each level's single equi-join — the scale path
+    for centralities). Graph = per-region nation CHAINS (nationkey order,
+    symmetrized) so distances span 1..4 hops; landmarks = every nation.
+    Gate returns the exact BIGINT (n_reached, total_dist) pair; oracle =
+    recursive-CTE min-distance enumeration."""
+    from pyspark.sql import Window
+
+    from kgforge.plans.graph_query import closeness_centrality
+
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = nation.select(
+        F.col("n_name").alias("src"), F.lead("n_name").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    landmarks = nation.select(F.col("n_name").alias("id"))
+    out = closeness_centrality(edges, landmarks, max_hops=8)
+    return out.select(
+        F.col("id").alias("nation"), "n_reached", "total_dist"
+    )
+
+
 @_q("graph_match_pattern")  # runs over the built KG -> rows-only
 def graph_match_pattern(spark, sf_dir):
     """MATCH (p:Person)-[:DIRECTED]->(m:Movie) over the materialized graph."""

@@ -529,6 +529,53 @@ class KnowledgeGraph:
             )
         )
 
+    def closeness(
+        self,
+        sources: list[tuple[str, str]] | None = None,
+        relation: str | None = None,
+        max_hops: int = 8,
+    ) -> DataFrame:
+        """Sampled-landmark closeness centrality over the undirected
+        projection of the edge table:
+        (label, key, n_reached, total_dist, closeness).
+
+        ``sources`` is a list of (label, key) landmark pairs (default:
+        every node — exact closeness when max_hops covers the diameter).
+        Landmark-parallel BFS: the landmark count does not multiply the
+        per-level join count, so sampling landmarks is how this stays
+        cheap on a large graph.
+        """
+        from kgforge.plans.graph_query import closeness_centrality
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = self.nodes()
+        lm = n
+        if sources is not None:
+            pred = None
+            for label, key in sources:
+                c = (F.col("label") == label) & (F.col("key") == key)
+                pred = c if pred is None else (pred | c)
+            if pred is None:
+                raise ValueError("sources must be None or non-empty")
+            lm = n.filter(pred)
+        out = closeness_centrality(
+            edges, lm.select(F.col("node_id").alias("id")),
+            max_hops=max_hops,
+        )
+        return n.select(
+            F.col("node_id").alias("id"), "label", "key"
+        ).join(out, on="id").select(
+            "label", "key", "n_reached", "total_dist", "closeness"
+        )
+
     def shortest_path_weights(
         self,
         sources: list[tuple[str, str]],

@@ -156,6 +156,73 @@ def weighted_sssp(
     return dist
 
 
+def landmark_distances(
+    edges: DataFrame, landmarks: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Per-landmark BFS distances: (lm, id, dist), one row per landmark ×
+    reached node (self included at dist 0).
+
+    Landmark-parallel frontier expansion — the standard way to compute
+    (sampled) centralities at scale: all landmarks advance in the SAME
+    per-level join, so the work per level is one equi-join on src plus one
+    (lm, id) dedup regardless of how many landmarks run; a landmark is
+    just a key column. Visited-set anti-join keeps frontiers minimal,
+    `localCheckpoint` truncates lineage per level, early exit on a drained
+    frontier. edges(src, dst) directed — symmetrize first for undirected
+    graphs. landmarks(id).
+    """
+    dist = landmarks.select(
+        F.col("id").alias("lm"), "id", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    e = edges.select("src", "dst")
+    frontier = dist
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select("lm", F.col("dst").alias("id"),
+                    (F.col("dist") + 1).alias("dist"))
+            .groupBy("lm", "id")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist, on=["lm", "id"], how="left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+def closeness_centrality(
+    edges: DataFrame, landmarks: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Closeness of each landmark within max_hops:
+    (id, n_reached, total_dist, closeness).
+
+    closeness = n_reached / total_dist (0.0 for isolated landmarks) — the
+    sampled-landmark estimator (exact when landmarks = all nodes and
+    max_hops >= diameter). n_reached/total_dist are exact BIGINTs so
+    cross-engine gates can compare them bit-exactly and leave the ratio
+    out of the hash.
+    """
+    d = landmark_distances(edges, landmarks, max_hops=max_hops)
+    agg = d.filter(F.col("dist") > 0).groupBy("lm").agg(
+        F.count("*").alias("n_reached"),
+        F.sum("dist").alias("total_dist"),
+    )
+    return landmarks.join(
+        agg, landmarks.id == agg.lm, how="left"
+    ).select(
+        "id",
+        F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+        F.coalesce("total_dist", F.lit(0)).cast("long").alias("total_dist"),
+        F.when(
+            F.coalesce("total_dist", F.lit(0)) > 0,
+            F.col("n_reached") / F.col("total_dist"),
+        ).otherwise(F.lit(0.0)).alias("closeness"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,

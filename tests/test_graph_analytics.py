@@ -117,3 +117,47 @@ def test_weighted_sssp_unreachable_absent(spark):
     src = spark.createDataFrame([(1,)], "id long")
     out = weighted_sssp(e, src, max_hops=4).collect()
     assert {r.id for r in out} == {1, 2}
+
+
+def test_closeness_path_graph(spark):
+    from kgforge.plans.graph_query import closeness_centrality
+
+    # undirected path 1 - 2 - 3
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    lms = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    out = {
+        r.id: (r.n_reached, r.total_dist, r.closeness)
+        for r in closeness_centrality(e, lms).collect()
+    }
+    assert out[2] == (2, 2, 1.0)  # center: both ends at dist 1
+    assert out[1] == (2, 3, 2 / 3)
+    assert out[3] == (2, 3, 2 / 3)
+
+
+def test_closeness_landmark_subset_and_isolated(spark):
+    from kgforge.plans.graph_query import closeness_centrality
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    lms = spark.createDataFrame([(1,), (9,)], "id long")  # 9 isolated
+    out = {
+        r.id: (r.n_reached, r.total_dist, r.closeness)
+        for r in closeness_centrality(e, lms).collect()
+    }
+    assert set(out) == {1, 9}  # only requested landmarks
+    assert out[1] == (1, 1, 1.0)
+    assert out[9] == (0, 0, 0.0)
+
+
+def test_closeness_hop_bound(spark):
+    from kgforge.plans.graph_query import closeness_centrality
+
+    # path 1-2-3-4; max_hops=2 cannot see node 4 from node 1
+    e_dir = [(1, 2), (2, 3), (3, 4)]
+    e = spark.createDataFrame(
+        e_dir + [(b, a) for a, b in e_dir], "src long, dst long"
+    )
+    lms = spark.createDataFrame([(1,)], "id long")
+    out = closeness_centrality(e, lms, max_hops=2).first()
+    assert (out.n_reached, out.total_dist) == (2, 3)

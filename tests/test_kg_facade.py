@@ -243,3 +243,12 @@ def test_facade_graph_analytics(kg):
         ).collect()
     }
     assert d == {("Actor", "A0"): 0.0, ("Movie", "M"): 1.0}
+    # closeness on the undirected star: the hub reaches all 3 actors at 1
+    c = {
+        (r.label, r.key): (r.n_reached, r.total_dist)
+        for r in kg.closeness(
+            [("Movie", "M"), ("Actor", "A1")]
+        ).collect()
+    }
+    assert c[("Movie", "M")] == (3, 3)
+    assert c[("Actor", "A1")] == (3, 5)  # hub at 1, two actors at 2
