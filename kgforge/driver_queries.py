@@ -1295,6 +1295,74 @@ def graph_closeness(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_lpa",
+    """
+    WITH chain AS (
+      SELECT n_name AS src,
+             lead(n_name) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dst
+      FROM nation
+    ), pairs AS (
+      SELECT src, dst FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst, src FROM chain WHERE dst IS NOT NULL
+    ), l0 AS (
+      SELECT n_name AS id, n_name AS community FROM nation
+    ), v1 AS (
+      SELECT e.dst AS id, l.community FROM pairs e JOIN l0 l ON l.id = e.src
+      UNION ALL SELECT id, community FROM l0
+    ), l1 AS (
+      SELECT id, community FROM (
+        SELECT id, community, row_number() OVER (
+          PARTITION BY id ORDER BY count(*) DESC, community ASC
+        ) AS rn FROM v1 GROUP BY id, community
+      ) WHERE rn = 1
+    ), v2 AS (
+      SELECT e.dst AS id, l.community FROM pairs e JOIN l1 l ON l.id = e.src
+      UNION ALL SELECT id, community FROM l1
+    ), l2 AS (
+      SELECT id, community FROM (
+        SELECT id, community, row_number() OVER (
+          PARTITION BY id ORDER BY count(*) DESC, community ASC
+        ) AS rn FROM v2 GROUP BY id, community
+      ) WHERE rn = 1
+    ), v3 AS (
+      SELECT e.dst AS id, l.community FROM pairs e JOIN l2 l ON l.id = e.src
+      UNION ALL SELECT id, community FROM l2
+    ), l3 AS (
+      SELECT id, community FROM (
+        SELECT id, community, row_number() OVER (
+          PARTITION BY id ORDER BY count(*) DESC, community ASC
+        ) AS rn FROM v3 GROUP BY id, community
+      ) WHERE rn = 1
+    )
+    SELECT id AS nation, community FROM l3 ORDER BY nation
+    """,
+)
+def graph_lpa(spark, sf_dir):
+    """Label-propagation communities (the FalkorDB CDLP surface),
+    deterministic self-inclusive synchronous variant with min tie-break —
+    a pure function of (graph, n_iter), so the oracle is the SAME three
+    iterations unrolled in SQL. Graph = per-region nation chains."""
+    from pyspark.sql import Window
+
+    from kgforge.plans.graph_query import label_propagation
+
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = nation.select(
+        F.col("n_name").alias("src"), F.lead("n_name").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = nation.select(F.col("n_name").alias("id"))
+    out = label_propagation(edges, nodes, n_iter=3)
+    return out.select(F.col("id").alias("nation"), "community")
+
+
 @_q("graph_match_pattern")  # runs over the built KG -> rows-only
 def graph_match_pattern(spark, sf_dir):
     """MATCH (p:Person)-[:DIRECTED]->(m:Movie) over the materialized graph."""

@@ -576,6 +576,39 @@ class KnowledgeGraph:
             "label", "key", "n_reached", "total_dist", "closeness"
         )
 
+    def communities(
+        self, relation: str | None = None, n_iter: int = 5
+    ) -> DataFrame:
+        """Label-propagation communities over the undirected edge
+        projection: (label, key, community) — community is the
+        representative member's key (deterministic: self-inclusive
+        synchronous LPA, min-label tie-break)."""
+        from kgforge.plans.graph_query import label_propagation
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = self.nodes()
+        out = label_propagation(
+            edges, n.select(F.col("node_id").alias("id")), n_iter=n_iter
+        )
+        rep = n.select(
+            F.col("node_id").alias("community"),
+            F.col("key").alias("community_key"),
+        )
+        return (
+            n.select(F.col("node_id").alias("id"), "label", "key")
+            .join(out, on="id")
+            .join(rep, on="community")
+            .select("label", "key", F.col("community_key").alias("community"))
+        )
+
     def shortest_path_weights(
         self,
         sources: list[tuple[str, str]],

@@ -223,6 +223,49 @@ def closeness_centrality(
     )
 
 
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, n_iter: int = 5
+) -> DataFrame:
+    """Synchronous label-propagation communities (CDLP): (id, community).
+
+    The FalkorDB algo surface's community detector, deterministic
+    variant: every node starts as its own label; each round every node
+    adopts the most frequent label among ITSELF and its in-neighbors
+    (self-inclusive voting — the standard damping that stops synchronous
+    LPA from oscillating on bipartite structure), ties broken by the
+    SMALLEST label, isolated nodes keep their label. Synchronous update +
+    min tie-break make the result a pure function of (graph, n_iter) —
+    cross-engine exact, unlike the asynchronous random-order LPA in most
+    libraries. Per round: one equi-join, one (node, label) count, one
+    window top-1 — all key-partitioned; pass the symmetrized edge list
+    for undirected semantics. `localCheckpoint` truncates lineage per
+    round.
+    """
+    from pyspark.sql import Window
+
+    labels = nodes.select("id", F.col("id").alias("community"))
+    labels = labels.localCheckpoint()
+    e = edges.select("src", "dst")
+    w = Window.partitionBy("id").orderBy(
+        F.col("c").desc(), F.col("community").asc()
+    )
+    for _ in range(n_iter):
+        votes = (
+            labels.join(e, labels.id == e.src)
+            .select(F.col("dst").alias("id"), "community")
+            .unionByName(labels)
+        )
+        labels = (
+            votes.groupBy("id", "community")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "community")
+            .localCheckpoint()
+        )
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,

@@ -161,3 +161,34 @@ def test_closeness_hop_bound(spark):
     lms = spark.createDataFrame([(1,)], "id long")
     out = closeness_centrality(e, lms, max_hops=2).first()
     assert (out.n_reached, out.total_dist) == (2, 3)
+
+
+def test_lpa_two_triangles_bridge(spark):
+    from kgforge.plans.graph_query import label_propagation
+
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    e = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    out = {
+        r.id: r.community
+        for r in label_propagation(e, nodes, n_iter=5).collect()
+    }
+    # two stable communities, split at the bridge
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+
+
+def test_lpa_isolated_keeps_own_label(spark):
+    from kgforge.plans.graph_query import label_propagation
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    out = {
+        r.id: r.community
+        for r in label_propagation(e, nodes, n_iter=3).collect()
+    }
+    assert out[9] == 9
+    assert out[1] == out[2]

@@ -252,3 +252,6 @@ def test_facade_graph_analytics(kg):
     }
     assert c[("Movie", "M")] == (3, 3)
     assert c[("Actor", "A1")] == (3, 5)  # hub at 1, two actors at 2
+    # the star is one LPA community
+    comm = {r.community for r in kg.communities().collect()}
+    assert len(comm) == 1
