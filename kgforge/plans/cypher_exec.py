@@ -67,8 +67,11 @@ Semantics and scope:
 - WHERE supports ``AND``/``OR`` with Cypher precedence (AND binds
   tighter; parenthesized boolean groups are out of subset), membership
   ``var.prop IN ['a', 'b']`` / ``IN [1, 2]`` (homogeneous literal lists),
-  and ``var.prop IS [NOT] NULL`` (a missing props key is NULL, so this
-  also tests unmatched OPTIONAL rows). All compile to one Column
+  ``var.prop IS [NOT] NULL`` (a missing props key is NULL, so this
+  also tests unmatched OPTIONAL rows), case-folded string compares
+  ``toLower/toUpper(var.prop) = '...'`` (also CONTAINS / STARTS WITH /
+  ENDS WITH), and ``var.prop =~ 'regex'`` (whole-string match, Cypher
+  semantics, compiled to an anchored ``rlike``). All compile to one Column
   expression per WHERE — a single Catalyst Filter, no per-conjunct scan.
 
 Everything compiles to label-filtered equi-joins + hash aggregation —
@@ -104,6 +107,15 @@ _COND = re.compile(
     re.IGNORECASE,
 )
 _NULL_COND = re.compile(r"(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL", re.IGNORECASE)
+_FUNC_COND = re.compile(
+    r"(toLower|toUpper)\s*\(\s*(\w+)\.(\w+)\s*\)\s*"
+    r"(=|<>|CONTAINS|STARTS\s+WITH|ENDS\s+WITH)"
+    r"\s*('(?:[^']*)'|\"(?:[^\"]*)\")",
+    re.IGNORECASE,
+)
+_REGEX_COND = re.compile(
+    r"(\w+)\.(\w+)\s*=~\s*('(?:[^']*)'|\"(?:[^\"]*)\")"
+)
 
 
 def _label_pred(rel: str) -> Column:
@@ -633,6 +645,18 @@ def run_cypher(
             if strs:
                 return col.isin(strs)
             return F.lit(False)  # IN [] matches nothing (Cypher parity)
+        rm = _REGEX_COND.fullmatch(cond_text)
+        if rm is not None:
+            var, prop, lit = rm.groups()
+            col = bound_prop_col(var, prop, known)
+            # Cypher =~ matches the WHOLE string (unlike rlike's search)
+            return col.rlike(f"^(?:{lit[1:-1]})$")
+        fm = _FUNC_COND.fullmatch(cond_text)
+        if fm is not None:
+            fn, var, prop, op, lit = fm.groups()
+            col = bound_prop_col(var, prop, known)
+            col = F.lower(col) if fn.lower() == "tolower" else F.upper(col)
+            return _OPS[re.sub(r"\s+", " ", op.upper())](col, lit[1:-1])
         cm = _COND.fullmatch(cond_text)
         if cm is None:
             raise CypherUnsupported(f"unsupported condition {cond_text!r}")

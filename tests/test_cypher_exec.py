@@ -591,3 +591,27 @@ def test_rel_type_alternation_var_length(graph):
         nodes, edges,
     ).collect()
     assert [r.f for r in out] == ["Ana", "Bo", "Cy"]
+
+
+def test_where_tolower_and_regex(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE toLower(f.name) = 'ana' RETURN f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana"]
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE toUpper(f.name) STARTS WITH 'B' RETURN f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Bo"]
+    # =~ is a WHOLE-string match: 'A.' must not match 'Ana'
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name =~ 'A.' RETURN f", nodes, edges
+    ).collect()
+    assert out == []
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name =~ 'A.*|Cy' RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Cy"]
