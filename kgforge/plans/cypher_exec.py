@@ -12,10 +12,12 @@ tables:
     MATCH (a)-[:R1|R2]->(b)                          -- type alternation
     MATCH (a:L1)-[:R1*1..3]->(b:L2)                  -- variable length
     MATCH p = shortestPath((a:L1)-[:R1*..6]->(b:L2)) -- RETURN length(p)
+    MATCH p = (a:L1)-[:R1*1..3]->(b:L2)              -- named walk path
     WHERE a.prop = 'x' AND r.role <> 'self' AND c.name CONTAINS 'y'
-    WHERE a.prop IN ['x', 'y'] OR b.rank >= 3 AND c.tag IS NOT NULL
+    WHERE (a.prop IN ['x', 'y'] OR b.rank >= 3) AND c.tag IS NOT NULL
     OPTIONAL MATCH (a)-[:R3]->(e:L4) [WHERE e.prop = 'z']
     WITH a, count(e) AS n [WHERE n >= 3]             -- aggregate + HAVING
+    MATCH (a)-[:R4]->(f:L5)                          -- aggregate-then-expand
     RETURN a, b.prop AS p, n  [DISTINCT]
     ORDER BY n DESC, p SKIP 5 LIMIT 10
 
@@ -27,9 +29,11 @@ Semantics and scope:
   relationship in either orientation — compiled as the union of the edge
   relation with its reverse (one binding per fitting orientation, exact
   openCypher semantics); undirected variable-length / shortestPath legs
-  expand over the symmetrized edge set. ``allShortestPaths`` is accepted
-  as a synonym of ``shortestPath`` (identical once only ``length(p)`` is
-  observable).
+  expand over the symmetrized edge set. ``allShortestPaths`` collapses
+  openCypher's one-row-per-path multiplicity to one row per (pair,
+  length), so only multiplicity-blind projections are accepted for it
+  (RETURN DISTINCT / count(DISTINCT) / min / max; ADVICE r03) — anything
+  else raises rather than silently returning different counts.
 - a relationship variable ``-[r:R]->`` binds the edge; ``r.prop`` reads
   its props map in WHERE / RETURN, ``count(r)`` counts matched edges.
   Rel vars on variable-length legs raise (they'd bind a rel LIST).
@@ -42,7 +46,12 @@ Semantics and scope:
   over an optional var skips them (Cypher parity).
 - one ``WITH`` clause (aggregating or plain projection) pipelines into
   RETURN; a WHERE after WITH is the HAVING idiom, filtering on the
-  WITH-produced columns. Further MATCH after WITH is out of subset.
+  WITH-produced columns. ``MATCH`` after WITH (the LLM-generated
+  "aggregate then expand" shape) joins the new pattern onto the WITH
+  output: bare node vars carry their identity through the WITH and
+  become the join keys; WITH aggregates stay referable in the final
+  RETURN. Only carried vars survive the WITH (Cypher scoping); a new
+  label/props constraint on a carried var raises.
 - variable-length legs ``-[:R*m..n]->`` compile to bounded iterative
   frontier expansion (the bfs_distances shape from plans/graph_query:
   per-level equi-join + dropDuplicates + localCheckpoint, early exit on a
@@ -54,7 +63,11 @@ Semantics and scope:
   own deviation notes). Unbounded ``*`` is capped at `max_hops`.
 - ``p = shortestPath((a)-[:R*..n]->(b))`` binds ``p`` to the min-hop
   distance between each (a, b) pair within n hops; ``length(p)`` returns
-  it. Exact (BFS levels ARE min distances).
+  it. Exact (BFS levels ARE min distances). minHops > 1 raises (Neo4j
+  itself restricts it; filtering settled minima would DROP pairs whose
+  true distance is below the bound, ADVICE r03). A named plain path
+  ``p = (a)-[:R*m..n]->(b)`` binds one row per (pair, walk length);
+  like allShortestPaths it requires a multiplicity-blind projection.
 - `RETURN var` projects the node's key (the unique-attribute value — node
   identity in this engine and in the reference's MERGE). `var.prop` reads
   the props map. `count(var)` / `count(*)` / `count(DISTINCT var)` and the
@@ -64,8 +77,9 @@ Semantics and scope:
 - property comparisons against numeric literals compare numerically
   (props store strings; `try_cast` double), string literals compare as
   strings.
-- WHERE supports ``AND``/``OR`` with Cypher precedence (AND binds
-  tighter; parenthesized boolean groups are out of subset), membership
+- WHERE supports ``AND``/``OR``/``NOT`` with Cypher precedence (NOT over
+  AND over OR) and parenthesized boolean groups ``(a OR b) AND c`` at any
+  nesting depth, membership
   ``var.prop IN ['a', 'b']`` / ``IN [1, 2]`` (homogeneous literal lists),
   ``var.prop IS [NOT] NULL`` (a missing props key is NULL, so this
   also tests unmatched OPTIONAL rows), case-folded string compares
@@ -97,22 +111,30 @@ _EDGE = re.compile(
     r"(\*\s*(\d+)?\s*(?:(\.\.)\s*(\d+)?)?)?\s*\]\s*(->|-)"
 )
 _SHORTEST = re.compile(
-    r"^(\w+)\s*=\s*(?:all)?shortestPaths?\s*\(\s*(.+)\s*\)$",
+    r"^(\w+)\s*=\s*(all)?shortestPaths?\s*\(\s*(.+)\s*\)$",
     re.IGNORECASE | re.DOTALL,
 )
+_NAMED_PATH = re.compile(r"^(\w+)\s*=\s*(.+)$", re.DOTALL)
 MAX_VAR_HOPS = 8  # bound for unbounded * / shortestPath expansion
 _COND = re.compile(
     r"(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>|CONTAINS|STARTS\s+WITH|ENDS\s+WITH)"
-    r"\s*('(?:[^']*)'|\"(?:[^\"]*)\"|-?\d+(?:\.\d+)?)",
+    r"\s*('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|-?\d+(?:\.\d+)?)",
     re.IGNORECASE,
 )
 _NULL_COND = re.compile(r"(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL", re.IGNORECASE)
 _FUNC_COND = re.compile(
     r"(toLower|toUpper)\s*\(\s*(\w+)\.(\w+)\s*\)\s*"
     r"(=|<>|CONTAINS|STARTS\s+WITH|ENDS\s+WITH)"
-    r"\s*('(?:[^']*)'|\"(?:[^\"]*)\")",
+    r"\s*('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")",
     re.IGNORECASE,
 )
+
+
+def _unquote(lit: str) -> str:
+    """Strip the surrounding quotes and resolve backslash escapes
+    (``\\'`` / ``\\"`` / ``\\\\`` pass the escaped character through —
+    Cypher string-literal semantics, ADVICE r03)."""
+    return re.sub(r"\\(.)", r"\1", lit[1:-1])
 _REGEX_COND = re.compile(
     r"(\w+)\.(\w+)\s*=~\s*('(?:[^']*)'|\"(?:[^\"]*)\")"
 )
@@ -143,11 +165,21 @@ def _mask_quotes(s: str) -> str:
     """Same-length copy with quoted-span CONTENTS replaced by 'x', so
     keyword scans (clause split, AND split) can't match inside string
     literals (ADVICE r02: MATCH ... WHERE m.title = 'The Return' parsed
-    RETURN out of the literal). Positions map 1:1 back to the original."""
-    out, quote = [], None
+    RETURN out of the literal). Positions map 1:1 back to the original.
+    A backslash inside a quoted span escapes the next character (ADVICE
+    r03: 'O\\'Brien' must not close the quote early), so the masked copy
+    keeps the whole literal opaque; the condition compilers unescape the
+    literal (`_unquote`) when extracting the compared value."""
+    out, quote, escape = [], None, False
     for ch in s:
         if quote is not None:
-            if ch == quote:
+            if escape:
+                out.append("x")
+                escape = False
+            elif ch == "\\":
+                out.append("x")
+                escape = True
+            elif ch == quote:
                 quote = None
                 out.append(ch)
             else:
@@ -169,6 +201,46 @@ def _split_keyword(s: str, pattern: str) -> list[str]:
         last = m.end()
     parts.append(s[last:])
     return parts
+
+
+def _split_keyword_toplevel(s: str, pattern: str) -> list[str]:
+    """Split `s` on a keyword regex, ignoring matches inside quotes OR
+    inside parentheses — the boolean-group split (`(a OR b) AND c` must
+    not split on the inner OR; function parens like toLower(x.y) are
+    harmless because AND/OR never occur inside them)."""
+    masked = _mask_quotes(s)
+    depths, depth = [], 0
+    for ch in masked:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        depths.append(depth)
+    parts, last = [], 0
+    for m in re.finditer(pattern, masked, flags=re.IGNORECASE):
+        if depths[m.start()] == 0:
+            parts.append(s[last: m.start()])
+            last = m.end()
+    parts.append(s[last:])
+    return parts
+
+
+def _outer_group(s: str) -> str | None:
+    """If `s` is one parenthesized group `( ... )` (the opening paren's
+    match is the final character), return the inner text, else None."""
+    t = s.strip()
+    if not t.startswith("("):
+        return None
+    masked = _mask_quotes(t)
+    depth = 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return t[1:i] if i == len(t) - 1 else None
+    return None
 
 
 class CypherUnsupported(ValueError):
@@ -275,10 +347,14 @@ def _parse_pattern(pattern: str, var_gen, max_hops: int = MAX_VAR_HOPS):
 
 def _split_top_commas(s: str) -> list[str]:
     """Split on commas outside (), [], {} and quotes."""
-    out, depth, last, quote = [], 0, 0, None
+    out, depth, last, quote, escape = [], 0, 0, None, False
     for i, ch in enumerate(s):
         if quote:
-            if ch == quote:
+            if escape:
+                escape = False
+            elif ch == "\\":
+                escape = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in "'\"":
@@ -325,6 +401,8 @@ def run_cypher(
     optional_groups: list[tuple[str, list[str]]] = []
     with_text: str | None = None
     with_wheres: list[str] = []
+    post_matches: list[str] = []  # MATCH clauses AFTER the WITH stage
+    post_wheres: list[str] = []
     ret_parts: list[str] = []
     order_texts: list[str] = []
     limit_text: str | None = None
@@ -333,13 +411,17 @@ def run_cypher(
     for kw, body in _split_clauses(cypher):
         if kw == "MATCH":
             if with_text is not None:
-                raise CypherUnsupported("MATCH after WITH is out of subset")
-            if optional_groups:
+                # "aggregate then expand" (VERDICT r03 #3): the WITH
+                # output becomes a bound relation the next MATCH joins
+                post_matches.append(body)
+                ctx = "post"
+            elif optional_groups:
                 raise CypherUnsupported(
                     "MATCH after OPTIONAL MATCH is out of subset"
                 )
-            required_matches.append(body)
-            ctx = "required"
+            else:
+                required_matches.append(body)
+                ctx = "required"
         elif kw == "OPTIONAL_MATCH":
             if with_text is not None:
                 raise CypherUnsupported(
@@ -354,6 +436,8 @@ def run_cypher(
                 optional_groups[-1][1].append(body)
             elif ctx == "with":
                 with_wheres.append(body)
+            elif ctx == "post":
+                post_wheres.append(body)
             else:
                 raise CypherUnsupported(
                     "WHERE must follow MATCH, OPTIONAL MATCH or WITH"
@@ -380,7 +464,14 @@ def run_cypher(
 
     var_specs: dict[str, tuple] = {}
     rel_vars: set[str] = set()  # bound relationship variables
-    path_vars: dict[str, tuple] = {}  # path var -> its shortestPath leg
+    path_vars: dict[str, tuple] = {}  # path var -> its bound leg
+    # path var -> 'min' (shortestPath: one row per pair, exact) or 'walk'
+    # (named plain path: one row per (pair, length) — path multiplicity is
+    # collapsed, so projections must be multiplicity-safe, checked below)
+    path_modes: dict[str, str] = {}
+    # path vars whose openCypher row multiplicity (one row per PATH) is
+    # not reproduced: allShortestPaths and named walk paths
+    multi_path_vars: set[str] = set()
 
     def parse_patterns(text: str, allow_shortest: bool = True):
         """-> (vars per comma-pattern, legs as 6-tuples
@@ -389,20 +480,54 @@ def run_cypher(
         legs: list[tuple] = []
         for pat in _split_top_commas(text):
             path_var = None
+            mode = None
             sm = _SHORTEST.match(pat)
             if sm is not None:
                 if not allow_shortest:
                     raise CypherUnsupported(
-                        "shortestPath inside OPTIONAL MATCH is out of subset"
+                        "shortestPath is only allowed in a plain MATCH "
+                        "(not OPTIONAL MATCH / MATCH after WITH)"
                     )
-                path_var, pat = sm.group(1), sm.group(2)
+                path_var, pat = sm.group(1), sm.group(3)
+                mode = "min"
+                if sm.group(2):  # allShortestPaths
+                    multi_path_vars.add(path_var)
+            else:
+                npm = _NAMED_PATH.match(pat.strip())
+                if npm is not None:
+                    if not allow_shortest:
+                        raise CypherUnsupported(
+                            "named paths are only allowed in a plain MATCH "
+                            "(not OPTIONAL MATCH / MATCH after WITH)"
+                        )
+                    path_var, pat = npm.group(1), npm.group(2)
+                    mode = "walk"
+                    multi_path_vars.add(path_var)
             pnodes, plegs = _parse_pattern(pat, var_gen, max_hops)
             if path_var is not None:
-                if len(plegs) != 1 or plegs[0][3] is None:
+                if len(plegs) != 1:
                     raise CypherUnsupported(
-                        "shortestPath takes one variable-length leg"
+                        "a path variable takes exactly one leg"
+                    )
+                if plegs[0][3] is None:
+                    # a named path over a plain single-hop leg is the
+                    # *1..1 special case (length(p) is constant 1)
+                    s_, r_, d_, _h, rv_, und_ = plegs[0]
+                    if rv_ is not None:
+                        raise CypherUnsupported(
+                            "bind either the path or the relationship, "
+                            "not both"
+                        )
+                    plegs[0] = (s_, r_, d_, (1, 1), None, und_)
+                if mode == "min" and plegs[0][3][0] > 1:
+                    # Neo4j itself restricts shortestPath minHops to 0/1;
+                    # filtering settled minima by lo would silently DROP
+                    # pairs whose min distance is < lo (ADVICE r03)
+                    raise CypherUnsupported(
+                        "shortestPath with minHops > 1 is out of subset"
                     )
                 path_vars[path_var] = plegs[0]
+                path_modes[path_var] = mode
             group = []
             for var, label, props in pnodes:
                 if var in rel_vars:
@@ -475,7 +600,9 @@ def run_cypher(
 
     def _var_pairs(leg) -> DataFrame:
         """(src__id, dst__id) pairs connected by a walk of length in
-        [lo, hi]; plus <path>__len = min hops for shortestPath legs.
+        [lo, hi]; plus <path>__len for path-bound legs — the min hop count
+        for shortestPath legs, or one row per (pair, walk length) for
+        named plain paths (`p = (a)-[:R*1..3]->(b)`).
         Level-wise frontier joins, deduped + localCheckpoint per level,
         early exit when the frontier drains (graph_query.bfs_distances
         iterative hygiene)."""
@@ -489,7 +616,8 @@ def run_cypher(
                 )
             )
         e = e.dropDuplicates()
-        track_min = path_var is not None
+        track_min = path_var is not None and path_modes[path_var] == "min"
+        track_walk = path_var is not None and not track_min
         # origin pruning applies to the FIRST frontier only — later hops
         # pass through nodes of any label
         frontier = _seeded(e, src).select(
@@ -524,7 +652,7 @@ def run_cypher(
                 result = step if result is None else result.unionByName(step)
         if result is None:
             result = frontier.limit(0)
-        if track_min:
+        if track_min or track_walk:
             out = result.filter(F.col("_d") >= lo).select(
                 F.col("src_id").alias(f"{src}__id"),
                 F.col("dst_id").alias(f"{dst}__id"),
@@ -567,42 +695,52 @@ def run_cypher(
             rcols.append(F.col("props").alias(f"{rel_var}__props"))
         return fwd.unionByName(e.select(*rcols))
 
-    pending = list(enumerate(all_legs))
+    def assemble(plan: DataFrame, bound: set[str],
+                 groups: list[list[str]], legs: list[tuple]) -> DataFrame:
+        """Fold legs into the plan: equi-join each leg whose endpoint is
+        already bound (joining in node_df for newly-bound endpoints),
+        cross-join genuinely disjoint pattern groups (Cypher's cartesian
+        semantics), then attach any legs whose endpoints only became
+        bound via the cross joins."""
+        pending = list(enumerate(legs))
+        progress = True
+        while pending and progress:
+            progress = False
+            for item in list(pending):
+                idx, leg = item
+                src, dst = leg[0], leg[2]
+                if src in bound or dst in bound:
+                    e = leg_df(leg)
+                    join_keys = [
+                        f"{v}__id" for v in (src, dst) if v in bound
+                    ]
+                    # rename the edge's columns for not-yet-bound endpoints
+                    plan = plan.join(e, on=join_keys)
+                    for v in (src, dst):
+                        if v not in bound:
+                            bound.add(v)
+                            plan = plan.join(node_df(v), on=f"{v}__id")
+                    pending.remove(item)
+                    progress = True
+        # disjoint groups (no shared vars / no connecting leg): cartesian
+        for group in groups:
+            for var in group:
+                if var not in bound:
+                    plan = plan.crossJoin(node_df(var))
+                    bound.add(var)
+        if pending:
+            # legs between vars that only became bound via cross join
+            for idx, leg in pending:
+                src, dst = leg[0], leg[2]
+                e = leg_df(leg)
+                plan = plan.join(e, on=[f"{src}__id", f"{dst}__id"])
+        return plan
+
     # seed with the first pattern's first variable
     first_var = pattern_groups[0][0]
     plan = node_df(first_var)
     bound.add(first_var)
-    progress = True
-    while pending and progress:
-        progress = False
-        for item in list(pending):
-            idx, leg = item
-            src, dst = leg[0], leg[2]
-            if src in bound or dst in bound:
-                e = leg_df(leg)
-                join_keys = [
-                    f"{v}__id" for v in (src, dst) if v in bound
-                ]
-                # rename the edge's columns for not-yet-bound endpoints
-                plan = plan.join(e, on=join_keys)
-                for v in (src, dst):
-                    if v not in bound:
-                        bound.add(v)
-                        plan = plan.join(node_df(v), on=f"{v}__id")
-                pending.remove(item)
-                progress = True
-    # disjoint groups (no shared vars / no connecting leg): cartesian
-    for group in pattern_groups:
-        for var in group:
-            if var not in bound:
-                plan = plan.crossJoin(node_df(var))
-                bound.add(var)
-    if pending:
-        # legs between vars that only became bound via cross join
-        for idx, leg in pending:
-            src, dst = leg[0], leg[2]
-            e = leg_df(leg)
-            plan = plan.join(e, on=[f"{src}__id", f"{dst}__id"])
+    plan = assemble(plan, bound, pattern_groups, all_legs)
 
     # ---- WHERE (var.prop namespace) -----------------------------------
     def prop_col(var: str, prop: str) -> Column:
@@ -633,7 +771,7 @@ def run_cypher(
                 if not item:
                     continue
                 if item[0] in "'\"" and item[-1:] == item[0]:
-                    strs.append(item[1:-1])
+                    strs.append(_unquote(item))
                 elif re.fullmatch(r"-?\d+(?:\.\d+)?", item):
                     nums.append(float(item))
                 else:
@@ -656,44 +794,70 @@ def run_cypher(
             fn, var, prop, op, lit = fm.groups()
             col = bound_prop_col(var, prop, known)
             col = F.lower(col) if fn.lower() == "tolower" else F.upper(col)
-            return _OPS[re.sub(r"\s+", " ", op.upper())](col, lit[1:-1])
+            return _OPS[re.sub(r"\s+", " ", op.upper())](col, _unquote(lit))
         cm = _COND.fullmatch(cond_text)
         if cm is None:
             raise CypherUnsupported(f"unsupported condition {cond_text!r}")
         var, prop, op, lit = cm.groups()
         col = bound_prop_col(var, prop, known)
         if lit[0] in "'\"":
-            val: Column | str = lit[1:-1]
+            val: Column | str = _unquote(lit)
         else:
             col = col.try_cast("double")
             val = F.lit(float(lit))
         return _OPS[re.sub(r"\s+", " ", op.upper())](col, val)
 
-    def apply_conds(df: DataFrame, where_texts: list[str],
-                    known: set[str]) -> DataFrame:
-        # Cypher precedence: AND over OR; each WHERE becomes ONE Column
-        # expression / Catalyst Filter (parenthesized groups out of subset)
-        for where_text in where_texts:
-            or_parts = _split_keyword(where_text, r"\bOR\b")
-            disjuncts: list[Column] = []
-            for or_part in or_parts:
-                conjs = [
-                    compile_cond(c.strip(), known)
-                    for c in _split_keyword(or_part, r"\bAND\b")
-                    if c.strip()
-                ]
-                if not conjs:
+    def compile_bool(text: str, known: set[str]) -> Column | None:
+        """Recursive-descent boolean grammar: OR of ANDs of primaries,
+        where a primary is a condition or a parenthesized group
+        `( ... )` (VERDICT r03 #2 — the reference's generated-Cypher
+        surface places no nesting restriction). Cypher precedence: AND
+        binds tighter than OR; parens override."""
+        or_parts = _split_keyword_toplevel(text, r"\bOR\b")
+        disjuncts: list[Column] = []
+        for or_part in or_parts:
+            conjs: list[Column] = []
+            for c in _split_keyword_toplevel(or_part, r"\bAND\b"):
+                c = c.strip()
+                if not c:
                     if len(or_parts) > 1:
                         raise CypherUnsupported("dangling OR in WHERE")
                     continue
-                expr = conjs[0]
-                for c in conjs[1:]:
-                    expr = expr & c
-                disjuncts.append(expr)
-            if disjuncts:
-                expr = disjuncts[0]
-                for d in disjuncts[1:]:
-                    expr = expr | d
+                # NOT binds tighter than AND (Cypher precedence); negation
+                # of NULL stays NULL in both engines
+                neg = False
+                while re.match(r"NOT\b", c, re.IGNORECASE):
+                    neg = not neg
+                    c = c[3:].strip()
+                inner = _outer_group(c)
+                if inner is not None:
+                    sub = compile_bool(inner, known)
+                    if sub is None:
+                        raise CypherUnsupported("empty boolean group ()")
+                else:
+                    sub = compile_cond(c, known)
+                conjs.append(~sub if neg else sub)
+            if not conjs:
+                if len(or_parts) > 1:
+                    raise CypherUnsupported("dangling OR in WHERE")
+                continue
+            expr = conjs[0]
+            for c in conjs[1:]:
+                expr = expr & c
+            disjuncts.append(expr)
+        if not disjuncts:
+            return None
+        expr = disjuncts[0]
+        for d in disjuncts[1:]:
+            expr = expr | d
+        return expr
+
+    def apply_conds(df: DataFrame, where_texts: list[str],
+                    known: set[str]) -> DataFrame:
+        # each WHERE becomes ONE Column expression / Catalyst Filter
+        for where_text in where_texts:
+            expr = compile_bool(where_text, known)
+            if expr is not None:
                 df = df.filter(expr)
         return df
 
@@ -756,14 +920,22 @@ def run_cypher(
 
     # ---- projection compiler (shared by WITH and RETURN) --------------
     def compile_projection(
-        df: DataFrame, text: str, columns_ns: set[str] | None
+        df: DataFrame, text: str, columns_ns: set[str] | None,
+        extra: frozenset[str] | set[str] = frozenset(),
     ) -> DataFrame:
+        """`extra` names plain carried columns (WITH aggregates surviving
+        a MATCH-after-WITH) usable bare or inside aggregates alongside
+        node variables."""
         distinct = False
         if re.match(r"DISTINCT\b", text, re.IGNORECASE):
             distinct = True
             text = text[len("DISTINCT"):].strip()
         keys: list[tuple[str, Column]] = []
         aggs: list[tuple[str, Column]] = []
+        # aggregates whose value depends on row MULTIPLICITY (count without
+        # DISTINCT, sum, avg) — disallowed over multiplicity-collapsed
+        # path rows (allShortestPaths / named walk paths), see below
+        unsafe_aggs: list[str] = []
         for item in _split_top_commas(text):
             m = _RET_ITEM.fullmatch(item.strip())
             if m is None:
@@ -823,6 +995,10 @@ def run_cypher(
             elif cnt:
                 fnl = cnt.lower()
                 arg = cnt_arg.strip()
+                if (fnl == "count" and not cnt_distinct) or fnl in (
+                    "sum", "avg",
+                ):
+                    unsafe_aggs.append(item.strip())
                 name = alias or (
                     f"{fnl}_{arg.replace('.', '_').replace('*', 'all')}"
                 )
@@ -835,6 +1011,8 @@ def run_cypher(
                             target = prop_col(v, p)
                         elif v in rel_vars:
                             target = F.col(f"{v}__props")
+                        elif v in extra:
+                            target = F.col(v)
                         else:
                             if v not in var_specs:
                                 raise CypherUnsupported(
@@ -854,6 +1032,12 @@ def run_cypher(
                         )
                     v, _, p = arg.partition(".")
                     if not p:
+                        if v in extra:
+                            aggs.append(
+                                (name,
+                                 _NUM_AGGS[fnl](F.col(v).try_cast("double")))
+                            )
+                            continue
                         raise CypherUnsupported(
                             f"{fnl}() takes a property (var.prop), got {arg!r}"
                         )
@@ -867,11 +1051,33 @@ def run_cypher(
                         f"not the bare relationship {var!r}"
                     )
                 name = alias or (f"{var}_{prop}" if prop else var)
+                if not prop and var in extra:
+                    keys.append((name, F.col(var)))
+                    continue
                 col = prop_col(var, prop) if prop else F.col(f"{var}__key")
                 if not prop and var not in var_specs:
                     raise CypherUnsupported(f"unknown variable {var!r}")
                 keys.append((name, col))
 
+        if columns_ns is None and multi_path_vars:
+            # allShortestPaths / named walk paths collapse openCypher's
+            # one-row-per-PATH multiplicity to one row per (pair[, length])
+            # (ADVICE r03). Projections that cannot observe multiplicity
+            # (DISTINCT rows; count(DISTINCT)/min/max) are exact; anything
+            # else would silently return different counts than Cypher.
+            if aggs and unsafe_aggs:
+                raise CypherUnsupported(
+                    "allShortestPaths / named paths collapse per-path row "
+                    "multiplicity; multiplicity-sensitive aggregates "
+                    f"{unsafe_aggs!r} are out of subset (use "
+                    "count(DISTINCT ...) / min / max)"
+                )
+            if not aggs and not distinct:
+                raise CypherUnsupported(
+                    "allShortestPaths / named paths collapse per-path row "
+                    "multiplicity; project with RETURN DISTINCT (or "
+                    "count(DISTINCT ...) / min / max)"
+                )
         if aggs:
             grouped = df.groupBy(
                 *[c.alias(n) for n, c in keys]
@@ -884,17 +1090,16 @@ def run_cypher(
         return out
 
     # ---- WITH (aggregate / project, then HAVING-style WHERE) ----------
-    ns: set[str] | None = None
-    if with_text is not None:
-        plan = compile_projection(plan, with_text, None)
-        ns = set(plan.columns)
+    def apply_having(df: DataFrame, having_ns: set[str]) -> DataFrame:
+        """A WHERE directly after WITH filters on the WITH-produced
+        columns (the HAVING idiom)."""
         for wt in with_wheres:
             for cond_text in _split_keyword(wt, r"\bAND\b"):
                 cond_text = cond_text.strip()
                 if not cond_text:
                     continue
                 cm = _PLAIN_COND.fullmatch(cond_text)
-                if cm is None or cm.group(1) not in ns:
+                if cm is None or cm.group(1) not in having_ns:
                     raise CypherUnsupported(
                         f"WHERE after WITH must compare a WITH column to a "
                         f"literal: {cond_text!r}"
@@ -902,14 +1107,157 @@ def run_cypher(
                 name, op, lit = cm.groups()
                 col = F.col(name)
                 if lit[0] in "'\"":
-                    val: Column | str = lit[1:-1]
+                    val: Column | str = _unquote(lit)
                 else:
                     col = col.try_cast("double")
                     val = F.lit(float(lit))
-                plan = plan.filter(_OPS[op](col, val))
+                df = df.filter(_OPS[op](col, val))
+        return df
+
+    def compile_with_carry(df: DataFrame, text: str):
+        """WITH that pipelines into a further MATCH (VERDICT r03 #3,
+        the 'aggregate then expand' shape): bare node vars are carried
+        WITH IDENTITY (__id/__key/__props columns, renamed by AS) so the
+        next MATCH's legs equi-join on them; aggregates and property
+        projections become plain columns. Cypher grouping: one row per
+        distinct combination of the non-aggregate items — node vars group
+        by identity; their props ride along via first() (maps are not
+        orderable, so they cannot be group keys).
+        Returns (df, carried-var set, plain-column set)."""
+        if path_vars:
+            raise CypherUnsupported(
+                "path variables before MATCH-after-WITH are out of subset"
+            )
+        distinct = False
+        if re.match(r"DISTINCT\b", text, re.IGNORECASE):
+            distinct = True
+            text = text[len("DISTINCT"):].strip()
+        carried: dict[str, str] = {}  # new var name -> pre-WITH var name
+        plain: list[tuple[str, Column]] = []
+        aggs: list[tuple[str, Column]] = []
+        for item in _split_top_commas(text):
+            m = _RET_ITEM.fullmatch(item.strip())
+            if m is None:
+                raise CypherUnsupported(f"unsupported WITH item {item!r}")
+            (cnt, cnt_distinct, cnt_arg, length_fn, _length_arg,
+             var, prop, alias) = m.groups()
+            if length_fn:
+                raise CypherUnsupported("length() before MATCH-after-WITH")
+            if cnt:
+                fnl = cnt.lower()
+                arg = cnt_arg.strip()
+                name = alias or (
+                    f"{fnl}_{arg.replace('.', '_').replace('*', 'all')}"
+                )
+                if fnl == "count":
+                    if arg == "*":
+                        c = F.count("*")
+                    else:
+                        v, _, p = arg.partition(".")
+                        if p:
+                            target = prop_col(v, p)
+                        elif v in rel_vars:
+                            target = F.col(f"{v}__props")
+                        else:
+                            if v not in var_specs:
+                                raise CypherUnsupported(
+                                    f"unknown variable {v!r}"
+                                )
+                            target = F.col(f"{v}__key")
+                        c = (
+                            F.countDistinct(target) if cnt_distinct
+                            else F.count(target)
+                        )
+                    aggs.append((name, c.cast("long")))
+                else:
+                    if cnt_distinct:
+                        raise CypherUnsupported(
+                            "DISTINCT is only supported with count()"
+                        )
+                    v, _, p = arg.partition(".")
+                    if not p:
+                        raise CypherUnsupported(
+                            f"{fnl}() takes a property (var.prop), got {arg!r}"
+                        )
+                    aggs.append(
+                        (name,
+                         _NUM_AGGS[fnl](prop_col(v, p).try_cast("double")))
+                    )
+            elif prop:
+                plain.append((alias or f"{var}_{prop}", prop_col(var, prop)))
+            else:
+                if var in rel_vars:
+                    raise CypherUnsupported(
+                        "relationship variables do not survive WITH"
+                    )
+                if var not in var_specs:
+                    raise CypherUnsupported(f"unknown variable {var!r}")
+                carried[alias or var] = var
+        group_cols = []
+        for newv, oldv in carried.items():
+            group_cols.append(F.col(f"{oldv}__id").alias(f"{newv}__id"))
+            group_cols.append(F.col(f"{oldv}__key").alias(f"{newv}__key"))
+        group_cols.extend(c.alias(n) for n, c in plain)
+        if aggs:
+            out = df.groupBy(*group_cols).agg(
+                *[F.first(F.col(f"{oldv}__props")).alias(f"{newv}__props")
+                  for newv, oldv in carried.items()],
+                *[c.alias(n) for n, c in aggs],
+            )
+        else:
+            out = df.select(
+                *group_cols,
+                *[F.col(f"{oldv}__props").alias(f"{newv}__props")
+                  for newv, oldv in carried.items()],
+            )
+            if distinct:
+                out = out.dropDuplicates(
+                    [f"{v}__id" for v in carried] + [n for n, _ in plain]
+                )
+        # rebind the variable namespace: ONLY carried vars survive a WITH
+        # (a reused old name after WITH is a fresh variable in Cypher)
+        new_specs = {newv: var_specs[oldv] for newv, oldv in carried.items()}
+        var_specs.clear()
+        var_specs.update(new_specs)
+        rel_vars.clear()
+        return out, set(carried), {n for n, _ in plain} | {n for n, _ in aggs}
+
+    ns: set[str] | None = None
+    extra_cols: set[str] = set()
+    if with_text is not None and post_matches:
+        plan, carried_vars, extra_cols = compile_with_carry(plan, with_text)
+        plan = apply_having(plan, extra_cols)
+        # ---- MATCH after WITH: join new patterns onto the carried rel --
+        snapshot = {v: var_specs[v] for v in carried_vars}
+        post_groups: list[list[str]] = []
+        post_legs: list[tuple] = []
+        for match_text in post_matches:
+            groups, legs = parse_patterns(match_text, allow_shortest=False)
+            post_groups.extend(groups)
+            post_legs.extend(legs)
+        for v in carried_vars:
+            if var_specs[v] != snapshot[v]:
+                # node_df would not re-run for an already-bound var, so a
+                # new label / inline-prop constraint would be silently
+                # dropped — refuse instead
+                raise CypherUnsupported(
+                    f"new label/props on carried variable {v!r} after WITH"
+                )
+        post_bound = set(carried_vars)
+        if not post_bound:
+            first = post_groups[0][0]
+            plan = plan.crossJoin(node_df(first))
+            post_bound.add(first)
+        plan = assemble(plan, post_bound, post_groups, post_legs)
+        post_rels = {leg[4] for leg in post_legs if leg[4] is not None}
+        plan = apply_conds(plan, post_wheres, post_bound | post_rels)
+    elif with_text is not None:
+        plan = compile_projection(plan, with_text, None)
+        ns = set(plan.columns)
+        plan = apply_having(plan, ns)
 
     # ---- RETURN -------------------------------------------------------
-    out = compile_projection(plan, " ".join(ret_parts), ns)
+    out = compile_projection(plan, " ".join(ret_parts), ns, extra_cols)
 
     # ---- ORDER BY / SKIP / LIMIT --------------------------------------
     for order_text in order_texts:

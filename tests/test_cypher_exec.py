@@ -220,9 +220,10 @@ def test_unsupported_shapes_raise(graph):
         run_cypher("MATCH (a)<-[:R]->(b) RETURN a", nodes, edges)
     with pytest.raises(CypherUnsupported):
         run_cypher("CREATE (a:X) RETURN a", nodes, edges)
-    with pytest.raises(CypherUnsupported):  # MATCH chained after WITH
+    with pytest.raises(CypherUnsupported):  # OPTIONAL MATCH after WITH
         run_cypher(
-            "MATCH (a:Fighter) WITH a MATCH (a)-[:FOUGHT_IN]->(f) RETURN a",
+            "MATCH (a:Fighter) WITH a "
+            "OPTIONAL MATCH (a)-[:FOUGHT_IN]->(f) RETURN a",
             nodes,
             edges,
         )
@@ -265,15 +266,152 @@ def test_undirected_var_length_walks_both_ways(graph):
     assert [r.x for r in got] == ["Ana", "Bo"]
 
 
-def test_all_shortest_paths_synonym(graph):
+def test_all_shortest_paths_distinct_projection(graph):
+    """allShortestPaths collapses openCypher's one-row-per-path multiplicity
+    to one row per (pair, length); only multiplicity-blind projections are
+    accepted (ADVICE r03) — RETURN DISTINCT is exact."""
     nodes, edges = graph
     got = run_cypher(
         "MATCH p = allShortestPaths((a:Fighter {name: 'Ana'})-[*..6]-"
-        "(e:Event)) RETURN e, length(p) AS d",
+        "(e:Event)) RETURN DISTINCT e, length(p) AS d",
         nodes,
         edges,
     ).collect()
     assert [(r.e, r.d) for r in got] == [("Open 1", 2)]
+
+
+def test_all_shortest_paths_multiplicity_observers_raise(graph):
+    """ADVICE r03: a non-DISTINCT return (or count/sum/avg) over
+    allShortestPaths could observe per-path row multiplicity, which the
+    pair-level dedup does not reproduce — CypherUnsupported, not a silently
+    wrong count."""
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported, match="multiplicity"):
+        run_cypher(
+            "MATCH p = allShortestPaths((a:Fighter {name: 'Ana'})-[*..6]-"
+            "(e:Event)) RETURN e, length(p) AS d",
+            nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported, match="multiplicity"):
+        run_cypher(
+            "MATCH p = allShortestPaths((a:Fighter {name: 'Ana'})-[*..6]-"
+            "(e:Event)) RETURN count(*) AS n",
+            nodes, edges,
+        )
+    # multiplicity-blind aggregates stay available
+    got = run_cypher(
+        "MATCH p = allShortestPaths((a:Fighter {name: 'Ana'})-[*..6]-"
+        "(e:Event)) RETURN count(DISTINCT e) AS n",
+        nodes, edges,
+    ).collect()
+    assert got[0].n == 1
+
+
+def test_shortest_path_min_hops_above_one_raises(graph):
+    """ADVICE r03: shortestPath with lo >= 2 used to filter settled minima
+    by lo, silently DROPPING pairs whose true min distance is below lo.
+    Neo4j itself restricts shortestPath minHops to 0/1 — we raise."""
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported, match="minHops"):
+        run_cypher(
+            "MATCH p = shortestPath((a:Fighter)-[*2..4]->(e:Event)) "
+            "RETURN DISTINCT a, e, length(p) AS d",
+            nodes, edges,
+        )
+
+
+def test_named_plain_path_binds_length(graph):
+    """p = (a)-[:R*1..2]->(b) binds p for plain (non-shortest) var-length
+    legs; length(p) is the walk length, one row per (pair, length)."""
+    nodes, edges = graph
+    got = run_cypher(
+        "MATCH p = (f:Fighter {name: 'Ana'})-[*1..2]->(x) "
+        "RETURN DISTINCT x, length(p) AS d ORDER BY d",
+        nodes, edges,
+    ).collect()
+    assert [(r.x, r.d) for r in got] == [("Ana v Bo", 1), ("Open 1", 2)]
+    # a pair reachable at two different lengths yields one row PER length
+    # (undirected walks: Ana-F10-Bo at 2, Ana-F10-Ana-F10-Bo at 4)
+    got = run_cypher(
+        "MATCH p = (f:Fighter {name: 'Ana'})-[:FOUGHT_IN*2..4]-(g:Fighter) "
+        "RETURN DISTINCT g, length(p) AS d ORDER BY g, d",
+        nodes, edges,
+    ).collect()
+    assert [(r.g, r.d) for r in got] == [
+        ("Ana", 2), ("Ana", 4), ("Bo", 2), ("Bo", 4), ("Cy", 4),
+    ]
+
+
+def test_named_path_over_plain_leg_is_length_one(graph):
+    nodes, edges = graph
+    got = run_cypher(
+        "MATCH p = (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "RETURN DISTINCT f, length(p) AS d ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.d) for r in got] == [("Ana", 1), ("Bo", 1), ("Cy", 1)]
+
+
+def test_named_path_requires_multiplicity_safe_projection(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported, match="multiplicity"):
+        run_cypher(
+            "MATCH p = (f:Fighter)-[*1..2]->(x) RETURN f, x, length(p) AS d",
+            nodes, edges,
+        )
+
+
+def test_escaped_quote_in_literal(graph):
+    """ADVICE r03: a backslash-escaped quote ('O\\'Brien') must not close
+    the quoted span early and let keyword scans fire inside the literal;
+    the compared value is the UNESCAPED string."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name <> 'O\\'Brien RETURN AND LIMIT 9' "
+        "RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Bo", "Cy"]
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name = 'O\\'Brien' RETURN f",
+        nodes, edges,
+    ).collect()
+    assert out == []
+    # IN-list items unescape too (and the comma split stays inside-quote safe)
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name IN ['O\\'Brien, AND', 'Ana'] "
+        "RETURN f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana"]
+
+
+def test_var_length_walk_vs_path_deviation_pin(spark):
+    """DEVIATION PIN (VERDICT r03 #6): for m >= 2, var-length legs match
+    per WALK, not per openCypher PATH — relationship-uniqueness along a
+    path is not enforced. On the cycle a->b->a (two edges), openCypher's
+    `(a)-[:E*2..2]->(x)` from a reaches a via the path a->b->a ONLY if the
+    two traversed relationships differ; with single edges each way the
+    path IS valid, but `*3..3` from a would need to reuse a->b, which
+    Cypher forbids — a 3-hop WALK a->b->a->b exists though, so this engine
+    returns (a, b) at depth 3 where FalkorDB/Neo4j return no row. Exact on
+    acyclic graphs (every walk is a path); a superset on cyclic ones."""
+    nodes = spark.createDataFrame(
+        [(0, "N", "a", {}), (1, "N", "b", {})],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, "E", 1), (1, "E", 0)],
+        "src_id bigint, label string, dst_id bigint",
+    ).withColumn("props", F.create_map().cast("map<string,string>"))
+    out = run_cypher(
+        "MATCH (s:N {key: 'a'})-[:E*3..3]->(x) RETURN DISTINCT x",
+        nodes.withColumn("props", F.create_map(F.lit("key"), F.col("key"))),
+        edges,
+    ).collect()
+    # walk semantics: a->b->a->b exists, so x = b IS returned.
+    # openCypher path semantics would return NO rows (edge a->b reused).
+    assert [r.x for r in out] == ["b"]
 
 
 def test_skip_offsets_sorted_rows(graph):
@@ -593,7 +731,129 @@ def test_rel_type_alternation_var_length(graph):
     assert [r.f for r in out] == ["Ana", "Bo", "Cy"]
 
 
-def test_where_tolower_and_regex(graph):
+def test_where_parenthesized_groups(graph):
+    """VERDICT r03 #2: (a OR b) AND c — parens override Cypher's
+    AND-binds-tighter precedence, at any nesting depth."""
+    nodes, edges = graph
+    # without parens: 'Cy' OR ('Ana' AND wins>=10) -> Ana, Cy
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name = 'Cy' OR f.name = 'Ana' "
+        "AND f.wins >= 10 RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Cy"]
+    # with parens: ('Cy' OR 'Ana') AND wins>=10 -> Ana only
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE (f.name = 'Cy' OR f.name = 'Ana') "
+        "AND f.wins >= 10 RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana"]
+    # nested groups + function parens inside a group
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE ((toLower(f.name) = 'cy' OR f.wins > 10) "
+        "AND (f.wins < 5 OR f.name STARTS WITH 'A')) RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Cy"]
+    # a paren inside a string literal is not a group
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE (f.name <> '(x OR y' AND f.wins >= 7) "
+        "OR f.name = 'Cy' RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Bo", "Cy"]
+    with pytest.raises(CypherUnsupported):  # unbalanced group
+        run_cypher(
+            "MATCH (f:Fighter) WHERE (f.name = 'Cy' RETURN f", nodes, edges
+        )
+
+
+def test_where_not(graph):
+    """NOT binds tighter than AND and composes with groups."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE NOT f.name = 'Bo' RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana", "Cy"]
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE NOT (f.name = 'Bo' OR f.wins < 5) "
+        "RETURN f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana"]
+    # NOT a AND b  ==  (NOT a) AND b
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE NOT f.name = 'Bo' AND f.wins >= 5 "
+        "RETURN f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Ana"]
+    # double negation
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE NOT NOT f.name = 'Bo' RETURN f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Bo"]
+
+
+def test_match_after_with_aggregate_then_expand(graph):
+    """VERDICT r03 #3: MATCH ... WITH agg AS x MATCH ... — the WITH output
+    is a bound relation the second MATCH joins; the aggregate stays
+    referable in RETURN."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f, count(x) AS n_fights "
+        "MATCH (f)-[:FOUGHT_IN]->(y:Fight)-[:PART_OF]->(e:Event) "
+        "RETURN DISTINCT f, n_fights, e ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.n_fights, r.e) for r in out] == [
+        ("Ana", 1, "Open 1"), ("Bo", 2, "Open 1"), ("Cy", 1, "Open 1"),
+    ]
+    # HAVING between the stages filters before the expand
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f, count(x) AS n WHERE n >= 2 "
+        "MATCH (f)-[:FOUGHT_IN]->(y:Fight) "
+        "RETURN f, n, count(y) AS m",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.n, r.m) for r in out] == [("Bo", 2, 2)]
+
+
+def test_match_after_with_alias_and_aggregation_over_carried(graph):
+    nodes, edges = graph
+    # carried var renamed by AS; WHERE after the second MATCH filters the
+    # joined plan; final RETURN aggregates over the carried aggregate
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH x AS fight, count(f) AS nf "
+        "MATCH (fight)-[:PART_OF]->(e:Event) WHERE e.city = 'Rio' "
+        "RETURN e, sum(nf) AS total ORDER BY e",
+        nodes, edges,
+    ).collect()
+    assert [(r.e, r.total) for r in out] == [("Open 1", 4.0)]
+
+
+def test_match_after_with_scoping(graph):
+    nodes, edges = graph
+    # a var NOT carried through WITH is fresh after it: `x` below is a
+    # new unrelated variable, so every (f, fight) combination matches
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f MATCH (x:Fight) RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert out[0].n == 8  # 4 pre-WITH rows (multiplicity kept) x 2 fights
+    with pytest.raises(CypherUnsupported, match="carried"):
+        run_cypher(
+            "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+            "WITH f MATCH (f:Fight) RETURN f",
+            nodes, edges,
+        )
     nodes, edges = graph
     out = run_cypher(
         "MATCH (f:Fighter) WHERE toLower(f.name) = 'ana' RETURN f",
