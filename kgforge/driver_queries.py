@@ -1243,6 +1243,75 @@ def graph_weighted_sssp(spark, sf_dir):
 
 
 @_q(
+    "graph_sp_pair",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT n_name AS src, n_nationkey AS sk,
+             lead(n_name) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dst,
+             lead(n_nationkey) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dk
+      FROM nation
+    ), pairs AS (
+      SELECT src, dst, abs(sk - dk)::BIGINT AS w
+      FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst, src, abs(sk - dk)::BIGINT
+      FROM chain WHERE dst IS NOT NULL
+    ), walk(id, d, h) AS (
+      SELECT (SELECT n_name FROM nation WHERE n_regionkey = 0
+              ORDER BY n_nationkey LIMIT 1), 0::BIGINT, 0
+      UNION
+      SELECT p.dst, w.d + p.w, w.h + 1
+      FROM walk w JOIN pairs p ON p.src = w.id WHERE w.h < 8
+    )
+    SELECT id AS nation, min(d)::BIGINT AS dist
+    FROM walk
+    WHERE id = (SELECT n_name FROM nation WHERE n_regionkey = 0
+                ORDER BY n_nationkey DESC LIMIT 1)
+    GROUP BY id
+    """,
+)
+def graph_sp_pair(spark, sf_dir):
+    """Single-PAIR minimal-weight path (the prompt-documented algo.SPpaths
+    surface; VERDICT r03 #4): branch-and-bound Bellman-Ford from the
+    region-0 chain's first nation to its last — a genuinely multi-hop
+    path (chain edges only, |nationkey delta| integer weights). Oracle =
+    exhaustive recursive-CTE walk enumeration filtered to the pair."""
+    from pyspark.sql import Window
+
+    from kgforge.plans.graph_query import shortest_path_pair
+
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = n.select(
+        F.col("n_name").alias("src"),
+        F.col("n_nationkey").alias("sk"),
+        F.lead("n_name").over(w).alias("dst"),
+        F.lead("n_nationkey").over(w).alias("dk"),
+    ).filter(F.col("dst").isNotNull())
+    fwd = chain.select(
+        "src", "dst", F.abs(F.col("sk") - F.col("dk")).cast("long").alias("w")
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    r0 = n.filter(F.col("n_regionkey") == 0)
+    src = r0.orderBy("n_nationkey").limit(1).select(
+        F.col("n_name").alias("id")
+    )
+    dst = r0.orderBy(F.col("n_nationkey").desc()).limit(1).select(
+        F.col("n_name").alias("id")
+    )
+    out = shortest_path_pair(edges, src, dst, max_hops=8)
+    return out.select(
+        F.col("id").alias("nation"), F.col("d").cast("long").alias("dist")
+    )
+
+
+@_q(
     "graph_closeness",
     """
     WITH RECURSIVE chain AS (
@@ -1680,6 +1749,19 @@ def cypher_var_length(spark, sf_dir):
     count(DISTINCT x) agrees across engines."""
     from kgforge.plans.cypher_exec import run_cypher
 
+    nodes, edges = _conn_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer)-[:CONN*1..2]->(x) "
+        "RETURN c AS cust, count(DISTINCT x) AS n_reach ORDER BY cust",
+        nodes,
+        edges,
+    )
+
+
+def _conn_graph(spark, sf_dir):
+    """Customer -:CONN-> Order -:CONN-> Supplier graph from the driver
+    tables; key prefixes (C/O/S) keep key strings globally unique so
+    count(DISTINCT) agrees across engines."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     ckey = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
@@ -1717,9 +1799,42 @@ def cypher_var_length(spark, sf_dir):
             ).dropDuplicates(["src_id", "dst_id"])
         )
     )
+    return nodes, edges
+
+
+@_q(
+    "cypher_named_path",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'C' || o_custkey::VARCHAR AS src,
+             'O' || o_orderkey::VARCHAR AS dst
+      FROM orders
+      UNION ALL
+      SELECT DISTINCT 'O' || l_orderkey::VARCHAR, 'S' || l_suppkey::VARCHAR
+      FROM lineitem
+    ), walk(src, dst, d) AS (
+      SELECT src, dst, 1 FROM e
+      UNION
+      SELECT w.src, e.dst, w.d + 1
+      FROM walk w JOIN e ON e.src = w.dst WHERE w.d < 2
+    )
+    SELECT src AS cust, d::BIGINT AS len, count(DISTINCT dst)::BIGINT AS n
+    FROM walk WHERE src LIKE 'C%'
+    GROUP BY src, d ORDER BY cust, len
+    """,
+)
+def cypher_named_path(spark, sf_dir):
+    """Named plain-path binding (VERDICT r03 #7): `p = (a)-[:R*1..2]->(b)`
+    binds length(p) per (pair, walk length) — one row per reachable length,
+    not just the minimum. Projection must be multiplicity-blind (here
+    count(DISTINCT)); oracle = the recursive-CTE walk keyed by depth."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _conn_graph(spark, sf_dir)
     return run_cypher(
-        "MATCH (c:Customer)-[:CONN*1..2]->(x) "
-        "RETURN c AS cust, count(DISTINCT x) AS n_reach ORDER BY cust",
+        "MATCH p = (c:Customer)-[:CONN*1..2]->(x) "
+        "RETURN c AS cust, length(p) AS len, count(DISTINCT x) AS n "
+        "ORDER BY cust, len",
         nodes,
         edges,
     )
@@ -1893,7 +2008,8 @@ def cypher_undirected(spark, sf_dir):
     oracle="""
     SELECT n_name AS nation, count(*)::BIGINT AS n_cust
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE n_name IN ('FRANCE', 'GERMANY', 'CANADA') OR c_acctbal >= 9000
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NO_SUCH_NATION')
+       OR c_acctbal >= 9000
     GROUP BY n_name ORDER BY nation
     """,
 )
@@ -1902,9 +2018,27 @@ def cypher_where_in_or(spark, sf_dir):
     (`n.name IN [...]`) and OR disjunction with Cypher precedence, both
     common in stored/generated queries. The whole WHERE compiles to ONE
     Catalyst Filter. Integer threshold on acctbal keeps the string-prop
-    try_cast double compare exact vs DuckDB's decimal."""
+    try_cast double compare exact vs DuckDB's decimal. (r4: the IN list
+    now names nations that EXIST in the driver tables — the old
+    FRANCE/GERMANY list matched nothing, so the membership branch was
+    vacuously green.)"""
     from kgforge.plans.cypher_exec import run_cypher
 
+    nodes, edges = _customer_nation_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer)-[:FROM]->(n:Nation) "
+        "WHERE n.name IN ['NATION_1', 'NATION_2', 'NO_SUCH_NATION'] "
+        "OR c.acctbal >= 9000 "
+        "RETURN n AS nation, count(c) AS n_cust ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
+def _customer_nation_graph(spark, sf_dir):
+    """Customer {acctbal} -:FROM-> Nation {name} graph from the driver
+    tables (acctbal rides as a string prop; integer thresholds keep the
+    try_cast double compare exact vs DuckDB's decimal)."""
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     nodes = customer.select(
@@ -1930,11 +2064,68 @@ def cypher_where_in_or(spark, sf_dir):
         F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
         F.create_map().cast("map<string,string>").alias("props"),
     )
+    return nodes, edges
+
+
+@_q(
+    "cypher_where_parens",
+    oracle="""
+    SELECT n_name AS nation, count(*)::BIGINT AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE (n_name = 'NATION_1' OR n_name = 'NATION_2')
+      AND (c_acctbal >= 5000 OR c_acctbal < 0)
+    GROUP BY n_name ORDER BY nation
+    """,
+)
+def cypher_where_parens(spark, sf_dir):
+    """Parenthesized boolean groups in WHERE (VERDICT r03 #2): the same
+    literals WITHOUT parens would parse as `a OR (b AND c)` under Cypher's
+    AND-binds-tighter precedence and count EVERY NATION_1 customer — the
+    oracle pins the parenthesized `(a OR b) AND (c OR d)` reading at both
+    precedence orders, non-vacuously (both nation names exist in the
+    driver tables and both acctbal branches select rows)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_nation_graph(spark, sf_dir)
     return run_cypher(
         "MATCH (c:Customer)-[:FROM]->(n:Nation) "
-        "WHERE n.name IN ['FRANCE', 'GERMANY', 'CANADA'] "
-        "OR c.acctbal >= 9000 "
+        "WHERE (n.name = 'NATION_1' OR n.name = 'NATION_2') "
+        "AND (c.acctbal >= 5000 OR c.acctbal < 0) "
         "RETURN n AS nation, count(c) AS n_cust ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "cypher_with_match",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders GROUP BY 1 HAVING count(*) >= 20
+    )
+    SELECT 'C' || b.o_custkey::VARCHAR AS cust,
+           b.n_orders::BIGINT AS n_orders,
+           count(*)::BIGINT AS n_f
+    FROM big b JOIN orders o
+      ON o.o_custkey = b.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY 1, 2 ORDER BY cust
+    """,
+)
+def cypher_with_match(spark, sf_dir):
+    """MATCH after WITH — the LLM-generated "aggregate then expand" shape
+    (VERDICT r03 #3): top customers by order count, then re-match their
+    finished orders; the WITH aggregate stays referable in RETURN. The
+    carried node var is the join key into the second MATCH; oracle = the
+    equivalent CTE join."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_order_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o) AS n_orders WHERE n_orders >= 20 "
+        "MATCH (c)-[r:PLACED]->(o2:Order) WHERE r.status = 'F' "
+        "RETURN c AS cust, n_orders, count(o2) AS n_f ORDER BY cust",
         nodes,
         edges,
     )

@@ -657,6 +657,58 @@ class KnowledgeGraph:
             "d", "dist"
         )
 
+    def shortest_path_weight(
+        self,
+        source: tuple[str, str],
+        target: tuple[str, str],
+        weight_prop: str | None = None,
+        relation: str | None = None,
+        max_hops: int = 8,
+    ) -> DataFrame:
+        """Single-PAIR min-total-weight distance: (label, key, dist) for
+        the target entity — the FalkorDB ``algo.SPpaths`` surface (ref
+        fixtures/prompts.py:394-395; VERDICT r03 #4). ``source`` /
+        ``target`` are (label, key) pairs; weights as in
+        `shortest_path_weights`. Empty result = unreachable in max_hops.
+
+        Uses `shortest_path_pair`'s branch-and-bound Bellman-Ford: nodes
+        that cannot improve the pair leave the relaxation set, so this is
+        strictly cheaper than running the full SSSP and filtering.
+        """
+        from kgforge.plans.graph_query import shortest_path_pair
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        w = (
+            F.coalesce(
+                F.col("props")[weight_prop].try_cast("double"), F.lit(1.0)
+            )
+            if weight_prop is not None
+            else F.lit(1.0)
+        )
+        edges = e.select(
+            F.col("src_id").alias("src"),
+            F.col("dst_id").alias("dst"),
+            w.alias("w"),
+        )
+        n = self.nodes()
+
+        def _pick(pair: tuple[str, str]) -> DataFrame:
+            label, key = pair
+            return n.filter(
+                (F.col("label") == label) & (F.col("key") == key)
+            ).select(F.col("node_id").alias("id"))
+
+        dist = shortest_path_pair(
+            edges, _pick(source), _pick(target), max_hops=max_hops
+        )
+        return n.select(
+            F.col("node_id").alias("id"), "label", "key"
+        ).join(dist, on="id").select(
+            "label", "key", F.col("d").alias("dist")
+        )
+
     def register_views(self, prefix: str | None = None) -> None:
         """Expose the graph to Spark SQL: <name>_nodes / <name>_edges."""
         p = prefix or self.name

@@ -156,6 +156,62 @@ def weighted_sssp(
     return dist
 
 
+def shortest_path_pair(
+    edges: DataFrame,
+    sources: DataFrame,
+    targets: DataFrame,
+    max_hops: int = 8,
+) -> DataFrame:
+    """Single-PAIR minimal-weight path distance — the FalkorDB
+    ``algo.SPpaths`` surface (ref fixtures/prompts.py:394-395), the
+    single-pair sibling of `weighted_sssp` (VERDICT r03 #4).
+
+    edges(src, dst, w) with non-negative w; sources(id) / targets(id) are
+    (usually 1-row) endpoint sets. Returns (id, d) for reached targets —
+    empty if unreachable within max_hops.
+
+    Same bounded Bellman-Ford as `weighted_sssp`, plus two single-pair
+    optimizations that matter at scale:
+
+    - **frontier relaxation**: each round relaxes only rows that IMPROVED
+      last round (the classic queue-based Bellman-Ford), so settled
+      regions of a big graph stop generating join traffic;
+    - **branch-and-bound pruning**: once any walk reaches a target with
+      total weight ``b``, every settled node with ``d > b`` is dropped
+      from the relaxation set — with non-negative weights it cannot be on
+      a better path to the target. The bound is a 1-row broadcast, so the
+      prune is a map-side filter, no extra shuffle.
+    """
+    dist = sources.select(
+        "id", F.lit(0).cast("long").alias("d")
+    ).localCheckpoint()
+    e = edges.select("src", "dst", "w")
+    t = targets.select("id").localCheckpoint()
+    frontier = dist
+    for _ in range(max_hops):
+        cand = frontier.join(e, frontier.id == e.src).select(
+            F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d")
+        )
+        new = (
+            dist.unionByName(cand).groupBy("id").agg(F.min("d").alias("d"))
+        )
+        bound = new.join(t, on="id").agg(F.min("d").alias("_b"))
+        new = (
+            new.crossJoin(F.broadcast(bound))
+            .filter(F.col("_b").isNull() | (F.col("d") <= F.col("_b")))
+            .drop("_b")
+            .localCheckpoint()
+        )
+        improved = new.join(
+            dist, on=["id", "d"], how="left_anti"
+        ).localCheckpoint()
+        dist = new
+        if improved.isEmpty():
+            break
+        frontier = improved
+    return dist.join(t, on="id")
+
+
 def landmark_distances(
     edges: DataFrame, landmarks: DataFrame, max_hops: int = 8
 ) -> DataFrame:

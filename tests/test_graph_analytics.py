@@ -119,6 +119,80 @@ def test_weighted_sssp_unreachable_absent(spark):
     assert {r.id for r in out} == {1, 2}
 
 
+def test_shortest_path_pair_matches_sssp(spark):
+    """Single-pair branch-and-bound BF agrees with the full SSSP filtered
+    to the pair, including when the cheap path is longer in hops."""
+    from kgforge.plans.graph_query import shortest_path_pair, weighted_sssp
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (1, 5, 2), (5, 4, 9)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    dst = spark.createDataFrame([(4,)], "id long")
+    out = shortest_path_pair(e, src, dst, max_hops=8).collect()
+    assert [(r.id, r.d) for r in out] == [(4, 3)]
+    full = {r.id: r.d for r in weighted_sssp(e, src, max_hops=8).collect()}
+    assert full[4] == 3
+
+
+def test_shortest_path_pair_unreachable_empty(spark):
+    from kgforge.plans.graph_query import shortest_path_pair
+
+    e = spark.createDataFrame([(1, 2, 5)], "src long, dst long, w long")
+    src = spark.createDataFrame([(1,)], "id long")
+    dst = spark.createDataFrame([(9,)], "id long")
+    assert shortest_path_pair(e, src, dst, max_hops=4).collect() == []
+
+
+def test_shortest_path_pair_prune_keeps_optimum(spark):
+    """The bound prune (drop settled d > best-at-target) must not cut a
+    node that still leads to the optimum: 1->4 direct costs 6 (sets the
+    bound), but 1->2->3->4 at 1+1+1=3 goes through nodes settled at
+    d < 6 and must survive to win."""
+    from kgforge.plans.graph_query import shortest_path_pair
+
+    e = spark.createDataFrame(
+        [(1, 4, 6), (1, 2, 1), (2, 3, 1), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    dst = spark.createDataFrame([(4,)], "id long")
+    out = shortest_path_pair(e, src, dst, max_hops=8).collect()
+    assert [(r.id, r.d) for r in out] == [(4, 3)]
+
+
+def test_kg_facade_shortest_path_weight(spark, workdir):
+    """kg.shortest_path_weight (algo.SPpaths parity): single-pair distance
+    with a relationship-prop weight."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[
+            Entity("City", [Attribute("name", "string", True, True)]),
+        ],
+        relations=[
+            Relation("ROAD", "City", "City",
+                     [Attribute("km", "string", False, False)]),
+        ],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([("City", {"name": c}) for c in "abcd"])
+    kg.add_edges([
+        ("ROAD", "City", "City", {"name": s}, {"name": d}, {"km": str(w)})
+        for s, d, w in [("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+                        ("a", "d", 10)]
+    ])
+    out = kg.shortest_path_weight(
+        ("City", "a"), ("City", "d"), weight_prop="km"
+    ).collect()
+    assert [(r.label, r.key, r.dist) for r in out] == [("City", "d", 3.0)]
+    # unreachable pair -> empty
+    assert kg.shortest_path_weight(("City", "d"), ("City", "a")).collect() \
+        == []
+
+
 def test_closeness_path_graph(spark):
     from kgforge.plans.graph_query import closeness_centrality
 
