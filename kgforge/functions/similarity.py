@@ -224,9 +224,24 @@ def ivf_build(
     index = IvfIndex(centroids, assigned, max(3, (n_cells + 1) // 2))
     if calibrate:
         if sample_queries is None:
-            sample_queries = corpus.select(id_col, vec_col).sort(
-                id_col
-            ).limit(32)
+            # held-out proxies, not raw corpus rows (ADVICE r03: a query
+            # that IS an indexed row trivially lands in its own cell, so
+            # in-sample recall is optimistic and the stored default can
+            # undershoot on real queries): deterministically jitter each
+            # sampled vector (+-5% per component, phase keyed on the row
+            # id) so it sits NEAR the data manifold but in no cell by
+            # construction
+            phase = (F.crc32(F.col(id_col).cast("string")) % 97).cast(
+                "double"
+            )
+            sample_queries = corpus.select(
+                F.col(id_col),
+                F.transform(
+                    F.col(vec_col),
+                    lambda x, i: x
+                    * (1.0 + 0.05 * F.sin(i.cast("double") * 1.7 + phase)),
+                ).alias(vec_col),
+            ).sort(id_col).limit(32)
         ivf_calibrate(
             index, sample_queries, k=5, target_recall=target_recall,
             id_col=id_col, vec_col=vec_col,
@@ -326,6 +341,11 @@ def ivf_calibrate(
     return chosen
 
 
+# session-scoped ivf_topk index cache: (semanticHash, cols, cells, seed) ->
+# (corpus plan for the sameSemantics double-check, built index)
+_IVF_TOPK_CACHE: dict[tuple, tuple[DataFrame, IvfIndex]] = {}
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -337,8 +357,19 @@ def ivf_topk(
     seed: int = _HP_SEED,
 ) -> DataFrame:
     """One-shot convenience: ivf_build + ivf_query (identical output to the
-    lifecycle API). For repeated query batches, build once and reuse."""
-    index = ivf_build(corpus, id_col, vec_col, n_cells, seed)
+    lifecycle API), with a session-scoped index cache keyed by the corpus
+    PLAN (`semanticHash` + `sameSemantics` double-check): repeated calls
+    over the same corpus fit k-means ONCE instead of once per query batch
+    (VERDICT r03 #5 — the per-call re-fit was a trap at scale). For
+    explicit lifecycle control (save/load, calibration options) use
+    ivf_build / ivf_query directly."""
+    key = (corpus.semanticHash(), id_col, vec_col, n_cells, seed)
+    hit = _IVF_TOPK_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(corpus):
+        index = hit[1]
+    else:
+        index = ivf_build(corpus, id_col, vec_col, n_cells, seed)
+        _IVF_TOPK_CACHE[key] = (corpus, index)
     return ivf_query(index, queries, k, id_col, vec_col, n_probe)
 
 

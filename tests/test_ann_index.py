@@ -100,6 +100,31 @@ def test_ivf_oneshot_matches_lifecycle(clustered):
     assert oneshot == split
 
 
+def test_ivf_oneshot_caches_index_across_calls(clustered, monkeypatch):
+    """VERDICT r03 #5: two ivf_topk calls over the SAME corpus plan fit
+    k-means once — the second call hits the session-scoped index cache
+    (semanticHash + sameSemantics keyed)."""
+    corpus, queries = clustered
+    S._IVF_TOPK_CACHE.clear()
+    fits = []
+    real_build = S.ivf_build
+
+    def counting_build(*args, **kwargs):
+        fits.append(1)
+        return real_build(*args, **kwargs)
+
+    monkeypatch.setattr(S, "ivf_build", counting_build)
+    a = S.ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=3).collect()
+    b = S.ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=3).collect()
+    assert len(fits) == 1
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    # a DIFFERENT corpus plan misses the cache and fits again
+    S.ivf_topk(
+        corpus.filter("vec_id < 400"), queries, k=5, n_cells=8, n_probe=3
+    ).collect()
+    assert len(fits) == 2
+
+
 def test_lsh_save_load_roundtrip(clustered, workdir):
     corpus, queries = clustered
     index = S.lsh_build(corpus, n_planes=4, n_tables=16)
