@@ -61,17 +61,31 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return (raw / np.uint32(0xFFFFFFFF)).astype(np.float32)
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, fake: bool = True, kernel=None
+) -> DataFrame:
     """media(media_id, payload binary, meta MEDIA_META) -> FEATURES_SCHEMA.
 
     Arrow-batched mapInPandas: each batch is a pandas DataFrame; the payload
     column arrives as raw bytes objects, features leave as list<float>.
+
+    `kernel` is the PUBLIC DECODE SEAM (VERDICT r03 #8): a callable
+    ``(payload: bytes, meta: dict) -> 1-D float sequence`` executed inside
+    the Arrow batch loop (bytes and metadata arrive together, transfer
+    stays batch-vectorized). Default: the stubbed `decode_image` (honoring
+    `fake`). Swapping in a real PIL/ffmpeg decoder later is
+    ``extract_features(df, kernel=my_decode)`` — the contract test in
+    tests/test_multimodal.py pins the seam's types and shapes.
     """
+    if kernel is None:
+        def kernel(payload: bytes, meta: dict):
+            return decode_image(payload, fake=fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_image(p, fake=fake).tolist() for p in pdf["payload"]
+                np.asarray(kernel(p, m), dtype=np.float32).tolist()
+                for p, m in zip(pdf["payload"], pdf["meta"])
             ]
             yield pd.DataFrame(
                 {
