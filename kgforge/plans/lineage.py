@@ -32,7 +32,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 STAGE_COMPLETE = "stage_complete"
+# Per-partition counter rows carry WHICH counting mode produced them
+# (ADVICE r03: the footer path keys on the writer's file part index, the
+# scan fallback on spark_partition_id of the re-read — different
+# numberings, so rows from the two modes must not be compared as if
+# interchangeable; totals agree either way). `PARTITION` stays the shared
+# prefix for filters that only need "any per-partition row".
 PARTITION = "partition"
+PARTITION_FOOTER = "partition_footer"
+PARTITION_SCAN = "partition_scan"
 
 
 def _footer_counts(path: str) -> dict[str, int] | None:
@@ -150,11 +158,13 @@ class RunContext:
         out = self.spark.read.parquet(path)
         footer = _footer_counts(path)
         if footer is not None:
+            mode = PARTITION_FOOTER
             per_part: dict[int, int] = {}
             for p, c in footer.items():
                 idx = _part_index(p)
                 per_part[idx] = per_part.get(idx, 0) + c
         else:  # metadata unreachable -> the old one-pass scan
+            mode = PARTITION_SCAN
             per_part = {
                 int(r["partition_id"]): int(r["count"])
                 for r in out.groupBy(
@@ -165,7 +175,7 @@ class RunContext:
             }
         now = time.time()
         rows = [
-            (self.run_id, name, pid, c, wall_ms, PARTITION, now)
+            (self.run_id, name, pid, c, wall_ms, mode, now)
             for pid, c in sorted(per_part.items())
         ]
         total = sum(per_part.values())

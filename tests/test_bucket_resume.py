@@ -94,11 +94,23 @@ def test_footer_counters_match_scan(spark, workdir):
         num_partitions=4,
     )
     lin = ctx.lineage()
+    # per-partition rows are tagged with the counting mode that produced
+    # them (ADVICE r03: footer file-part indexes and scan partition ids
+    # are different numberings) — local files have readable footers
     parts = {
         r.partition_id: r.rows
-        for r in lin.filter(F.col("status") == "partition").collect()
+        for r in lin.filter(
+            F.col("status").startswith("partition")
+        ).collect()
     }
     assert sum(parts.values()) == 1000
+    modes = {
+        r.status
+        for r in lin.filter(
+            F.col("status").startswith("partition")
+        ).collect()
+    }
+    assert modes == {"partition_footer"}
     total = lin.filter(F.col("status") == "stage_complete").collect()
     assert len(total) == 1 and total[0].rows == 1000
     # per-file footer counts == per-file scan counts (the old method)
