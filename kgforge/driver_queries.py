@@ -2207,6 +2207,60 @@ def cypher_rel_alternation(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_collect",
+    oracle="""
+    SELECT r_name AS region,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           count(*)::BIGINT AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY region
+    """,
+)
+def cypher_collect(spark, sf_dir):
+    """openCypher collect() — the list aggregate ubiquitous in generated
+    queries ("return X and all its Ys"). The executor sorts the list for
+    determinism; the gate projects it through concat_ws so the
+    cross-engine compare is over a stable string (DuckDB lists and Spark
+    arrays differ in harness representation)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    empty = F.create_map().cast("map<string,string>")
+    nodes = nation.select(
+        F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+        F.lit("Nation").alias("label"),
+        F.col("n_name").alias("key"),
+        empty.alias("props"),
+    ).unionByName(
+        region.select(
+            F.xxhash64(F.lit("Region"), "r_name").alias("node_id"),
+            F.lit("Region").alias("label"),
+            F.col("r_name").alias("key"),
+            empty.alias("props"),
+        )
+    )
+    edges = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.xxhash64(F.lit("Nation"), "n_name").alias("src_id"),
+        F.lit("IN").alias("label"),
+        F.xxhash64(F.lit("Region"), "r_name").alias("dst_id"),
+        empty.alias("props"),
+    )
+    out = run_cypher(
+        "MATCH (n:Nation)-[:IN]->(r:Region) "
+        "RETURN r AS region, collect(n) AS nations, count(n) AS n "
+        "ORDER BY region",
+        nodes,
+        edges,
+    )
+    return out.select(
+        "region", F.concat_ws("|", "nations").alias("nations"), "n"
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

@@ -74,6 +74,10 @@ Semantics and scope:
   numeric aggregates `sum/avg/min/max(var.prop)` (props try_cast to
   double) aggregate, grouped by the non-aggregate return items (Cypher's
   implicit grouping); the same functions work over WITH columns.
+  ``collect(var)`` / ``collect(var.prop)`` / ``collect(DISTINCT …)``
+  aggregate into a list, NULLs skipped (openCypher parity); the list is
+  SORTED — Cypher leaves collect order unspecified, a deterministic order
+  keeps results reproducible and engine-comparable (documented deviation).
 - property comparisons against numeric literals compare numerically
   (props store strings; `try_cast` double), string literals compare as
   strings.
@@ -151,7 +155,8 @@ _IN_COND = re.compile(
     r"(\w+)\.(\w+)\s+IN\s+\[(.*)\]", re.IGNORECASE | re.DOTALL
 )
 _RET_ITEM = re.compile(
-    r"^(?:(count|sum|avg|min|max)\s*\(\s*(DISTINCT\s+)?(\*|\w+(?:\.\w+)?)\s*\)"
+    r"^(?:(count|sum|avg|min|max|collect)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|\w+(?:\.\w+)?)\s*\)"
     r"|(length)\s*\(\s*(\w+)\s*\)"
     r"|(\w+)(?:\.(\w+))?)"
     r"(?:\s+AS\s+(\w+))?$",
@@ -965,10 +970,21 @@ def run_cypher(
                                 f"unknown column {arg!r} after WITH"
                             )
                         aggs.append((name, c.cast("long")))
+                    elif fnl == "collect":
+                        if arg == "*" or arg not in columns_ns:
+                            raise CypherUnsupported(
+                                f"unknown column {arg!r} after WITH"
+                            )
+                        c = (
+                            F.collect_set(arg) if cnt_distinct
+                            else F.collect_list(arg)
+                        )
+                        aggs.append((name, F.sort_array(c)))
                     else:
                         if cnt_distinct:
                             raise CypherUnsupported(
-                                "DISTINCT is only supported with count()"
+                                "DISTINCT is only supported with count() "
+                                "and collect()"
                             )
                         if arg == "*" or arg not in columns_ns:
                             raise CypherUnsupported(
@@ -995,14 +1011,43 @@ def run_cypher(
             elif cnt:
                 fnl = cnt.lower()
                 arg = cnt_arg.strip()
-                if (fnl == "count" and not cnt_distinct) or fnl in (
-                    "sum", "avg",
-                ):
+                if (
+                    fnl in ("count", "collect") and not cnt_distinct
+                ) or fnl in ("sum", "avg"):
                     unsafe_aggs.append(item.strip())
                 name = alias or (
                     f"{fnl}_{arg.replace('.', '_').replace('*', 'all')}"
                 )
-                if fnl == "count":
+                if fnl == "collect":
+                    # openCypher collect(x) -> list; rows with NULL x are
+                    # skipped (collect_list/collect_set parity). The list
+                    # is SORTED — Cypher leaves the order unspecified, a
+                    # deterministic order makes results reproducible and
+                    # engine-comparable (documented deviation).
+                    if arg == "*":
+                        raise CypherUnsupported("collect(*) is not Cypher")
+                    v, _, p = arg.partition(".")
+                    if p:
+                        target = prop_col(v, p)
+                    elif v in extra:
+                        target = F.col(v)
+                    elif v in rel_vars:
+                        raise CypherUnsupported(
+                            "collect a relationship property "
+                            f"({v}.prop), not the bare relationship"
+                        )
+                    else:
+                        if v not in var_specs:
+                            raise CypherUnsupported(
+                                f"unknown variable {v!r}"
+                            )
+                        target = F.col(f"{v}__key")
+                    c = (
+                        F.collect_set(target) if cnt_distinct
+                        else F.collect_list(target)
+                    )
+                    aggs.append((name, F.sort_array(c)))
+                elif fnl == "count":
                     if arg == "*":
                         c = F.count("*")
                     else:
@@ -1028,7 +1073,8 @@ def run_cypher(
                 else:
                     if cnt_distinct:
                         raise CypherUnsupported(
-                            "DISTINCT is only supported with count()"
+                            "DISTINCT is only supported with count() "
+                            "and collect()"
                         )
                     v, _, p = arg.partition(".")
                     if not p:
@@ -1169,10 +1215,24 @@ def run_cypher(
                             else F.count(target)
                         )
                     aggs.append((name, c.cast("long")))
+                elif fnl == "collect":
+                    v, _, p = arg.partition(".")
+                    if arg == "*" or (not p and v not in var_specs):
+                        raise CypherUnsupported(
+                            f"collect() takes a variable or property, "
+                            f"got {arg!r}"
+                        )
+                    target = prop_col(v, p) if p else F.col(f"{v}__key")
+                    c = (
+                        F.collect_set(target) if cnt_distinct
+                        else F.collect_list(target)
+                    )
+                    aggs.append((name, F.sort_array(c)))
                 else:
                     if cnt_distinct:
                         raise CypherUnsupported(
-                            "DISTINCT is only supported with count()"
+                            "DISTINCT is only supported with count() "
+                            "and collect()"
                         )
                     v, _, p = arg.partition(".")
                     if not p:

@@ -589,6 +589,53 @@ def test_new_subset_boundaries_raise(movie_graph):
         )
 
 
+def test_collect_aggregate(movie_graph):
+    """openCypher collect(): list aggregate, NULLs skipped, sorted for
+    determinism (documented deviation — Cypher leaves order unspecified)."""
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+        "RETURN p, collect(m) AS movies ORDER BY p",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.movies) for r in out] == [
+        ("alice", ["m1", "m2"]), ("bob", ["m1"]),
+    ]
+    out = run_cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+        "RETURN collect(DISTINCT m) AS ms",
+        nodes, edges,
+    ).collect()
+    assert out[0].ms == ["m1", "m2"]
+    out = run_cypher(
+        "MATCH (p:Person)-[r:ACTED_IN]->(m:Movie) "
+        "RETURN m, collect(r.role) AS roles ORDER BY m",
+        nodes, edges,
+    ).collect()
+    assert [(r.m, r.roles) for r in out] == [
+        ("m1", ["Agent", "Neo"]), ("m2", ["Neo2"]),
+    ]
+
+
+def test_collect_after_with_and_through_carry(movie_graph):
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+        "WITH p AS person, count(m) AS n "
+        "RETURN collect(person) AS people, max(n) AS top",
+        nodes, edges,
+    ).collect()
+    assert out[0].people == ["alice", "bob"] and out[0].top == 2.0
+    # collect computed in the WITH stage survives a MATCH-after-WITH
+    out = run_cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+        "WITH p, collect(m) AS ms "
+        "MATCH (p)-[:KNOWS]->(q:Person) RETURN p, q, ms",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.q, r.ms) for r in out] == [("alice", "bob", ["m1", "m2"])]
+
+
 def test_numeric_aggregates(graph):
     nodes, edges = graph
     out = run_cypher(
