@@ -2208,6 +2208,38 @@ def cypher_rel_alternation(spark, sf_dir):
 
 
 @_q(
+    "cypher_chained_with",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT p.n::BIGINT AS n, count(*)::BIGINT AS nf
+    FROM per_cust p JOIN orders o
+      ON o.o_custkey = p.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY p.n ORDER BY n
+    """,
+)
+def cypher_chained_with(spark, sf_dir):
+    """Chained WITH stages (aggregate -> expand -> re-aggregate, three
+    pipeline stages): per-customer order counts, re-matched against
+    finished orders, then re-grouped BY THE CARRIED AGGREGATE (n) — the
+    second grouping key is a plain column from the first boundary, not a
+    node. Oracle = the equivalent two-level CTE aggregation."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_order_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o) AS n "
+        "MATCH (c)-[r:PLACED]->(o2:Order) WHERE r.status = 'F' "
+        "WITH n, count(o2) AS nf "
+        "RETURN n, nf ORDER BY n",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_collect",
     oracle="""
     SELECT r_name AS region,

@@ -44,14 +44,17 @@ Semantics and scope:
   match-time semantics — while a WHERE after a plain MATCH filters the
   joined plan. Unmatched rows carry NULL keys/props, so ``count(e)``
   over an optional var skips them (Cypher parity).
-- one ``WITH`` clause (aggregating or plain projection) pipelines into
-  RETURN; a WHERE after WITH is the HAVING idiom, filtering on the
+- ``WITH`` boundaries split the query into a PIPELINE of stages, any
+  number of them (``MATCH … WITH … MATCH … WITH … RETURN``). A WHERE
+  directly after a WITH is the HAVING idiom, filtering on the
   WITH-produced columns. ``MATCH`` after WITH (the LLM-generated
   "aggregate then expand" shape) joins the new pattern onto the WITH
   output: bare node vars carry their identity through the WITH and
-  become the join keys; WITH aggregates stay referable in the final
-  RETURN. Only carried vars survive the WITH (Cypher scoping); a new
-  label/props constraint on a carried var raises.
+  become the join keys; WITH aggregates stay referable bare (and inside
+  aggregates) in every later stage and in RETURN. Only carried vars
+  survive a WITH (Cypher scoping); a new label/props constraint on a
+  carried var raises. OPTIONAL MATCH is only allowed before the first
+  WITH.
 - variable-length legs ``-[:R*m..n]->`` compile to bounded iterative
   frontier expansion (the bfs_distances shape from plans/graph_query:
   per-level equi-join + dropDuplicates + localCheckpoint, early exit on a
@@ -401,56 +404,60 @@ def run_cypher(
 ) -> DataFrame:
     """Execute a read-only Cypher query against the graph tables."""
     # ---- ordered clause scan: WHERE binds to the clause it follows ----
-    required_matches: list[str] = []
-    required_wheres: list[str] = []
-    optional_groups: list[tuple[str, list[str]]] = []
-    with_text: str | None = None
-    with_wheres: list[str] = []
-    post_matches: list[str] = []  # MATCH clauses AFTER the WITH stage
-    post_wheres: list[str] = []
+    # The query is a PIPELINE of segments separated by WITH boundaries:
+    # each segment holds its MATCH/WHERE/OPTIONAL-MATCH clauses and ends
+    # at its WITH (the final segment has none and flows into RETURN).
+    # `MATCH … WITH … MATCH … WITH … RETURN` is any number of stages
+    # (VERDICT r03: "aggregate then expand", chained).
+    def _fresh_seg() -> dict:
+        return {
+            "matches": [], "wheres": [], "optionals": [],
+            "with": None, "with_wheres": [],
+        }
+
+    segments: list[dict] = [_fresh_seg()]
     ret_parts: list[str] = []
     order_texts: list[str] = []
     limit_text: str | None = None
     skip_text: str | None = None
     ctx = None
     for kw, body in _split_clauses(cypher):
+        seg = segments[-1]
         if kw == "MATCH":
-            if with_text is not None:
-                # "aggregate then expand" (VERDICT r03 #3): the WITH
-                # output becomes a bound relation the next MATCH joins
-                post_matches.append(body)
-                ctx = "post"
-            elif optional_groups:
+            if seg["with"] is not None:
+                segments.append(_fresh_seg())
+                seg = segments[-1]
+            if seg["optionals"]:
                 raise CypherUnsupported(
                     "MATCH after OPTIONAL MATCH is out of subset"
                 )
-            else:
-                required_matches.append(body)
-                ctx = "required"
+            seg["matches"].append(body)
+            ctx = "match"
         elif kw == "OPTIONAL_MATCH":
-            if with_text is not None:
+            if len(segments) > 1 or seg["with"] is not None:
                 raise CypherUnsupported(
                     "OPTIONAL MATCH after WITH is out of subset"
                 )
-            optional_groups.append((body, []))
+            seg["optionals"].append((body, []))
             ctx = "optional"
         elif kw == "WHERE":
-            if ctx == "required":
-                required_wheres.append(body)
+            if ctx == "match":
+                seg["wheres"].append(body)
             elif ctx == "optional":
-                optional_groups[-1][1].append(body)
+                seg["optionals"][-1][1].append(body)
             elif ctx == "with":
-                with_wheres.append(body)
-            elif ctx == "post":
-                post_wheres.append(body)
+                seg["with_wheres"].append(body)
             else:
                 raise CypherUnsupported(
                     "WHERE must follow MATCH, OPTIONAL MATCH or WITH"
                 )
         elif kw == "WITH":
-            if with_text is not None:
-                raise CypherUnsupported("only one WITH clause is supported")
-            with_text = body
+            if seg["with"] is not None:
+                # chained WITH with no MATCH between: a projection-only
+                # segment
+                segments.append(_fresh_seg())
+                seg = segments[-1]
+            seg["with"] = body
             ctx = "with"
         elif kw == "RETURN":
             ret_parts.append(body)
@@ -461,7 +468,7 @@ def run_cypher(
             limit_text = body
         elif kw == "SKIP":
             skip_text = body
-    if not required_matches or not ret_parts:
+    if not segments[0]["matches"] or not ret_parts:
         raise CypherUnsupported("only MATCH ... RETURN queries are executed")
 
     counter = iter(range(10_000))
@@ -563,7 +570,7 @@ def run_cypher(
 
     pattern_groups: list[list[str]] = []
     all_legs: list[tuple] = []
-    for match_text in required_matches:
+    for match_text in segments[0]["matches"]:
         groups, legs = parse_patterns(match_text)
         pattern_groups.extend(groups)
         all_legs.extend(legs)
@@ -867,10 +874,10 @@ def run_cypher(
         return df
 
     bound_rels = {leg[4] for leg in all_legs if leg[4] is not None}
-    plan = apply_conds(plan, required_wheres, bound | bound_rels)
+    plan = apply_conds(plan, segments[0]["wheres"], bound | bound_rels)
 
     # ---- OPTIONAL MATCH: left-join each optional group ----------------
-    for opt_text, opt_wheres in optional_groups:
+    for opt_text, opt_wheres in segments[0]["optionals"]:
         known_before = set(bound)
         groups, legs = parse_patterns(opt_text, allow_shortest=False)
         if any(leg[3] is not None for leg in legs):
@@ -1136,10 +1143,12 @@ def run_cypher(
         return out
 
     # ---- WITH (aggregate / project, then HAVING-style WHERE) ----------
-    def apply_having(df: DataFrame, having_ns: set[str]) -> DataFrame:
+    def apply_having(
+        df: DataFrame, where_texts: list[str], having_ns: set[str]
+    ) -> DataFrame:
         """A WHERE directly after WITH filters on the WITH-produced
         columns (the HAVING idiom)."""
-        for wt in with_wheres:
+        for wt in where_texts:
             for cond_text in _split_keyword(wt, r"\bAND\b"):
                 cond_text = cond_text.strip()
                 if not cond_text:
@@ -1160,15 +1169,20 @@ def run_cypher(
                 df = df.filter(_OPS[op](col, val))
         return df
 
-    def compile_with_carry(df: DataFrame, text: str):
-        """WITH that pipelines into a further MATCH (VERDICT r03 #3,
-        the 'aggregate then expand' shape): bare node vars are carried
-        WITH IDENTITY (__id/__key/__props columns, renamed by AS) so the
-        next MATCH's legs equi-join on them; aggregates and property
-        projections become plain columns. Cypher grouping: one row per
-        distinct combination of the non-aggregate items — node vars group
-        by identity; their props ride along via first() (maps are not
-        orderable, so they cannot be group keys).
+    def compile_with_carry(
+        df: DataFrame, text: str,
+        extra: frozenset[str] | set[str] = frozenset(),
+    ):
+        """WITH that pipelines into a further stage (VERDICT r03 #3,
+        the 'aggregate then expand' shape, chained): bare node vars are
+        carried WITH IDENTITY (__id/__key/__props columns, renamed by AS)
+        so the next MATCH's legs equi-join on them; aggregates and
+        property projections become plain columns. `extra` names plain
+        columns produced by an EARLIER WITH boundary — referable bare or
+        inside aggregates, and passed through when projected. Cypher
+        grouping: one row per distinct combination of the non-aggregate
+        items — node vars group by identity; their props ride along via
+        first() (maps are not orderable, so they cannot be group keys).
         Returns (df, carried-var set, plain-column set)."""
         if path_vars:
             raise CypherUnsupported(
@@ -1204,6 +1218,8 @@ def run_cypher(
                             target = prop_col(v, p)
                         elif v in rel_vars:
                             target = F.col(f"{v}__props")
+                        elif v in extra:
+                            target = F.col(v)
                         else:
                             if v not in var_specs:
                                 raise CypherUnsupported(
@@ -1217,12 +1233,19 @@ def run_cypher(
                     aggs.append((name, c.cast("long")))
                 elif fnl == "collect":
                     v, _, p = arg.partition(".")
-                    if arg == "*" or (not p and v not in var_specs):
+                    if arg == "*" or (
+                        not p and v not in var_specs and v not in extra
+                    ):
                         raise CypherUnsupported(
                             f"collect() takes a variable or property, "
                             f"got {arg!r}"
                         )
-                    target = prop_col(v, p) if p else F.col(f"{v}__key")
+                    if p:
+                        target = prop_col(v, p)
+                    elif v in extra:
+                        target = F.col(v)
+                    else:
+                        target = F.col(f"{v}__key")
                     c = (
                         F.collect_set(target) if cnt_distinct
                         else F.collect_list(target)
@@ -1236,6 +1259,12 @@ def run_cypher(
                         )
                     v, _, p = arg.partition(".")
                     if not p:
+                        if v in extra:
+                            aggs.append(
+                                (name,
+                                 _NUM_AGGS[fnl](F.col(v).try_cast("double")))
+                            )
+                            continue
                         raise CypherUnsupported(
                             f"{fnl}() takes a property (var.prop), got {arg!r}"
                         )
@@ -1250,9 +1279,13 @@ def run_cypher(
                     raise CypherUnsupported(
                         "relationship variables do not survive WITH"
                     )
-                if var not in var_specs:
+                if var in extra:
+                    # a plain column from an earlier WITH passes through
+                    plain.append((alias or var, F.col(var)))
+                elif var not in var_specs:
                     raise CypherUnsupported(f"unknown variable {var!r}")
-                carried[alias or var] = var
+                else:
+                    carried[alias or var] = var
         group_cols = []
         for newv, oldv in carried.items():
             group_cols.append(F.col(f"{oldv}__id").alias(f"{newv}__id"))
@@ -1282,39 +1315,57 @@ def run_cypher(
         rel_vars.clear()
         return out, set(carried), {n for n, _ in plain} | {n for n, _ in aggs}
 
+    # ---- the WITH-separated stage pipeline -----------------------------
+    # segment 0's plan is already built above; each later segment is
+    # entered through its predecessor's WITH boundary: CARRY mode when
+    # more matching follows (node vars keep identity), plain-columns mode
+    # when the last WITH feeds RETURN directly.
     ns: set[str] | None = None
     extra_cols: set[str] = set()
-    if with_text is not None and post_matches:
-        plan, carried_vars, extra_cols = compile_with_carry(plan, with_text)
-        plan = apply_having(plan, extra_cols)
-        # ---- MATCH after WITH: join new patterns onto the carried rel --
-        snapshot = {v: var_specs[v] for v in carried_vars}
-        post_groups: list[list[str]] = []
-        post_legs: list[tuple] = []
-        for match_text in post_matches:
-            groups, legs = parse_patterns(match_text, allow_shortest=False)
-            post_groups.extend(groups)
-            post_legs.extend(legs)
-        for v in carried_vars:
-            if var_specs[v] != snapshot[v]:
-                # node_df would not re-run for an already-bound var, so a
-                # new label / inline-prop constraint would be silently
-                # dropped — refuse instead
-                raise CypherUnsupported(
-                    f"new label/props on carried variable {v!r} after WITH"
+    carried_vars: set[str] = set()
+    for i, seg in enumerate(segments):
+        if i > 0:
+            # join this segment's patterns onto the carried relation
+            snapshot = {v: var_specs[v] for v in carried_vars}
+            seg_groups: list[list[str]] = []
+            seg_legs: list[tuple] = []
+            for match_text in seg["matches"]:
+                groups, legs = parse_patterns(
+                    match_text, allow_shortest=False
                 )
-        post_bound = set(carried_vars)
-        if not post_bound:
-            first = post_groups[0][0]
-            plan = plan.crossJoin(node_df(first))
-            post_bound.add(first)
-        plan = assemble(plan, post_bound, post_groups, post_legs)
-        post_rels = {leg[4] for leg in post_legs if leg[4] is not None}
-        plan = apply_conds(plan, post_wheres, post_bound | post_rels)
-    elif with_text is not None:
-        plan = compile_projection(plan, with_text, None)
-        ns = set(plan.columns)
-        plan = apply_having(plan, ns)
+                seg_groups.extend(groups)
+                seg_legs.extend(legs)
+            for v in carried_vars:
+                if var_specs[v] != snapshot[v]:
+                    # node_df would not re-run for an already-bound var,
+                    # so a new label / inline-prop constraint would be
+                    # silently dropped — refuse instead
+                    raise CypherUnsupported(
+                        f"new label/props on carried variable {v!r} "
+                        "after WITH"
+                    )
+            seg_bound = set(carried_vars)
+            if seg_groups and not seg_bound:
+                first = seg_groups[0][0]
+                plan = plan.crossJoin(node_df(first))
+                seg_bound.add(first)
+            if seg_legs or seg_groups:
+                plan = assemble(plan, seg_bound, seg_groups, seg_legs)
+            seg_rels = {leg[4] for leg in seg_legs if leg[4] is not None}
+            plan = apply_conds(plan, seg["wheres"], seg_bound | seg_rels)
+        wt = seg["with"]
+        if wt is None:
+            continue  # final segment flows into RETURN
+        if i < len(segments) - 1:
+            plan, carried_vars, extra_cols = compile_with_carry(
+                plan, wt, extra_cols
+            )
+            plan = apply_having(plan, seg["with_wheres"], extra_cols)
+        else:
+            # last WITH feeds RETURN directly: plain-columns namespace
+            plan = compile_projection(plan, wt, None, extra_cols)
+            ns = set(plan.columns)
+            plan = apply_having(plan, seg["with_wheres"], ns)
 
     # ---- RETURN -------------------------------------------------------
     out = compile_projection(plan, " ".join(ret_parts), ns, extra_cols)

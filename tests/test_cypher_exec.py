@@ -885,6 +885,44 @@ def test_match_after_with_alias_and_aggregation_over_carried(graph):
     assert [(r.e, r.total) for r in out] == [("Open 1", 4.0)]
 
 
+def test_chained_stages_match_with_match_with(graph):
+    """Any number of WITH-separated stages: aggregate, expand, aggregate
+    again — the final WITH feeds RETURN as a plain-column namespace."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f, count(x) AS nf "
+        "MATCH (f)-[:FOUGHT_IN]->(y:Fight)-[:PART_OF]->(e:Event) "
+        "WITH e, sum(nf) AS total, count(y) AS m "
+        "RETURN e, total, m",
+        nodes, edges,
+    ).collect()
+    assert [(r.e, r.total, r.m) for r in out] == [("Open 1", 6.0, 4)]
+
+
+def test_chained_stages_extra_column_passthrough(movie_graph):
+    """A plain column produced by an earlier WITH survives later carry
+    boundaries and stays referable at the end."""
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) WITH p, count(m) AS n "
+        "MATCH (p)-[:KNOWS]->(q:Person) WITH q, n "
+        "MATCH (q)-[:ACTED_IN]->(m2:Movie) "
+        "RETURN q, n, count(m2) AS k",
+        nodes, edges,
+    ).collect()
+    assert [(r.q, r.n, r.k) for r in out] == [("bob", 2, 1)]
+
+
+def test_chained_with_without_match_between(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WITH f.wins AS w WITH max(w) AS mx RETURN mx",
+        nodes, edges,
+    ).collect()
+    assert [r.mx for r in out] == [12.0]
+
+
 def test_match_after_with_scoping(graph):
     nodes, edges = graph
     # a var NOT carried through WITH is fresh after it: `x` below is a
