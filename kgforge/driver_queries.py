@@ -2240,6 +2240,40 @@ def cypher_chained_with(spark, sf_dir):
 
 
 @_q(
+    "cypher_opt_after_with",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey, count(*) AS n
+      FROM orders GROUP BY 1 HAVING count(*) <= 5
+    )
+    SELECT 'C' || b.o_custkey::VARCHAR AS cust, b.n::BIGINT AS n,
+           count(o.o_orderkey)::BIGINT AS np
+    FROM big b LEFT JOIN orders o
+      ON o.o_custkey = b.o_custkey AND o.o_orderstatus = 'P'
+    GROUP BY 1, 2 ORDER BY cust
+    """,
+)
+def cypher_opt_after_with(spark, sf_dir):
+    """OPTIONAL MATCH after WITH — "filter by aggregate, then optionally
+    expand": LOW-volume customers (<= 5 orders) left-joined against
+    their in-Progress orders — at that volume ~1/4 of the group has no P
+    order at all, so the gate exercises both join sides (count 0 rows
+    survive). Oracle = CTE + LEFT JOIN with the match-time predicate in
+    the join condition."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_order_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o) AS n WHERE n <= 5 "
+        "OPTIONAL MATCH (c)-[r:PLACED]->(o2:Order) WHERE r.status = 'P' "
+        "RETURN c AS cust, n, count(o2) AS np ORDER BY cust",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_collect",
     oracle="""
     SELECT r_name AS region,

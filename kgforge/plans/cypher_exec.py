@@ -53,8 +53,9 @@ Semantics and scope:
   become the join keys; WITH aggregates stay referable bare (and inside
   aggregates) in every later stage and in RETURN. Only carried vars
   survive a WITH (Cypher scoping); a new label/props constraint on a
-  carried var raises. OPTIONAL MATCH is only allowed before the first
-  WITH.
+  carried var raises. OPTIONAL MATCH works in any stage ("top-k then
+  optionally expand": the optional group left-joins onto the carried
+  relation).
 - variable-length legs ``-[:R*m..n]->`` compile to bounded iterative
   frontier expansion (the bfs_distances shape from plans/graph_query:
   per-level equi-join + dropDuplicates + localCheckpoint, early exit on a
@@ -434,10 +435,11 @@ def run_cypher(
             seg["matches"].append(body)
             ctx = "match"
         elif kw == "OPTIONAL_MATCH":
-            if len(segments) > 1 or seg["with"] is not None:
-                raise CypherUnsupported(
-                    "OPTIONAL MATCH after WITH is out of subset"
-                )
+            if seg["with"] is not None:
+                # "top-k then optionally expand": the optional group
+                # left-joins onto the carried relation of a later stage
+                segments.append(_fresh_seg())
+                seg = segments[-1]
             seg["optionals"].append((body, []))
             ctx = "optional"
         elif kw == "WHERE":
@@ -877,58 +879,69 @@ def run_cypher(
     plan = apply_conds(plan, segments[0]["wheres"], bound | bound_rels)
 
     # ---- OPTIONAL MATCH: left-join each optional group ----------------
-    for opt_text, opt_wheres in segments[0]["optionals"]:
-        known_before = set(bound)
-        groups, legs = parse_patterns(opt_text, allow_shortest=False)
-        if any(leg[3] is not None for leg in legs):
-            raise CypherUnsupported(
-                "variable-length legs inside OPTIONAL MATCH are out of subset"
+    def apply_optionals(
+        plan: DataFrame, known_vars: set[str], optionals
+    ) -> DataFrame:
+        """Left-join each optional pattern group onto the bound plan.
+        Shared variables (which may be WITH-carried vars in later stages)
+        are the join keys; a WHERE directly after the OPTIONAL MATCH
+        filters the optional side BEFORE the left join (Cypher match-time
+        semantics). Mutates `known_vars` with the optional vars."""
+        for opt_text, opt_wheres in optionals:
+            known_before = set(known_vars)
+            groups, legs = parse_patterns(opt_text, allow_shortest=False)
+            if any(leg[3] is not None for leg in legs):
+                raise CypherUnsupported(
+                    "variable-length legs inside OPTIONAL MATCH are out "
+                    "of subset"
+                )
+            opt_vars = {v for g in groups for v in g}
+            opt_rels = {leg[4] for leg in legs if leg[4] is not None}
+            shared = opt_vars & known_before
+            if not shared:
+                raise CypherUnsupported(
+                    "OPTIONAL MATCH must share a variable with the bound "
+                    "pattern"
+                )
+            sub_bound: set[str] = set()
+            seed_var = sorted(shared)[0]
+            sub = node_df(seed_var)
+            sub_bound.add(seed_var)
+            pend = list(enumerate(legs))
+            progress = True
+            while pend and progress:
+                progress = False
+                for item in list(pend):
+                    _idx, leg = item
+                    src, dst = leg[0], leg[2]
+                    if src in sub_bound or dst in sub_bound:
+                        e = leg_df(leg)
+                        join_keys = [
+                            f"{v}__id" for v in dict.fromkeys((src, dst))
+                            if v in sub_bound
+                        ]
+                        sub = sub.join(e, on=join_keys)
+                        for v in (src, dst):
+                            if v not in sub_bound:
+                                sub_bound.add(v)
+                                sub = sub.join(node_df(v), on=f"{v}__id")
+                        pend.remove(item)
+                        progress = True
+            if pend or sub_bound != opt_vars:
+                raise CypherUnsupported(
+                    "OPTIONAL MATCH pattern must be connected"
+                )
+            sub = apply_conds(sub, opt_wheres, opt_vars | opt_rels)
+            sub = sub.drop(
+                *[c for v in shared for c in (f"{v}__key", f"{v}__props")]
             )
-        opt_vars = {v for g in groups for v in g}
-        opt_rels = {leg[4] for leg in legs if leg[4] is not None}
-        shared = opt_vars & known_before
-        if not shared:
-            raise CypherUnsupported(
-                "OPTIONAL MATCH must share a variable with the bound pattern"
+            plan = plan.join(
+                sub, on=[f"{v}__id" for v in sorted(shared)], how="left"
             )
-        sub_bound: set[str] = set()
-        seed_var = sorted(shared)[0]
-        sub = node_df(seed_var)
-        sub_bound.add(seed_var)
-        pend = list(enumerate(legs))
-        progress = True
-        while pend and progress:
-            progress = False
-            for item in list(pend):
-                _idx, leg = item
-                src, dst = leg[0], leg[2]
-                if src in sub_bound or dst in sub_bound:
-                    e = leg_df(leg)
-                    join_keys = [
-                        f"{v}__id" for v in dict.fromkeys((src, dst))
-                        if v in sub_bound
-                    ]
-                    sub = sub.join(e, on=join_keys)
-                    for v in (src, dst):
-                        if v not in sub_bound:
-                            sub_bound.add(v)
-                            sub = sub.join(node_df(v), on=f"{v}__id")
-                    pend.remove(item)
-                    progress = True
-        if pend or sub_bound != opt_vars:
-            raise CypherUnsupported(
-                "OPTIONAL MATCH pattern must be connected"
-            )
-        # a WHERE after OPTIONAL MATCH filters the optional side BEFORE
-        # the left join (Cypher match-time semantics)
-        sub = apply_conds(sub, opt_wheres, opt_vars | opt_rels)
-        sub = sub.drop(
-            *[c for v in shared for c in (f"{v}__key", f"{v}__props")]
-        )
-        plan = plan.join(
-            sub, on=[f"{v}__id" for v in sorted(shared)], how="left"
-        )
-        bound |= opt_vars
+            known_vars |= opt_vars
+        return plan
+
+    plan = apply_optionals(plan, bound, segments[0]["optionals"])
 
     # ---- projection compiler (shared by WITH and RETURN) --------------
     def compile_projection(
@@ -1353,6 +1366,7 @@ def run_cypher(
                 plan = assemble(plan, seg_bound, seg_groups, seg_legs)
             seg_rels = {leg[4] for leg in seg_legs if leg[4] is not None}
             plan = apply_conds(plan, seg["wheres"], seg_bound | seg_rels)
+            plan = apply_optionals(plan, seg_bound, seg["optionals"])
         wt = seg["with"]
         if wt is None:
             continue  # final segment flows into RETURN

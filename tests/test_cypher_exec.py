@@ -220,10 +220,10 @@ def test_unsupported_shapes_raise(graph):
         run_cypher("MATCH (a)<-[:R]->(b) RETURN a", nodes, edges)
     with pytest.raises(CypherUnsupported):
         run_cypher("CREATE (a:X) RETURN a", nodes, edges)
-    with pytest.raises(CypherUnsupported):  # OPTIONAL MATCH after WITH
+    with pytest.raises(CypherUnsupported):  # MATCH after OPTIONAL MATCH
         run_cypher(
-            "MATCH (a:Fighter) WITH a "
-            "OPTIONAL MATCH (a)-[:FOUGHT_IN]->(f) RETURN a",
+            "MATCH (a:Fighter) OPTIONAL MATCH (a)-[:FOUGHT_IN]->(f) "
+            "MATCH (f)-[:PART_OF]->(e) RETURN a",
             nodes,
             edges,
         )
@@ -883,6 +883,32 @@ def test_match_after_with_alias_and_aggregation_over_carried(graph):
         nodes, edges,
     ).collect()
     assert [(r.e, r.total) for r in out] == [("Open 1", 4.0)]
+
+
+def test_optional_match_after_with(movie_graph):
+    """Top-k then optionally expand: the optional group left-joins onto
+    the carried relation; rows that match nothing keep NULLs."""
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+        "WITH p, count(m) AS n "
+        "OPTIONAL MATCH (p)-[:KNOWS]->(q:Person) "
+        "RETURN p, n, q ORDER BY p",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.n, r.q) for r in out] == [
+        ("alice", 2, "bob"), ("bob", 1, None),
+    ]
+    # match-time WHERE on the optional side still applies pre-join
+    out = run_cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+        "WITH p, count(m) AS n "
+        "OPTIONAL MATCH (p)-[r:ACTED_IN]->(m2:Movie) "
+        "WHERE m2.year = '2003' "
+        "RETURN p, n, count(m2) AS k ORDER BY p",
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.n, r.k) for r in out] == [("alice", 2, 1), ("bob", 1, 0)]
 
 
 def test_chained_stages_match_with_match_with(graph):
