@@ -2132,6 +2132,41 @@ def cypher_with_match(spark, sf_dir):
 
 
 @_q(
+    "cypher_with_topk",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, 'C' || o_custkey::VARCHAR AS cust, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    top AS (SELECT * FROM per ORDER BY n DESC, cust LIMIT 10)
+    SELECT t.cust, t.n::BIGINT AS n, count(*)::BIGINT AS n_f
+    FROM top t JOIN orders o
+      ON o.o_custkey = t.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY 1, 2 ORDER BY cust
+    """,
+)
+def cypher_with_topk(spark, sf_dir):
+    """WITH … ORDER BY … LIMIT at the stage boundary — top-k-then-expand,
+    THE LLM-generated shape for "find the top K X, then …". The LIMIT
+    truncates the INTERMEDIATE relation (top-10 customers by order count)
+    before the second MATCH re-expands; before r4 a boundary ORDER
+    BY/LIMIT silently bound to the final RETURN, limiting the wrong
+    relation. The tie-break on the unique customer key makes the top-10
+    deterministic cross-engine."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_order_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o) AS n ORDER BY n DESC, c LIMIT 10 "
+        "MATCH (c)-[r:PLACED]->(o2:Order) WHERE r.status = 'F' "
+        "RETURN c AS cust, n, count(o2) AS n_f ORDER BY cust",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_rel_alternation",
     oracle="""
     WITH links AS (

@@ -17,6 +17,7 @@ tables:
     WHERE (a.prop IN ['x', 'y'] OR b.rank >= 3) AND c.tag IS NOT NULL
     OPTIONAL MATCH (a)-[:R3]->(e:L4) [WHERE e.prop = 'z']
     WITH a, count(e) AS n [WHERE n >= 3]             -- aggregate + HAVING
+    WITH a, n ORDER BY n DESC, a LIMIT 5             -- top-k boundary
     MATCH (a)-[:R4]->(f:L5)                          -- aggregate-then-expand
     RETURN a, b.prop AS p, n  [DISTINCT]
     ORDER BY n DESC, p SKIP 5 LIMIT 10
@@ -55,7 +56,13 @@ Semantics and scope:
   survive a WITH (Cypher scoping); a new label/props constraint on a
   carried var raises. OPTIONAL MATCH works in any stage ("top-k then
   optionally expand": the optional group left-joins onto the carried
-  relation).
+  relation). ``ORDER BY … SKIP/LIMIT`` at a WITH boundary truncates the
+  intermediate relation (the top-k-then-expand shape); sort keys are
+  WITH columns, carried vars (by key), or carried ``var.prop``
+  (lexicographic — props are strings). ORDER BY with no SKIP/LIMIT at a
+  boundary is a documented no-op (intermediate order is unobservable:
+  collect() sorts, RETURN has its own ORDER BY); SKIP/LIMIT without
+  ORDER BY raises (nondeterministic row choice).
 - variable-length legs ``-[:R*m..n]->`` compile to bounded iterative
   frontier expansion (the bfs_distances shape from plans/graph_query:
   per-level equi-join + dropDuplicates + localCheckpoint, early exit on a
@@ -414,6 +421,7 @@ def run_cypher(
         return {
             "matches": [], "wheres": [], "optionals": [],
             "with": None, "with_wheres": [],
+            "with_order": [], "with_skip": None, "with_limit": None,
         }
 
     segments: list[dict] = [_fresh_seg()]
@@ -465,11 +473,32 @@ def run_cypher(
             ret_parts.append(body)
             ctx = "return"
         elif kw == "ORDER_BY":
-            order_texts.append(body)
+            # ORDER BY binds to the clause it follows: at a WITH boundary
+            # it orders the INTERMEDIATE relation (observable only through
+            # SKIP/LIMIT — the top-k-then-expand shape); after RETURN it
+            # orders the result. Anywhere else it is invalid Cypher —
+            # binding it globally would silently reorder/limit the WRONG
+            # relation.
+            if ctx == "with":
+                seg["with_order"].append(body)
+            elif ctx == "return":
+                order_texts.append(body)
+            else:
+                raise CypherUnsupported("ORDER BY must follow WITH or RETURN")
         elif kw == "LIMIT":
-            limit_text = body
+            if ctx == "with":
+                seg["with_limit"] = body
+            elif ctx == "return":
+                limit_text = body
+            else:
+                raise CypherUnsupported("LIMIT must follow WITH or RETURN")
         elif kw == "SKIP":
-            skip_text = body
+            if ctx == "with":
+                seg["with_skip"] = body
+            elif ctx == "return":
+                skip_text = body
+            else:
+                raise CypherUnsupported("SKIP must follow WITH or RETURN")
     if not segments[0]["matches"] or not ret_parts:
         raise CypherUnsupported("only MATCH ... RETURN queries are executed")
 
@@ -1182,6 +1211,67 @@ def run_cypher(
                 df = df.filter(_OPS[op](col, val))
         return df
 
+    def apply_with_order(
+        df: DataFrame, seg: dict,
+        carried: set[str], cols: set[str],
+    ) -> DataFrame:
+        """``WITH … ORDER BY … [SKIP s] [LIMIT k]`` — the boundary form of
+        top-k-then-expand. Sort keys may be WITH columns (aggregates /
+        plain projections), carried node vars (ordered by their key), or
+        carried ``var.prop`` (string props — lexicographic). An ORDER BY
+        with no SKIP/LIMIT is dropped: intermediate row order is not
+        observable downstream (collect() sorts, RETURN has its own ORDER
+        BY), and materializing it would be a pointless global sort at
+        scale. SKIP/LIMIT without ORDER BY is refused — openCypher allows
+        it but the row choice is engine-nondeterministic, which a
+        cross-engine gate (and any sane user) cannot want."""
+        skip, limit = seg["with_skip"], seg["with_limit"]
+        if not seg["with_order"]:
+            if skip is not None or limit is not None:
+                raise CypherUnsupported(
+                    "SKIP/LIMIT at a WITH boundary requires ORDER BY "
+                    "(row choice is nondeterministic without it)"
+                )
+            return df
+        if skip is None and limit is None:
+            return df  # unobservable intermediate order
+        order_cols = []
+        for text in seg["with_order"]:
+            for part in _split_top_commas(text):
+                om = re.fullmatch(
+                    r"(\w+)(?:\.(\w+))?(?:\s+(ASC|DESC))?",
+                    part.strip(), re.IGNORECASE,
+                )
+                if om is None:
+                    raise CypherUnsupported(f"bad ORDER BY item {part!r}")
+                var, prop, direction = om.groups()
+                if prop:
+                    if var not in carried:
+                        raise CypherUnsupported(
+                            f"ORDER BY {var}.{prop}: {var!r} is not a "
+                            "carried variable at this WITH boundary"
+                        )
+                    col = F.col(f"{var}__props").getItem(prop)
+                elif var in cols:
+                    col = F.col(var)
+                elif var in carried:
+                    col = F.col(f"{var}__key")
+                else:
+                    raise CypherUnsupported(
+                        "ORDER BY at a WITH boundary must use a WITH "
+                        f"column or carried variable: {part!r}"
+                    )
+                order_cols.append(
+                    col.desc() if (direction or "").upper() == "DESC"
+                    else col.asc()
+                )
+        out = df.orderBy(*order_cols)
+        if skip is not None:
+            out = out.offset(int(skip.strip()))
+        if limit is not None:
+            out = out.limit(int(limit.strip()))
+        return out
+
     def compile_with_carry(
         df: DataFrame, text: str,
         extra: frozenset[str] | set[str] = frozenset(),
@@ -1374,11 +1464,15 @@ def run_cypher(
             plan, carried_vars, extra_cols = compile_with_carry(
                 plan, wt, extra_cols
             )
+            # openCypher WITH grammar order: ORDER BY / SKIP / LIMIT
+            # apply before the trailing WHERE
+            plan = apply_with_order(plan, seg, carried_vars, extra_cols)
             plan = apply_having(plan, seg["with_wheres"], extra_cols)
         else:
             # last WITH feeds RETURN directly: plain-columns namespace
             plan = compile_projection(plan, wt, None, extra_cols)
             ns = set(plan.columns)
+            plan = apply_with_order(plan, seg, set(), ns)
             plan = apply_having(plan, seg["with_wheres"], ns)
 
     # ---- RETURN -------------------------------------------------------

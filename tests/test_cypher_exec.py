@@ -965,6 +965,9 @@ def test_match_after_with_scoping(graph):
             "WITH f MATCH (f:Fight) RETURN f",
             nodes, edges,
         )
+
+
+def test_case_insensitive_and_regex_compares(graph):
     nodes, edges = graph
     out = run_cypher(
         "MATCH (f:Fighter) WHERE toLower(f.name) = 'ana' RETURN f",
@@ -986,3 +989,75 @@ def test_match_after_with_scoping(graph):
         nodes, edges,
     ).collect()
     assert [r.f for r in out] == ["Ana", "Cy"]
+
+
+def test_with_order_limit_topk_then_expand(graph):
+    """WITH … ORDER BY … LIMIT truncates the INTERMEDIATE relation (the
+    top-k-then-expand shape) — not the final result. Before r4 the
+    boundary ORDER BY/LIMIT silently bound globally, limiting the WRONG
+    relation."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f, count(x) AS n ORDER BY n DESC, f LIMIT 1 "
+        "MATCH (f)-[:FOUGHT_IN]->(y:Fight)-[:PART_OF]->(e:Event) "
+        "RETURN f AS fighter, n, count(e) AS ev",
+        nodes, edges,
+    ).collect()
+    # Bo has 2 fights (top-1); both fights roll up to the one event
+    assert [(r.fighter, r.n, r.ev) for r in out] == [("Bo", 2, 2)]
+
+
+def test_with_order_skip_and_final_boundary(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f AS fighter, count(x) AS n ORDER BY n DESC, fighter SKIP 1 "
+        "LIMIT 2 RETURN fighter, n ORDER BY fighter",
+        nodes, edges,
+    ).collect()
+    assert [(r.fighter, r.n) for r in out] == [("Ana", 1), ("Cy", 1)]
+
+
+def test_with_order_by_carried_prop(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f, count(x) AS n ORDER BY f.name DESC LIMIT 1 "
+        "MATCH (f)-[:FOUGHT_IN]->(y:Fight) RETURN f AS fighter, n",
+        nodes, edges,
+    ).collect()
+    assert [(r.fighter, r.n) for r in out] == [("Cy", 1)]
+
+
+def test_with_order_without_limit_is_noop(graph):
+    """Documented deviation: intermediate ORDER BY with no SKIP/LIMIT is
+    dropped (row order is unobservable downstream; a global sort at a
+    boundary would be a pointless shuffle at scale)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f, count(x) AS n ORDER BY n DESC "
+        "MATCH (f)-[:FOUGHT_IN]->(y:Fight) RETURN count(y) AS total",
+        nodes, edges,
+    ).collect()
+    assert out[0].total == 4
+
+
+def test_with_limit_without_order_raises(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported, match="requires ORDER BY"):
+        run_cypher(
+            "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+            "WITH f, count(x) AS n LIMIT 1 "
+            "MATCH (f)-[:FOUGHT_IN]->(y:Fight) RETURN count(y) AS t",
+            nodes, edges,
+        )
+
+
+def test_order_by_outside_with_or_return_raises(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported, match="ORDER BY must follow"):
+        run_cypher("MATCH (f:Fighter) ORDER BY f RETURN f", nodes, edges)
+    with pytest.raises(CypherUnsupported, match="LIMIT must follow"):
+        run_cypher("MATCH (f:Fighter) LIMIT 2 RETURN f", nodes, edges)
