@@ -432,6 +432,13 @@ def run_cypher(
     ctx = None
     for kw, body in _split_clauses(cypher):
         seg = segments[-1]
+        if ctx == "return" and kw not in ("ORDER_BY", "LIMIT", "SKIP"):
+            # only ORDER BY / SKIP / LIMIT may follow RETURN — silently
+            # folding a trailing MATCH/WITH into the pipeline would
+            # execute a DIFFERENT query than the (malformed) input
+            raise CypherUnsupported(
+                f"{kw.replace('_', ' ')} after RETURN is not valid Cypher"
+            )
         if kw == "MATCH":
             if seg["with"] is not None:
                 segments.append(_fresh_seg())

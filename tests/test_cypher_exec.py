@@ -1061,3 +1061,22 @@ def test_order_by_outside_with_or_return_raises(graph):
         run_cypher("MATCH (f:Fighter) ORDER BY f RETURN f", nodes, edges)
     with pytest.raises(CypherUnsupported, match="LIMIT must follow"):
         run_cypher("MATCH (f:Fighter) LIMIT 2 RETURN f", nodes, edges)
+
+
+def test_clauses_after_return_raise(graph):
+    """Only ORDER BY / SKIP / LIMIT may follow RETURN: a trailing
+    MATCH/WITH/RETURN used to be silently folded into the pipeline,
+    executing a different query than the malformed input."""
+    nodes, edges = graph
+    for q in (
+        "MATCH (f:Fighter) RETURN f MATCH (x:Fight)",
+        "MATCH (f:Fighter) RETURN f WITH f",
+        "MATCH (f:Fighter) RETURN f RETURN f",
+    ):
+        with pytest.raises(CypherUnsupported, match="after RETURN"):
+            run_cypher(q, nodes, edges)
+    # swapped SKIP/ORDER BY after RETURN stays accepted (same semantics)
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN f SKIP 1 ORDER BY f", nodes, edges
+    ).collect()
+    assert [r.f for r in out] == ["Bo", "Cy"]
