@@ -1080,3 +1080,27 @@ def test_clauses_after_return_raise(graph):
         "MATCH (f:Fighter) RETURN f SKIP 1 ORDER BY f", nodes, edges
     ).collect()
     assert [r.f for r in out] == ["Bo", "Cy"]
+
+
+def test_facade_validates_then_runs_boundary_topk(spark, workdir):
+    """kg.query validates first (F5): the WITH…ORDER BY…LIMIT boundary
+    must pass validation and execute through the facade."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[Entity("City", [Attribute("name", "string", True, True)])],
+        relations=[Relation("ROAD", "City", "City", [])],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([("City", {"name": c}) for c in "abcd"])
+    kg.add_edges([
+        ("ROAD", "City", "City", {"name": s}, {"name": d})
+        for s, d in [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("c", "d")]
+    ])
+    out = kg.query(
+        "MATCH (s:City)-[:ROAD]->(t:City) "
+        "WITH s, count(t) AS deg ORDER BY deg DESC, s LIMIT 1 "
+        "MATCH (s)-[:ROAD]->(u:City) RETURN s AS hub, deg, count(u) AS n"
+    ).collect()
+    assert [(r.hub, r.deg, r.n) for r in out] == [("a", 3, 3)]
