@@ -2387,6 +2387,24 @@ def media_features(spark, sf_dir):
     )
 
 
+@_q("media_decode_real")
+def media_decode_real(spark, sf_dir):
+    """REAL stdlib media decode on the executors (r4): deterministic PNG
+    (all five scanline filters, gray/RGB/RGBA) / PPM / 16-bit-PCM WAV
+    payloads decoded by `decode_media` (zlib + struct + wave, no native
+    libraries) into content features. Float features are not
+    SQL-expressible, so the driver check is rows-only; pytest
+    (test_multimodal) pins executor-vs-driver feature equality and pixel
+    exactness of every decoder."""
+    from kgforge.functions.multimodal import (
+        decode_media, extract_features, synth_real_media)
+
+    media = synth_real_media(spark, n=48, seed=42)
+    return extract_features(media, kernel=decode_media).select(
+        "media_id", "media_type", "n_bytes"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
