@@ -66,6 +66,7 @@ HEADLINE = [
     "cypher_exec_agg",
     "cypher_var_length",
     "cypher_where_in_or",
+    "cypher_with_topk",
     "graph_pagerank",
     "graph_weighted_sssp",
 ]
