@@ -2362,6 +2362,137 @@ def cypher_collect(spark, sf_dir):
     )
 
 
+def _nation_chain_graph(spark, sf_dir):
+    """Nation nodes + weighted NEAR edges along the per-region nationkey
+    chain (both directions, w = |nationkey delta| as an edge prop) — the
+    shared fixture for the CALL algo.SPpaths / algo.SSpaths gates."""
+    n = _t(spark, sf_dir, "nation")
+    empty = F.create_map().cast("map<string,string>")
+    nodes = n.select(
+        F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+        F.lit("Nation").alias("label"),
+        F.col("n_name").alias("key"),
+        empty.alias("props"),
+    )
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = n.select(
+        F.col("n_name").alias("src"),
+        F.col("n_nationkey").alias("sk"),
+        F.lead("n_name").over(w).alias("dst"),
+        F.lead("n_nationkey").over(w).alias("dk"),
+    ).filter(F.col("dst").isNotNull())
+    fwd = chain.select(
+        "src", "dst",
+        F.abs(F.col("sk") - F.col("dk")).cast("string").alias("w"),
+    )
+    both = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    edges = both.select(
+        F.xxhash64(F.lit("Nation"), "src").alias("src_id"),
+        F.lit("NEAR").alias("label"),
+        F.xxhash64(F.lit("Nation"), "dst").alias("dst_id"),
+        F.create_map(F.lit("w"), F.col("w")).alias("props"),
+    )
+    return nodes, edges
+
+
+_CHAIN_PAIRS_SQL = """
+    chain AS (
+      SELECT n_name AS src, n_nationkey AS sk,
+             lead(n_name) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dst,
+             lead(n_nationkey) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dk
+      FROM nation
+    ), pairs AS (
+      SELECT src, dst, abs(sk - dk)::DOUBLE AS w
+      FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst, src, abs(sk - dk)::DOUBLE
+      FROM chain WHERE dst IS NOT NULL
+    )"""
+
+
+@_q(
+    "cypher_sp_paths",
+    f"""
+    WITH RECURSIVE {_CHAIN_PAIRS_SQL}, walk(origin, id, d, h) AS (
+      SELECT n_name, n_name, 0::DOUBLE, 0 FROM nation
+      UNION
+      SELECT w.origin, p.dst, w.d + p.w, w.h + 1
+      FROM walk w JOIN pairs p ON p.src = w.id WHERE w.h < 4
+    )
+    SELECT origin AS src, id AS dst, min(d)::DOUBLE AS "pathWeight"
+    FROM walk GROUP BY origin, id ORDER BY src, dst
+    """,
+)
+def cypher_sp_paths(spark, sf_dir):
+    """CALL algo.SPpaths(...) YIELD pathWeight — the reference prompt's
+    single-pair minimal-weight-path procedure AS CYPHER TEXT
+    (fixtures/prompts.py:394-395; the graph_sp_pair gate covers the
+    facade API). The cartesian MATCH binds all 625 nation pairs; every
+    binding shares one origin-keyed Bellman-Ford
+    (graph_query.weighted_paths). Oracle = exhaustive recursive-CTE walk
+    enumeration over the same chain graph, min weight per ordered pair
+    (self-pairs at 0; cross-region pairs unreachable -> no row on both
+    sides). |nationkey delta| weights are integer-valued, so the double
+    compare is bit-exact."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_chain_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (a:Nation), (b:Nation) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "relTypes: ['NEAR'], weightProp: 'w', maxLen: 4}) "
+        "YIELD pathWeight "
+        "RETURN a AS src, b AS dst, pathWeight ORDER BY src, dst",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "cypher_ss_paths",
+    f"""
+    WITH RECURSIVE {_CHAIN_PAIRS_SQL}, walk(origin, id, d, h) AS (
+      SELECT n_name, n_name, 0::DOUBLE, 0 FROM nation
+      UNION
+      SELECT w.origin, p.dst, w.d + p.w, w.h + 1
+      FROM walk w JOIN pairs p ON p.src = w.id WHERE w.h < 2
+    ), best AS (
+      SELECT origin, id, min(d) AS d FROM walk
+      WHERE id <> origin GROUP BY origin, id
+    )
+    SELECT origin AS src, count(*)::BIGINT AS n_reach,
+           min(d)::DOUBLE AS min_w, max(d)::DOUBLE AS max_w
+    FROM best GROUP BY origin ORDER BY src
+    """,
+)
+def cypher_ss_paths(spark, sf_dir):
+    """CALL algo.SSpaths(...) YIELD pathWeight — the single-source
+    sibling (fixtures/prompts.py:396-398), maxLen 2 so the walk bound
+    bites (chain ends see fewer nations than chain middles). One row per
+    (source, reachable destination) collapses through Cypher's implicit
+    grouping; nations in singleton regions have no NEAR edges and drop
+    out on both engines (CALL row semantics)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_chain_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (a:Nation) "
+        "CALL algo.SSpaths({sourceNode: a, relTypes: ['NEAR'], "
+        "weightProp: 'w', maxLen: 2}) YIELD pathWeight "
+        "RETURN a AS src, count(*) AS n_reach, "
+        "min(pathWeight) AS min_w, max(pathWeight) AS max_w "
+        "ORDER BY src",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

@@ -16,6 +16,9 @@ tables:
     WHERE a.prop = 'x' AND r.role <> 'self' AND c.name CONTAINS 'y'
     WHERE (a.prop IN ['x', 'y'] OR b.rank >= 3) AND c.tag IS NOT NULL
     OPTIONAL MATCH (a)-[:R3]->(e:L4) [WHERE e.prop = 'z']
+    CALL algo.SPpaths({sourceNode: a, targetNode: b, relTypes: ['R1'],
+                       weightProp: 'w', maxLen: 4}) YIELD pathWeight
+    CALL algo.SSpaths({sourceNode: a, weightProp: 'w'}) YIELD pathWeight
     WITH a, count(e) AS n [WHERE n >= 3]             -- aggregate + HAVING
     WITH a, n ORDER BY n DESC, a LIMIT 5             -- top-k boundary
     MATCH (a)-[:R4]->(f:L5)                          -- aggregate-then-expand
@@ -79,6 +82,17 @@ Semantics and scope:
   true distance is below the bound, ADVICE r03). A named plain path
   ``p = (a)-[:R*m..n]->(b)`` binds one row per (pair, walk length);
   like allShortestPaths it requires a multiplicity-blind projection.
+- ``CALL algo.SPpaths({...}) YIELD pathWeight`` / ``algo.SSpaths`` run
+  the reference prompt's minimal-weight-path procedures (ref
+  fixtures/prompts.py:394-398) against the bound MATCH rows: SPpaths
+  yields the cheapest walk weight per (sourceNode, targetNode) binding,
+  SSpaths one row per destination reachable from sourceNode. All
+  bindings share one origin-keyed Bellman-Ford
+  (graph_query.weighted_paths); the yielded column joins the
+  plain-column namespace (usable in RETURN, aggregates, WITH, and a
+  WHERE directly after the YIELD). YIELD path itself is out of subset;
+  pathCount, if given, must be 1 (see apply_calls for the full
+  parameter contract).
 - `RETURN var` projects the node's key (the unique-attribute value — node
   identity in this engine and in the reference's MERGE). `var.prop` reads
   the props map. `count(var)` / `count(*)` / `count(DISTINCT var)` and the
@@ -117,8 +131,14 @@ from pyspark.sql import functions as F
 
 _CLAUSE = re.compile(
     r"\bOPTIONAL\s+MATCH\b|\bMATCH\b|\bWHERE\b|\bWITH\b|\bRETURN\b"
-    r"|\bORDER\s+BY\b|\bLIMIT\b|\bSKIP\b",
+    r"|\bORDER\s+BY\b|\bLIMIT\b|\bSKIP\b|\bCALL\b",
     re.IGNORECASE,
+)
+# CALL algo.SPpaths({...}) YIELD items  /  CALL algo.SSpaths({...}) YIELD …
+_CALL_ALGO = re.compile(
+    r"^algo\s*\.\s*(SPpaths|SSpaths)\s*\(\s*\{(.*)\}\s*\)\s*"
+    r"YIELD\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _NODE = re.compile(r"\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(\{[^}]*\})?\s*\)")
 _EDGE = re.compile(
@@ -419,7 +439,7 @@ def run_cypher(
     # (VERDICT r03: "aggregate then expand", chained).
     def _fresh_seg() -> dict:
         return {
-            "matches": [], "wheres": [], "optionals": [],
+            "matches": [], "wheres": [], "optionals": [], "calls": [],
             "with": None, "with_wheres": [],
             "with_order": [], "with_skip": None, "with_limit": None,
         }
@@ -457,16 +477,37 @@ def run_cypher(
                 seg = segments[-1]
             seg["optionals"].append((body, []))
             ctx = "optional"
+        elif kw == "CALL":
+            # CALL algo.SPpaths / algo.SSpaths — the reference prompt's
+            # minimal-weight-path procedures (ref fixtures/prompts.py:
+            # 394-398). Joins a (source[, target], pathWeight) relation
+            # onto the stage's plan, so it composes with WITH pipelines
+            # like any other clause.
+            if seg["with"] is not None:
+                segments.append(_fresh_seg())
+                seg = segments[-1]
+            if seg["optionals"]:
+                # a CALL textually after an OPTIONAL MATCH could name an
+                # optional (NULLable) var as sourceNode — the inner join
+                # would silently drop the unmatched rows the user asked
+                # OPTIONAL to keep
+                raise CypherUnsupported(
+                    "CALL after OPTIONAL MATCH is out of subset"
+                )
+            seg["calls"].append((body, []))
+            ctx = "call"
         elif kw == "WHERE":
             if ctx == "match":
                 seg["wheres"].append(body)
             elif ctx == "optional":
                 seg["optionals"][-1][1].append(body)
+            elif ctx == "call":
+                seg["calls"][-1][1].append(body)
             elif ctx == "with":
                 seg["with_wheres"].append(body)
             else:
                 raise CypherUnsupported(
-                    "WHERE must follow MATCH, OPTIONAL MATCH or WITH"
+                    "WHERE must follow MATCH, OPTIONAL MATCH, CALL or WITH"
                 )
         elif kw == "WITH":
             if seg["with"] is not None:
@@ -1218,6 +1259,200 @@ def run_cypher(
                 df = df.filter(_OPS[op](col, val))
         return df
 
+    def apply_calls(
+        plan: DataFrame, known_vars: set[str], calls,
+        extra_out: set[str],
+    ) -> DataFrame:
+        """``CALL algo.SPpaths({sourceNode: a, targetNode: b, relTypes:
+        ['R'], weightProp: 'w', maxLen: 4}) YIELD pathWeight`` — the
+        executed subset of the reference prompt's minimal-weight-path
+        procedures (ref fixtures/prompts.py:394-398):
+
+        - SPpaths needs sourceNode + targetNode (bound node vars; a
+          src = dst self-pair yields pathWeight 0, the empty walk);
+          SSpaths takes sourceNode only and yields one row per REACHABLE
+          destination (the source itself excluded) — FalkorDB's
+          pathCount-cheapest-paths enumeration is collapsed to the single
+          cheapest path per destination, so pathCount, if given, must
+          be 1.
+        - relTypes filters edge labels (omitted = any); weightProp reads
+          the edge props map (try_cast double — edges with a missing or
+          non-numeric weight are not traversable); omitted = hop count
+          (weight 1 per edge). relDirection: 'outgoing' (default) /
+          'incoming' / 'both'. maxLen bounds the walk length (default
+          `max_hops`); pathWeight is the min total weight over walks of
+          <= maxLen edges.
+        - ``YIELD pathWeight [AS alias]`` is the one observable (`path`
+          itself is a structured object, out of subset). Unreachable
+          pairs yield no row (CALL row semantics). A WHERE directly
+          after the YIELD filters on the yielded column. The yielded
+          column joins the plain-column namespace, so it rides WITH
+          boundaries and aggregates like any WITH output.
+
+        All MATCH bindings share ONE origin-keyed Bellman-Ford
+        (graph_query.weighted_paths): K distinct sources cost one
+        equi-join + min-aggregate per relaxation round, not K plans.
+        """
+        from kgforge.plans.graph_query import weighted_paths
+
+        for body, call_wheres in calls:
+            m = _CALL_ALGO.match(body.strip())
+            if m is None:
+                raise CypherUnsupported(
+                    "only CALL algo.SPpaths({...}) / algo.SSpaths({...}) "
+                    "YIELD ... is executed"
+                )
+            proc, map_body, yield_text = m.groups()
+            proc = proc.lower()
+            params: dict[str, str] = {}
+            for entry in _split_top_commas(map_body):
+                pm = re.match(r"(\w+)\s*:\s*(.+)$", entry.strip(), re.DOTALL)
+                if pm is None:
+                    raise CypherUnsupported(f"bad CALL map entry {entry!r}")
+                params[pm.group(1)] = pm.group(2).strip()
+            allowed = {
+                "sourceNode", "targetNode", "relTypes", "weightProp",
+                "maxLen", "pathCount", "relDirection",
+            }
+            unknown = set(params) - allowed
+            if unknown:
+                raise CypherUnsupported(
+                    f"unsupported {proc} params {sorted(unknown)!r}"
+                )
+            src_var = params.get("sourceNode")
+            if src_var is None or not re.fullmatch(r"\w+", src_var):
+                raise CypherUnsupported(
+                    "sourceNode must be a bound node variable"
+                )
+            dst_var = params.get("targetNode")
+            if proc == "sppaths":
+                if dst_var is None or not re.fullmatch(r"\w+", dst_var):
+                    raise CypherUnsupported(
+                        "SPpaths needs targetNode (a bound node variable)"
+                    )
+                if dst_var == src_var:
+                    raise CypherUnsupported(
+                        "sourceNode and targetNode must be distinct "
+                        "variables (bind the node twice to ask for a "
+                        "self-pair)"
+                    )
+            elif dst_var is not None:
+                raise CypherUnsupported("SSpaths takes no targetNode")
+            for v in (src_var, dst_var):
+                if v is None:
+                    continue
+                if v not in known_vars or v in rel_vars:
+                    raise CypherUnsupported(
+                        f"{v!r} is not a bound node variable"
+                    )
+            if params.get("pathCount", "1").strip() != "1":
+                raise CypherUnsupported(
+                    "pathCount > 1 is out of subset (one cheapest path "
+                    "per pair is yielded)"
+                )
+            rel = None
+            if "relTypes" in params:
+                lv = params["relTypes"].strip()
+                if not (lv.startswith("[") and lv.endswith("]")):
+                    raise CypherUnsupported(
+                        "relTypes must be a list of quoted labels"
+                    )
+                labels = []
+                for item in _split_top_commas(lv[1:-1]):
+                    item = item.strip()
+                    if item[:1] not in "'\"" or item[-1:] != item[0]:
+                        raise CypherUnsupported(
+                            f"bad relTypes item {item!r}"
+                        )
+                    labels.append(_unquote(item))
+                if labels:
+                    rel = "|".join(labels)
+            e = edges
+            if rel is not None:
+                e = e.filter(_label_pred(rel))
+            wp = params.get("weightProp")
+            if wp is not None:
+                if wp[:1] not in "'\"" or wp[-1:] != wp[0]:
+                    raise CypherUnsupported(
+                        "weightProp must be a quoted property name"
+                    )
+                w = F.col("props")[_unquote(wp)].try_cast("double")
+            else:
+                w = F.lit(1.0)
+            e = e.select(
+                F.col("src_id").alias("src"),
+                F.col("dst_id").alias("dst"),
+                w.alias("w"),
+            ).filter(F.col("w").isNotNull())
+            direction = "outgoing"
+            if "relDirection" in params:
+                dv = params["relDirection"].strip()
+                if dv[:1] not in "'\"" or dv[-1:] != dv[0]:
+                    raise CypherUnsupported(
+                        "relDirection must be a quoted string"
+                    )
+                direction = _unquote(dv).lower()
+            if direction == "incoming":
+                e = e.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+                )
+            elif direction == "both":
+                e = e.unionByName(
+                    e.select(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        "w",
+                    )
+                )
+            elif direction != "outgoing":
+                raise CypherUnsupported(f"bad relDirection {direction!r}")
+            max_len = max_hops
+            if "maxLen" in params:
+                if not re.fullmatch(r"\d+", params["maxLen"].strip()):
+                    raise CypherUnsupported(
+                        "maxLen must be an integer literal"
+                    )
+                max_len = int(params["maxLen"])
+                if max_len < 1:
+                    raise CypherUnsupported("maxLen must be >= 1")
+            ym = re.fullmatch(
+                r"pathWeight(?:\s+AS\s+(\w+))?",
+                yield_text.strip(),
+                re.IGNORECASE,
+            )
+            if ym is None:
+                raise CypherUnsupported(
+                    "only YIELD pathWeight [AS alias] is executed "
+                    "(`path` is a structured object, out of subset)"
+                )
+            name = ym.group(1) or "pathWeight"
+            if name in plan.columns or name in extra_out:
+                raise CypherUnsupported(f"duplicate column {name!r}")
+            origins = plan.select(
+                F.col(f"{src_var}__id").alias("origin")
+            ).dropDuplicates()
+            dist = weighted_paths(e, origins, max_hops=max_len)
+            if proc == "sppaths":
+                rel_df = dist.select(
+                    F.col("origin").alias(f"{src_var}__id"),
+                    F.col("id").alias(f"{dst_var}__id"),
+                    F.col("d").alias(name),
+                )
+                plan = plan.join(
+                    rel_df, on=[f"{src_var}__id", f"{dst_var}__id"]
+                )
+            else:
+                rel_df = dist.filter(
+                    F.col("id") != F.col("origin")
+                ).select(
+                    F.col("origin").alias(f"{src_var}__id"),
+                    F.col("d").alias(name),
+                )
+                plan = plan.join(rel_df, on=f"{src_var}__id")
+            extra_out.add(name)
+            plan = apply_having(plan, call_wheres, {name})
+        return plan
+
     def apply_with_order(
         df: DataFrame, seg: dict,
         carried: set[str], cols: set[str],
@@ -1434,6 +1669,7 @@ def run_cypher(
     extra_cols: set[str] = set()
     carried_vars: set[str] = set()
     for i, seg in enumerate(segments):
+        seg_bound = bound
         if i > 0:
             # join this segment's patterns onto the carried relation
             snapshot = {v: var_specs[v] for v in carried_vars}
@@ -1464,6 +1700,8 @@ def run_cypher(
             seg_rels = {leg[4] for leg in seg_legs if leg[4] is not None}
             plan = apply_conds(plan, seg["wheres"], seg_bound | seg_rels)
             plan = apply_optionals(plan, seg_bound, seg["optionals"])
+        if seg["calls"]:
+            plan = apply_calls(plan, seg_bound, seg["calls"], extra_cols)
         wt = seg["with"]
         if wt is None:
             continue  # final segment flows into RETURN

@@ -156,6 +156,51 @@ def weighted_sssp(
     return dist
 
 
+def weighted_paths(
+    edges: DataFrame, origins: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Multi-ORIGIN minimal-weight walk distances: (origin, id, d).
+
+    The per-origin generalization of `weighted_sssp`, backing the Cypher
+    executor's ``CALL algo.SPpaths(...)`` / ``algo.SSpaths(...)`` surface
+    (ref fixtures/prompts.py:394-398) where a MATCH can bind MANY source
+    rows and the procedure runs once per binding. edges(src, dst, w) with
+    non-negative numeric w; origins(origin). Returns the minimum total
+    weight over walks of <= max_hops edges, keyed by origin (the origin
+    itself appears at d = 0).
+
+    All origins share each round's single equi-join + min-aggregate (the
+    `landmark_distances` trick: the origin column rides through the join
+    and becomes part of the aggregation key), so K origins cost one plan
+    per round, not K — the shuffle key (origin, id) also spreads hot
+    destination nodes across K reducer keys. `localCheckpoint` truncates
+    lineage per round; early exit when a round improves nothing.
+    """
+    dist = origins.select(
+        "origin",
+        F.col("origin").alias("id"),
+        F.lit(0.0).alias("d"),
+    ).localCheckpoint()
+    e = edges.select("src", "dst", "w")
+    for _ in range(max_hops):
+        cand = dist.join(e, dist.id == e.src).select(
+            "origin",
+            F.col("dst").alias("id"),
+            (F.col("d") + F.col("w")).alias("d"),
+        )
+        new = (
+            dist.unionByName(cand)
+            .groupBy("origin", "id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        if new.join(dist, on=["origin", "id", "d"], how="left_anti").isEmpty():
+            dist = new
+            break
+        dist = new
+    return dist
+
+
 def shortest_path_pair(
     edges: DataFrame,
     sources: DataFrame,

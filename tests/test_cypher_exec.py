@@ -1104,3 +1104,213 @@ def test_facade_validates_then_runs_boundary_topk(spark, workdir):
         "MATCH (s)-[:ROAD]->(u:City) RETURN s AS hub, deg, count(u) AS n"
     ).collect()
     assert [(r.hub, r.deg, r.n) for r in out] == [("a", 3, 3)]
+
+# ---- CALL algo.SPpaths / algo.SSpaths (ref fixtures/prompts.py:394-398) ----
+
+
+@pytest.fixture(scope="module")
+def road_graph(spark):
+    """Weighted road chain C0-1->C1-2->C2-3->C3-4->C4 plus an expensive
+    C0-10->C3 shortcut and one edge with no weight prop (C3->C0)."""
+    nodes = spark.createDataFrame(
+        [(i, "City", f"C{i}", {"name": f"C{i}"}) for i in range(5)],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    rows = [
+        (0, 1, {"dist": "1"}), (1, 2, {"dist": "2"}), (2, 3, {"dist": "3"}),
+        (3, 4, {"dist": "4"}), (0, 3, {"dist": "10"}), (3, 0, {}),
+    ]
+    edges = spark.createDataFrame(
+        [(s, "ROAD", d, p) for s, d, p in rows],
+        "src_id bigint, label string, dst_id bigint, "
+        "props map<string,string>",
+    )
+    return nodes.cache(), edges.cache()
+
+
+def test_sppaths_min_weight_beats_direct_edge(road_graph):
+    """SPpaths returns the cheapest WALK weight — the 1+2+3 chain, not
+    the weight-10 direct edge."""
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C0'}), (b:City {name: 'C3'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "relTypes: ['ROAD'], weightProp: 'dist', maxLen: 4}) "
+        "YIELD pathWeight "
+        "RETURN a AS src, b AS dst, pathWeight",
+        nodes, edges,
+    ).collect()
+    assert [(r.src, r.dst, r.pathWeight) for r in out] == [("C0", "C3", 6.0)]
+
+
+def test_sppaths_unreachable_pair_yields_no_row(road_graph):
+    """maxLen 1 can't bridge C0->C3 cheaper than the direct edge; with
+    relTypes excluding ROAD nothing is traversable -> zero rows (CALL
+    row semantics)."""
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C4'}), (b:City {name: 'C0'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "weightProp: 'dist', maxLen: 8}) YIELD pathWeight "
+        "RETURN pathWeight",
+        nodes, edges,
+    ).collect()
+    assert out == []  # C3->C0 has no weight prop: not traversable
+
+
+def test_sspaths_per_destination_excludes_source(road_graph):
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C0'}) "
+        "CALL algo.SSpaths({sourceNode: a, weightProp: 'dist', maxLen: 2}) "
+        "YIELD pathWeight AS pw "
+        "RETURN a AS src, pw ORDER BY pw",
+        nodes, edges,
+    ).collect()
+    # within 2 hops: C1 (1), C2 (1+2), C3 (min(10, ...)=10 via direct);
+    # 2-hop C0->3 alternatives: 1+2 stops at C2; C0-10->C3-4->C4 = 14
+    assert [(r.src, r.pw) for r in out] == [
+        ("C0", 1.0), ("C0", 3.0), ("C0", 10.0), ("C0", 14.0),
+    ]
+
+
+def test_sspaths_where_after_yield_filters(road_graph):
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C0'}) "
+        "CALL algo.SSpaths({sourceNode: a, weightProp: 'dist', maxLen: 2}) "
+        "YIELD pathWeight WHERE pathWeight <= 3 "
+        "RETURN count(*) AS n, min(pathWeight) AS lo, max(pathWeight) AS hi",
+        nodes, edges,
+    ).collect()
+    assert [(r.n, r.lo, r.hi) for r in out] == [(2, 1.0, 3.0)]
+
+
+def test_sspaths_hop_count_and_direction_both(road_graph):
+    """No weightProp -> every edge costs 1 (hop count); relDirection
+    'both' symmetrizes, so C4 reaches its chain neighbor in 1 hop."""
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C4'}) "
+        "CALL algo.SSpaths({sourceNode: a, relDirection: 'both', "
+        "maxLen: 1}) YIELD pathWeight "
+        "RETURN count(*) AS n_adjacent",
+        nodes, edges,
+    ).collect()
+    assert [r.n_adjacent for r in out] == [1]
+
+
+def test_sppaths_incoming_direction(road_graph):
+    """relDirection 'incoming' traverses edges backwards: C3 reaches C0
+    against the chain arrows."""
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C3'}), (b:City {name: 'C0'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "weightProp: 'dist', relDirection: 'incoming', maxLen: 4}) "
+        "YIELD pathWeight RETURN pathWeight",
+        nodes, edges,
+    ).collect()
+    assert [r.pathWeight for r in out] == [6.0]
+
+
+def test_call_yield_rides_with_boundary_and_later_stage(road_graph):
+    """pathWeight enters the plain-column namespace: aggregate it at a
+    WITH boundary, then keep matching — and a CALL can also run in a
+    post-WITH stage against carried vars."""
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City) "
+        "CALL algo.SSpaths({sourceNode: a, weightProp: 'dist', "
+        "maxLen: 1}) YIELD pathWeight "
+        "WITH a, min(pathWeight) AS nearest "
+        "RETURN count(a) AS n_sources, min(nearest) AS lo, "
+        "max(nearest) AS hi",
+        nodes, edges,
+    ).collect()
+    # every city with at least one weighted out-edge: C0(1) C1(2) C2(3)
+    # C3(4); C4 has none
+    assert [(r.n_sources, r.lo, r.hi) for r in out] == [(4, 1.0, 4.0)]
+    out2 = run_cypher(
+        "MATCH (s:City)-[:ROAD]->(t:City) "
+        "WITH s, count(t) AS deg WHERE deg >= 2 "
+        "MATCH (s)-[:ROAD]->(u:City {name: 'C1'}) "
+        "CALL algo.SSpaths({sourceNode: u, weightProp: 'dist', "
+        "maxLen: 1}) YIELD pathWeight "
+        "RETURN s, u, pathWeight",
+        nodes, edges,
+    ).collect()
+    # C0 is the only out-degree-2 node; u = C1; C1's 1-hop reach: C2 @ 2
+    assert [(r.s, r.u, r.pathWeight) for r in out2] == [("C0", "C1", 2.0)]
+
+
+def test_call_subset_boundaries_raise(road_graph):
+    nodes, edges = road_graph
+    cases = [
+        # YIELD path (structured object)
+        "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "weightProp: 'dist'}) YIELD path, pathWeight RETURN pathWeight",
+        # pathCount > 1
+        "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "weightProp: 'dist', pathCount: 3}) YIELD pathWeight "
+        "RETURN pathWeight",
+        # SSpaths with a targetNode
+        "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
+        "CALL algo.SSpaths({sourceNode: a, targetNode: b, "
+        "weightProp: 'dist'}) YIELD pathWeight RETURN pathWeight",
+        # unbound source var
+        "MATCH (a:City {name: 'C0'}) "
+        "CALL algo.SSpaths({sourceNode: z, weightProp: 'dist'}) "
+        "YIELD pathWeight RETURN pathWeight",
+        # same var as both endpoints
+        "MATCH (a:City {name: 'C0'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: a, "
+        "weightProp: 'dist'}) YIELD pathWeight RETURN pathWeight",
+        # CALL after OPTIONAL MATCH (NULLable sourceNode)
+        "MATCH (a:City {name: 'C0'}) OPTIONAL MATCH (a)-[:ROAD]->(b:City) "
+        "CALL algo.SSpaths({sourceNode: b, weightProp: 'dist'}) "
+        "YIELD pathWeight RETURN pathWeight",
+        # unknown procedure
+        "MATCH (a:City {name: 'C0'}) "
+        "CALL algo.BFS({sourceNode: a}) YIELD pathWeight RETURN pathWeight",
+        # unknown param
+        "MATCH (a:City {name: 'C0'}) "
+        "CALL algo.SSpaths({sourceNode: a, minLen: 2}) YIELD pathWeight "
+        "RETURN pathWeight",
+    ]
+    for q in cases:
+        with pytest.raises(CypherUnsupported):
+            run_cypher(q, nodes, edges)
+
+
+def test_facade_runs_sppaths_call(spark, workdir):
+    """End-to-end through kg.query: the validator must pass the CALL
+    clause (the relTypes list is not an edge pattern) and the executor
+    must run it."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[Entity("City", [Attribute("name", "string", True, True)])],
+        relations=[
+            Relation(
+                "ROAD", "City", "City",
+                [Attribute("dist", "string", False, False)],
+            )
+        ],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([("City", {"name": c}) for c in ("a", "b", "c")])
+    kg.add_edges([
+        ("ROAD", "City", "City", {"name": s}, {"name": d}, {"dist": w})
+        for s, d, w in [("a", "b", "1"), ("b", "c", "2"), ("a", "c", "9")]
+    ])
+    out = kg.query(
+        "MATCH (s:City {name: 'a'}), (t:City {name: 'c'}) "
+        "CALL algo.SPpaths({sourceNode: s, targetNode: t, "
+        "relTypes: ['ROAD'], weightProp: 'dist'}) YIELD pathWeight "
+        "RETURN s, t, pathWeight"
+    ).collect()
+    assert [(r.s, r.t, r.pathWeight) for r in out] == [("a", "c", 3.0)]
