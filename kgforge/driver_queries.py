@@ -2493,6 +2493,90 @@ def cypher_ss_paths(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_prop_compare",
+    """
+    SELECT n_name AS nation, count(*)::BIGINT AS n_pairs
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN customer ON c_nationkey = n_nationkey
+    WHERE (c_acctbal >= 0 AND c_acctbal > s_acctbal) OR c_acctbal < 0
+    GROUP BY 1 ORDER BY nation
+    """,
+)
+def cypher_prop_compare(spark, sf_dir):
+    """Property-to-property WHERE compares (a.x > b.y, numeric when both
+    sides parse) + exists() — the "richer than their supplier" shape.
+    Negative-balance customers get NO acctbal prop, so the numeric
+    compare alone would NULL-filter them; the ``OR NOT exists(...)``
+    branch re-admits them, making exists() load-bearing (three-valued
+    OR parity on both engines). Same-nation supplier x customer pairs,
+    counted per nation."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    skey = F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+    ckey = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    empty = F.create_map().cast("map<string,string>")
+    nodes = (
+        s.select(
+            F.xxhash64(F.lit("Supplier"), skey).alias("node_id"),
+            F.lit("Supplier").alias("label"),
+            skey.alias("key"),
+            F.create_map(
+                F.lit("acctbal"), F.col("s_acctbal").cast("string")
+            ).alias("props"),
+        )
+        .unionByName(
+            c.select(
+                F.xxhash64(F.lit("Customer"), ckey).alias("node_id"),
+                F.lit("Customer").alias("label"),
+                ckey.alias("key"),
+                F.when(
+                    F.col("c_acctbal") >= 0,
+                    F.create_map(
+                        F.lit("acctbal"), F.col("c_acctbal").cast("string")
+                    ),
+                ).otherwise(empty).alias("props"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+                F.lit("Nation").alias("label"),
+                F.col("n_name").alias("key"),
+                empty.alias("props"),
+            )
+        )
+    )
+    nn = n.select("n_nationkey", "n_name")
+    edges = (
+        s.join(nn, s.s_nationkey == nn.n_nationkey)
+        .select(
+            F.xxhash64(F.lit("Supplier"), skey).alias("src_id"),
+            F.lit("IN").alias("label"),
+            F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+            empty.alias("props"),
+        )
+        .unionByName(
+            c.join(nn, c.c_nationkey == nn.n_nationkey).select(
+                F.xxhash64(F.lit("Customer"), ckey).alias("src_id"),
+                F.lit("IN").alias("label"),
+                F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+                empty.alias("props"),
+            )
+        )
+    )
+    return run_cypher(
+        "MATCH (s:Supplier)-[:IN]->(n:Nation)<-[:IN]-(c:Customer) "
+        "WHERE c.acctbal > s.acctbal OR NOT exists(c.acctbal) "
+        "RETURN n AS nation, count(*) AS n_pairs ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

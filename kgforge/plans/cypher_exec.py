@@ -111,7 +111,10 @@ Semantics and scope:
   nesting depth, membership
   ``var.prop IN ['a', 'b']`` / ``IN [1, 2]`` (homogeneous literal lists),
   ``var.prop IS [NOT] NULL`` (a missing props key is NULL, so this
-  also tests unmatched OPTIONAL rows), case-folded string compares
+  also tests unmatched OPTIONAL rows), ``exists(var.prop)`` (the
+  deprecated-but-ubiquitous synonym of IS NOT NULL),
+  property-to-property compares ``a.x > b.y`` (numeric when both sides
+  parse as numbers, else string), case-folded string compares
   ``toLower/toUpper(var.prop) = '...'`` (also CONTAINS / STARTS WITH /
   ENDS WITH), and ``var.prop =~ 'regex'`` (whole-string match, Cypher
   semantics, compiled to an anchored ``rlike``). All compile to one Column
@@ -172,6 +175,14 @@ def _unquote(lit: str) -> str:
     return re.sub(r"\\(.)", r"\1", lit[1:-1])
 _REGEX_COND = re.compile(
     r"(\w+)\.(\w+)\s*=~\s*('(?:[^']*)'|\"(?:[^\"]*)\")"
+)
+_EXISTS_COND = re.compile(
+    r"(?:exists)\s*\(\s*(\w+)\.(\w+)\s*\)", re.IGNORECASE
+)
+_PROP_PROP = re.compile(
+    r"(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>|CONTAINS|STARTS\s+WITH|ENDS\s+WITH)"
+    r"\s*(\w+)\.(\w+)",
+    re.IGNORECASE,
 )
 
 
@@ -880,6 +891,28 @@ def run_cypher(
             col = bound_prop_col(var, prop, known)
             # Cypher =~ matches the WHOLE string (unlike rlike's search)
             return col.rlike(f"^(?:{lit[1:-1]})$")
+        xm = _EXISTS_COND.fullmatch(cond_text)
+        if xm is not None:
+            # exists(n.prop) — deprecated openCypher but still ubiquitous
+            # in generated queries; a missing props key is NULL
+            var, prop = xm.groups()
+            return bound_prop_col(var, prop, known).isNotNull()
+        pp = _PROP_PROP.fullmatch(cond_text)
+        if pp is not None:
+            # property-to-property compare (a.x > b.y). Props store
+            # strings: when BOTH sides parse as numbers the compare is
+            # numeric, else string (mirrors the literal-compare rule
+            # above; a NULL side yields NULL -> filtered, Cypher parity).
+            v1, p1, op, v2, p2 = pp.groups()
+            c1 = bound_prop_col(v1, p1, known)
+            c2 = bound_prop_col(v2, p2, known)
+            opf = _OPS[re.sub(r"\s+", " ", op.upper())]
+            if op.upper() not in ("=", "<>", "<=", ">=", "<", ">"):
+                return opf(c1, c2)  # CONTAINS / STARTS / ENDS: string-only
+            n1, n2 = c1.try_cast("double"), c2.try_cast("double")
+            return F.when(
+                n1.isNotNull() & n2.isNotNull(), opf(n1, n2)
+            ).otherwise(opf(c1, c2))
         fm = _FUNC_COND.fullmatch(cond_text)
         if fm is not None:
             fn, var, prop, op, lit = fm.groups()

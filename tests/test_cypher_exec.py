@@ -1314,3 +1314,61 @@ def test_facade_runs_sppaths_call(spark, workdir):
         "RETURN s, t, pathWeight"
     ).collect()
     assert [(r.s, r.t, r.pathWeight) for r in out] == [("a", "c", 3.0)]
+
+
+# ---- property-to-property compares and exists() ----------------------
+
+
+def test_where_prop_to_prop_numeric_and_string(graph):
+    """a.x > b.y compares numerically when both sides parse as numbers;
+    string props compare lexically."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (a:Fighter)-[:FOUGHT_IN]->(x:Fight)<-[:FOUGHT_IN]-(b:Fighter) "
+        "WHERE a.wins > b.wins "
+        "RETURN a.name AS winner, b.name AS loser ORDER BY winner, loser",
+        nodes, edges,
+    ).collect()
+    # numeric: 12 > 7, 7 > 3 (string compare would also say '7' > '12')
+    assert [(r.winner, r.loser) for r in out] == [
+        ("Ana", "Bo"), ("Bo", "Cy"),
+    ]
+    out2 = run_cypher(
+        "MATCH (a:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WHERE x.title STARTS WITH a.name "
+        "RETURN a.name AS name ORDER BY name",
+        nodes, edges,
+    ).collect()
+    assert [r.name for r in out2] == ["Ana", "Bo"]
+
+
+def test_where_exists_prop(graph):
+    """exists(n.prop) is IS NOT NULL; fights have no 'city' prop."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (x:Fight)-[:PART_OF]->(e:Event) "
+        "WHERE exists(e.city) AND NOT exists(x.city) "
+        "RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert [r.n for r in out] == [2]
+
+
+def test_prop_to_prop_null_side_filters(graph):
+    """A missing prop on either side of a.x > b.y yields NULL -> the row
+    is filtered (Cypher parity), not matched by the string fallback."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (x:Fight)-[:PART_OF]->(e:Event) "
+        "WHERE x.rounds > e.city RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    # rounds is numeric-string, city is 'Rio': mixed -> string compare
+    # '3' > 'Rio' and '5' > 'Rio' are both false (digits < letters)
+    assert [r.n for r in out] == [0]
+    out2 = run_cypher(
+        "MATCH (x:Fight)-[:PART_OF]->(e:Event) "
+        "WHERE e.nosuch > x.rounds RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert [r.n for r in out2] == [0]
