@@ -722,6 +722,53 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+@_q(
+    "text_repetition",
+    """
+    WITH lined AS (
+      SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+      FROM documents WHERE text IS NOT NULL
+    ), base AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM lined
+    ), big AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM base,
+           LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g
+      WHERE len(toks) >= 2
+    ), cnt AS (
+      SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+             sum(c)::BIGINT AS n_bigrams
+      FROM (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(list_distinct(lines))::BIGINT AS n_distinct_lines,
+           coalesce(c.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(c.top_bigram_n, 0)::BIGINT AS top_bigram_n
+    FROM base b LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (functions/textstats.py
+    repetition_stats): duplicate-line and top-bigram dominance counts.
+    The synthetic documents have no newlines, so the gate injects line
+    structure deterministically on BOTH engines (every ' table ' becomes
+    a newline) — n_lines then varies per doc and the whitespace
+    tokenization still matches (chr(10) is \\s). Bigram mode = explode +
+    two-level hash aggregate; oracle = lateral unnest."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).withColumn("text", F.regexp_replace("text", " table ", "\n"))
+    out = TS.repetition_stats(docs)
+    return out.select(
+        "doc_id", "n_lines", "n_distinct_lines", "n_bigrams", "top_bigram_n"
+    )
+
+
 # =====================================================================
 # analytic headliners (shuffle/join/agg at scale; decimal-exact oracles)
 # =====================================================================

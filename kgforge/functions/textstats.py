@@ -85,6 +85,67 @@ def lang_id(df: DataFrame, text_col: str = "text", min_hits: int = 2) -> DataFra
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A.1.1 quality
+    filters): per-document line-duplication and top-bigram dominance.
+
+    Adds integer columns (ratios are the caller's threshold compare,
+    kept as integer cross-multiplications for engine-exactness):
+
+    - ``n_lines`` / ``n_distinct_lines`` — duplicate-line fraction is
+      ``1 - distinct/lines``; boilerplate-heavy pages repeat lines.
+    - ``n_bigrams`` / ``top_bigram_n`` — occurrences of the most
+      frequent token 2-gram; templated/spammy text is dominated by one
+      bigram ("click here click here ...").
+
+    Line stats are pure column expressions (WholeStageCodegen). The
+    top-bigram mode needs a per-(doc, bigram) count: explode -> two-level
+    hash aggregate keyed (id, bigram) then (id) — partial aggregation
+    collapses repeats map-side, and the shuffle key includes the bigram,
+    so one viral bigram cannot hot-spot a reducer at 100 TB. The token
+    array is materialized ONCE into a real column before the bigram
+    transform (higher-order-function subexpressions are not CSE'd).
+    Docs with < 2 tokens get top_bigram_n = n_bigrams = 0; NULL text
+    stays NULL on the line stats and 0 on the bigram stats.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    base = df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("long"),
+            "n_distinct_lines": F.size(F.array_distinct(lines)).cast("long"),
+            "__toks": tokens_col(t),
+        }
+    )
+    base = base.withColumn(
+        "__bigrams",
+        F.when(
+            F.size("__toks") >= 2,
+            F.expr(
+                "transform(sequence(0, size(__toks)-2),"
+                " i -> concat(__toks[i], ' ', __toks[i+1]))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    counts = (
+        base.select(id_col, F.explode("__bigrams").alias("__bg"))
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__c").alias("top_bigram_n"),
+            F.sum("__c").alias("n_bigrams"),
+        )
+    )
+    return (
+        base.drop("__toks", "__bigrams")
+        .join(counts, on=id_col, how="left")
+        .fillna({"top_bigram_n": 0, "n_bigrams": 0})
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text form for fingerprints: lower + collapse whitespace + trim."""
     return F.trim(F.regexp_replace(F.lower(text), _WS, " "))

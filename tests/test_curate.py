@@ -63,3 +63,39 @@ def test_sql_expressible_variant_skips_lsh(spark):
     assert "near_dup" not in reasons
     # the near-dup mutations survive without the LSH stage
     assert {20, 21, 22} <= {r.doc_id for r in kept.collect()}
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher-style repetition signals: duplicate lines and top-bigram
+    dominance, with <2-token and NULL-text edge cases."""
+    from kgforge.functions.textstats import repetition_stats
+
+    rows = [
+        # 4 lines, 2 distinct; 'click here' dominates the bigrams
+        (1, "click here\nclick here\nbuy now\nclick here"),
+        # no repetition: every line and bigram unique
+        (2, "alpha beta\ngamma delta"),
+        # single token: no bigrams
+        (3, "word"),
+        # empty text: one (empty) line, no bigrams
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in repetition_stats(df).collect()
+    }
+    r1 = out[1]
+    # lines: ['click here', 'click here', 'buy now', 'click here']
+    assert (r1.n_lines, r1.n_distinct_lines) == (4, 2)
+    # tokens: click here click here buy now click here -> 7 bigrams,
+    # 'here click' x2 and 'click here' x3 -> top = 3
+    assert (r1.n_bigrams, r1.top_bigram_n) == (7, 3)
+    r2 = out[2]
+    assert (r2.n_lines, r2.n_distinct_lines) == (2, 2)
+    assert (r2.n_bigrams, r2.top_bigram_n) == (3, 1)
+    assert (out[3].n_bigrams, out[3].top_bigram_n) == (0, 0)
+    assert (out[4].n_lines, out[4].n_distinct_lines) == (1, 1)
+    assert (out[4].n_bigrams, out[4].top_bigram_n) == (0, 0)
+    assert out[5].n_lines is None and out[5].n_bigrams == 0
