@@ -769,6 +769,173 @@ def text_repetition(spark, sf_dir):
     )
 
 
+@_q(
+    "url_canonical_dedup",
+    r"""
+    WITH v AS (
+      SELECT doc_id, CASE doc_id % 4
+        WHEN 0 THEN 'http://www.example.com/doc/'
+                    || (doc_id % 100)::VARCHAR || '?utm_source=feed'
+        WHEN 1 THEN 'https://example.com:443/doc/'
+                    || (doc_id % 100)::VARCHAR || '#sec'
+        WHEN 2 THEN 'https://EXAMPLE.COM/doc/'
+                    || (doc_id % 100)::VARCHAR || '/'
+        ELSE 'https://example.com/doc/'
+             || (doc_id % 100)::VARCHAR || '?fbclid=abc&utm_campaign=x'
+      END AS url FROM documents
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM v
+    ), s2 AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0))
+             || substr(u, length(
+                  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0)
+                ) + 1) AS u
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(u, '^http://', 'https://'),
+            '^(https://)www\.', '\1'),
+          '^(https://[^/?:]*):(?:443|80)(/|\?|$)', '\1\2') AS u
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(u,
+                '([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*',
+                '\1', 'g'),
+              '\?&+', '?'),
+            '&&+', '&', 'g'),
+          '[?&]+$', '') AS u
+      FROM s3
+    ), c AS (
+      SELECT doc_id,
+             regexp_replace(u, '^(https://[^?]+[^/?])/(\?|$)', '\1\2') AS u
+      FROM s4
+    )
+    SELECT u AS url_canon, count(*)::BIGINT AS n_variants,
+           min(doc_id)::BIGINT AS first_doc
+    FROM c GROUP BY 1 ORDER BY url_canon
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization as the crawl-dedup identity
+    (functions/scrub.py canonical_url): four fetch-variant spellings of
+    each page (http+www+utm, :443+fragment, case+trailing-slash,
+    click-ids) are synthesized deterministically from doc_id on BOTH
+    engines and must collapse to one canonical URL per page. The oracle
+    replays the exact rule chain step-by-step in DuckDB SQL (\\1 + 'g'
+    dialect), so any rule drift breaks the hash."""
+    from kgforge.functions.scrub import canonical_url
+
+    d = F.col("doc_id")
+    k = (d % 100).cast("string")
+    url = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("http://www.example.com/doc/"), k,
+            F.lit("?utm_source=feed")))
+        .when(d % 4 == 1, F.concat(
+            F.lit("https://example.com:443/doc/"), k, F.lit("#sec")))
+        .when(d % 4 == 2, F.concat(
+            F.lit("https://EXAMPLE.COM/doc/"), k, F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("https://example.com/doc/"), k,
+            F.lit("?fbclid=abc&utm_campaign=x")))
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", canonical_url(url).alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("url_canon")
+    )
+
+
+@_q(
+    "pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 > 0
+             THEN ' reach user' || doc_id::VARCHAR || '@mail.example.org'
+             ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+             THEN ' call +44 20 7946 0' || (doc_id % 900 + 100)::VARCHAR
+             ELSE '' END
+        || ' host 10.0.' || (doc_id % 200)::VARCHAR || '.7 end' AS text
+      FROM documents WHERE text IS NOT NULL
+    ), pat AS (
+      SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS ip,
+             '\+\d{1,3}(?:[-. ]?\(?\d{2,4}\)?){2,4}\b' AS phone
+    ), step AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, email)) AS n_emails,
+             regexp_replace(text, email, '<EMAIL>', 'g') AS t1, ip, phone
+      FROM seeded, pat
+    ), step2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1, ip)) AS n_ipv4,
+             regexp_replace(t1, ip, '<IP>', 'g') AS t2, phone
+      FROM step
+    )
+    SELECT doc_id, n_emails::BIGINT AS n_emails, n_ipv4::BIGINT AS n_ipv4,
+           len(regexp_extract_all(t2, phone))::BIGINT AS n_phones,
+           md5(regexp_replace(t2, phone, '<PHONE>', 'g')) AS clean_md5
+    FROM step2 ORDER BY doc_id
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction audit (functions/scrub.py scrub_pii): emails, IPv4
+    addresses and +CC phone numbers are injected deterministically from
+    doc_id on BOTH engines (emails on 2/3 of docs, phones on half, an IP
+    everywhere), then redacted; the gate hash-compares the per-doc
+    redaction counts AND the md5 of the scrubbed text, so a regex that
+    over- or under-eats breaks the compare."""
+    from kgforge.functions.scrub import scrub_pii
+
+    d = F.col("doc_id")
+    seeded = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    d % 3 > 0,
+                    F.concat(
+                        F.lit(" reach user"), d.cast("string"),
+                        F.lit("@mail.example.org"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    d % 2 == 0,
+                    F.concat(
+                        F.lit(" call +44 20 7946 0"),
+                        (d % 900 + 100).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit(" host 10.0."), (d % 200).cast("string"),
+                F.lit(".7 end"),
+            ),
+        )
+    )
+    out = scrub_pii(seeded)
+    return out.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones",
+        F.md5(F.encode(F.col("text_clean"), "UTF-8")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # analytic headliners (shuffle/join/agg at scale; decimal-exact oracles)
 # =====================================================================

@@ -99,3 +99,55 @@ def test_repetition_stats_semantics(spark):
     assert (out[4].n_lines, out[4].n_distinct_lines) == (1, 1)
     assert (out[4].n_bigrams, out[4].top_bigram_n) == (0, 0)
     assert out[5].n_lines is None and out[5].n_bigrams == 0
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule, plus the not-a-URL passthrough."""
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.scrub import canonical_url
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/Path/?utm_source=x&id=3&gclid=z#f":
+            "https://example.com/Path?id=3",
+        "https://example.com:443/": "https://example.com",
+        "https://example.com": "https://example.com",
+        "http://example.com/a/?utm_campaign=c": "https://example.com/a",
+        # path case is preserved (RFC 3986: only scheme/host fold)
+        "https://Sub.Example.com/CaseSensitive/PATH":
+            "https://sub.example.com/CaseSensitive/PATH",
+        # ref param stripped mid-query, separators tidied
+        "https://example.com/x?a=1&ref=tw&b=2":
+            "https://example.com/x?a=1&b=2",
+        "not a url": "not a url",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonical_url(F.col("url")).alias("c"))
+        .collect()
+    }
+    assert got == cases
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    from kgforge.functions.scrub import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.org and d@e.io, ip 10.0.0.1, "
+                "call +1 (415) 555-0123 now"),
+            (2, "no pii, just 3.14 and version 1.2.3 and year 2024"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    r1 = out[1]
+    assert (r1.n_emails, r1.n_ipv4, r1.n_phones) == (2, 1, 1)
+    assert r1.text_clean == (
+        "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE> now"
+    )
+    r2 = out[2]
+    # 1.2.3 is not an IPv4 (3 octets); 3.14 / 2024 untouched
+    assert (r2.n_emails, r2.n_ipv4, r2.n_phones) == (0, 0, 0)
+    assert r2.text_clean == df.collect()[1].text
