@@ -2791,6 +2791,49 @@ def cypher_prop_compare(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_order_by_prop",
+    """
+    SELECT 'C' || c_custkey::VARCHAR AS cust
+    FROM customer
+    ORDER BY c_acctbal DESC, cust
+    LIMIT 10
+    """,
+)
+def cypher_order_by_prop(spark, sf_dir):
+    """Final ORDER BY over a NON-RETURNED property (`RETURN c ORDER BY
+    c.acctbal DESC LIMIT 10`) — the top-k shape generated queries emit
+    without aliasing the sort key. The key rides as a hidden projection
+    column (numeric-parseable values sort numerically) and is dropped
+    after the sort, so the result schema is exactly the RETURN items;
+    the alias tiebreak keeps equal balances deterministic across
+    engines."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    c = _t(spark, sf_dir, "customer")
+    ckey = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    nodes = c.select(
+        F.xxhash64(F.lit("Customer"), ckey).alias("node_id"),
+        F.lit("Customer").alias("label"),
+        ckey.alias("key"),
+        F.create_map(
+            F.lit("acctbal"), F.col("c_acctbal").cast("string")
+        ).alias("props"),
+    )
+    edges = nodes.limit(0).select(
+        F.col("node_id").alias("src_id"),
+        F.col("label"),
+        F.col("node_id").alias("dst_id"),
+        F.col("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) RETURN c AS cust "
+        "ORDER BY c.acctbal DESC, cust LIMIT 10",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

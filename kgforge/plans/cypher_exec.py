@@ -24,6 +24,7 @@ tables:
     MATCH (a)-[:R4]->(f:L5)                          -- aggregate-then-expand
     RETURN a, b.prop AS p, n  [DISTINCT]
     ORDER BY n DESC, p SKIP 5 LIMIT 10
+    ORDER BY count(b) DESC, a.prop           -- unaliased agg / var.prop
 
 Semantics and scope:
 
@@ -1754,27 +1755,97 @@ def run_cypher(
             plan = apply_having(plan, seg["with_wheres"], ns)
 
     # ---- RETURN -------------------------------------------------------
-    out = compile_projection(plan, " ".join(ret_parts), ns, extra_cols)
+    # Final ORDER BY items may be returned column names, UNALIASED
+    # aggregate expressions repeating a projected aggregate
+    # (`ORDER BY count(f) DESC` — resolved to the aggregate's default
+    # column name), or `var.prop` of a returned node var — the shapes
+    # generated queries actually emit. A var.prop sort key that is not
+    # itself returned rides as a HIDDEN projection column (appended to
+    # the RETURN text, dropped after the sort); openCypher forbids
+    # hidden sort keys after RETURN DISTINCT / aggregation (they are
+    # not in scope), and so does this executor.
+    ret_text = " ".join(ret_parts)
+    ret_is_distinct = bool(re.match(r"DISTINCT\b", ret_text, re.IGNORECASE))
+    ret_has_aggs = any(
+        (m := _RET_ITEM.fullmatch(item.strip())) is not None and m.group(1)
+        for item in _split_top_commas(
+            re.sub(r"^DISTINCT\b", "", ret_text, flags=re.IGNORECASE)
+        )
+    )
+    order_items: list[tuple[str, bool]] = []  # (column name, desc?)
+    hidden: list[str] = []
+    for order_text in order_texts:
+        for part in _split_top_commas(order_text):
+            part = part.strip()
+            pm = re.fullmatch(
+                r"(\w+)\.(\w+)(?:\s+(ASC|DESC))?", part, re.IGNORECASE
+            )
+            am = re.fullmatch(
+                r"(count|sum|avg|min|max)\s*\(\s*(?:DISTINCT\s+)?"
+                r"(\*|\w+(?:\.\w+)?)\s*\)(?:\s+(ASC|DESC))?",
+                part,
+                re.IGNORECASE,
+            )
+            cm = re.fullmatch(r"(\w+)(?:\s+(ASC|DESC))?", part, re.IGNORECASE)
+            if pm is not None and ns is None:
+                var, prop, direction = pm.groups()
+                if ret_is_distinct or ret_has_aggs:
+                    raise CypherUnsupported(
+                        f"ORDER BY {var}.{prop} after RETURN DISTINCT / "
+                        "aggregation: the property is out of scope — "
+                        "return it under an alias and order by that"
+                    )
+                name = f"__ord{len(hidden)}"
+                hidden.append(name)
+                ret_text = f"{ret_text}, {var}.{prop} AS {name}"
+                order_items.append(
+                    (name, (direction or "").upper() == "DESC", True)
+                )
+                continue
+            elif am is not None:
+                fnl, arg, direction = am.groups()
+                # the projection's default aggregate column name
+                name = (
+                    f"{fnl.lower()}_"
+                    f"{arg.replace('.', '_').replace('*', 'all')}"
+                )
+            elif cm is not None:
+                name, direction = cm.groups()
+            else:
+                raise CypherUnsupported(f"bad ORDER BY item {part!r}")
+            order_items.append(
+                (name, (direction or "").upper() == "DESC", False)
+            )
+
+    out = compile_projection(plan, ret_text, ns, extra_cols)
 
     # ---- ORDER BY / SKIP / LIMIT --------------------------------------
-    for order_text in order_texts:
+    if order_items:
         order_cols = []
-        for part in _split_top_commas(order_text):
-            om = re.fullmatch(
-                r"(\w+)(?:\s+(ASC|DESC))?", part.strip(), re.IGNORECASE
-            )
-            if om is None or om.group(1) not in out.columns:
+        for name, desc, is_prop in order_items:
+            if name not in out.columns:
                 raise CypherUnsupported(
-                    f"ORDER BY must use a returned column name: {part!r}"
+                    f"ORDER BY must use a returned column name or a "
+                    f"projected aggregate/property: {name!r}"
                 )
-            name, direction = om.groups()
             col = F.col(name)
-            order_cols.append(
-                col.desc() if (direction or "").upper() == "DESC" else col.asc()
-            )
+            if is_prop:
+                # props store strings; openCypher orders by VALUE with
+                # numbers before strings. Numeric-parseable values sort
+                # numerically, the raw string breaks ties / orders the
+                # non-numeric rest.
+                num = col.try_cast("double")
+                if desc:
+                    order_cols.extend([num.desc_nulls_first(), col.desc()])
+                else:
+                    order_cols.extend([num.asc_nulls_last(), col.asc()])
+            else:
+                order_cols.append(col.desc() if desc else col.asc())
         out = out.orderBy(*order_cols)
     if skip_text is not None:
         out = out.offset(int(skip_text.strip()))
     if limit_text is not None:
         out = out.limit(int(limit_text.strip()))
+    if hidden:
+        out = out.drop(*hidden)
     return out

@@ -1372,3 +1372,43 @@ def test_prop_to_prop_null_side_filters(graph):
         nodes, edges,
     ).collect()
     assert [r.n for r in out2] == [0]
+
+
+# ---- final ORDER BY: unaliased aggregates and var.prop sort keys ------
+
+
+def test_order_by_unaliased_aggregate(graph):
+    """`ORDER BY count(x) DESC` without an alias — the shape generated
+    queries emit — resolves to the projected aggregate's column."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "RETURN f, count(x) ORDER BY count(x) DESC, f LIMIT 2",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.count_x) for r in out] == [("Bo", 2), ("Ana", 1)]
+
+
+def test_order_by_non_returned_prop(graph):
+    """`RETURN f ORDER BY f.wins DESC` — the sort key rides as a hidden
+    projection column and is dropped from the result."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN f.name AS name ORDER BY f.wins DESC",
+        nodes, edges,
+    )
+    assert out.columns == ["name"]
+    # numeric order: 12, 7, 3 (string order would put '3' < '7' < '12'
+    # differently: '12' < '3' < '7')
+    assert [r.name for r in out.collect()] == ["Ana", "Bo", "Cy"]
+
+
+def test_order_by_hidden_prop_after_distinct_or_agg_raises(graph):
+    nodes, edges = graph
+    for q in (
+        "MATCH (f:Fighter) RETURN DISTINCT f ORDER BY f.wins",
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "RETURN f, count(x) ORDER BY f.wins",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(q, nodes, edges)
