@@ -9,11 +9,16 @@ survivor set):
 
 1. language gate       — integer stopword-hit threshold (textstats.lang_id)
 2. quality gate        — integer signal thresholds (textstats.quality_stats)
+2b. repetition gate    — OPTIONAL Gopher-style dup-line / top-bigram
+                         thresholds (textstats.repetition_stats)
 3. exact dedup         — md5-fingerprint groupBy, keep the smallest id
 4. near-dup dedup      — MinHash-LSH verified pairs (dedup.minhash_pairs,
                          bucket-capped) closed into clusters by connected
                          components (canon.connected_components), keep the
                          smallest id per cluster
+5. PII scrub           — OPTIONAL email/IP/phone redaction of the kept
+                         text (functions/scrub.scrub_pii; rewrite, not
+                         a drop)
 
 Every dropped row lands in an audit DataFrame with its FIRST drop reason
 (lang > quality > exact_dup > near_dup) — silent shrinkage is how corpora
@@ -39,6 +44,9 @@ def curate_documents(
     lang_min_hits: int = 2,
     min_tokens: int = 5,
     max_punct_per_token_pct: int = 100,
+    max_dup_line_pct: int | None = None,
+    max_top_bigram_pct: int | None = None,
+    scrub: bool = False,
     near_dup: bool = True,
     minhash_kwargs: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -48,6 +56,15 @@ def curate_documents(
     Thresholds are integers (cross-multiplied for the punct ratio) so the
     oracle comparison is bit-exact. `near_dup=False` keeps the whole
     funnel SQL-expressible.
+
+    Optional stages (off by default, so the SQL-oracle gate pins the
+    core funnel): `max_dup_line_pct` / `max_top_bigram_pct` add the
+    Gopher-style repetition gate (textstats.repetition_stats) between
+    the quality gate and dedup — reason ``repetition`` when the
+    duplicate-line fraction or the top-bigram share exceeds the given
+    percentage (integer cross-multiplied); `scrub=True` redacts
+    email/IP/phone PII from the KEPT text (functions/scrub.scrub_pii) —
+    a rewrite, not a drop, so it adds no audit rows.
     """
     base = TS.quality_stats(
         TS.lang_id(df, text_col, min_hits=lang_min_hits), text_col
@@ -68,6 +85,31 @@ def curate_documents(
     survivors = flagged.filter(F.col("_reason").isNull()).select(
         *df.columns
     )
+
+    rep_audit = None
+    if max_dup_line_pct is not None or max_top_bigram_pct is not None:
+        rep = TS.repetition_stats(survivors, text_col, id_col)
+        rep_cond = F.lit(False)
+        if max_dup_line_pct is not None:
+            rep_cond = rep_cond | (
+                F.lit(100) * (F.col("n_lines") - F.col("n_distinct_lines"))
+                > F.lit(max_dup_line_pct) * F.col("n_lines")
+            )
+        if max_top_bigram_pct is not None:
+            rep_cond = rep_cond | (
+                F.lit(100) * F.col("top_bigram_n")
+                > F.lit(max_top_bigram_pct)
+                * F.greatest(F.col("n_bigrams"), F.lit(1))
+            )
+        rep = rep.withColumn(
+            "_reason", F.when(rep_cond, F.lit("repetition"))
+        )
+        rep_audit = rep.filter(F.col("_reason").isNotNull()).select(
+            F.col(id_col).alias("id"), F.col("_reason").alias("reason")
+        )
+        survivors = rep.filter(F.col("_reason").isNull()).select(
+            *df.columns
+        )
 
     # exact dedup: keep the smallest id per normalized-text fingerprint
     fp = TS.normalize_text(F.col(text_col))
@@ -95,9 +137,25 @@ def curate_documents(
             F.col(id_col).alias("id"), F.col("_reason").alias("reason")
         )
     )
+    if rep_audit is not None:
+        audit = audit.unionByName(rep_audit)
+
+    def _finish(kept: DataFrame) -> DataFrame:
+        if not scrub:
+            return kept
+        from kgforge.functions.scrub import scrub_pii
+
+        cleaned = scrub_pii(kept, text_col, out_col="__clean")
+        return cleaned.select(
+            *[
+                F.col("__clean").alias(text_col) if c == text_col
+                else F.col(c)
+                for c in kept.columns
+            ]
+        )
 
     if not near_dup:
-        return survivors2, audit
+        return _finish(survivors2), audit
 
     # near-dup: verified LSH pairs -> CC clusters -> keep min id per cluster
     from kgforge.operators.canon import connected_components
@@ -121,4 +179,4 @@ def curate_documents(
         on=id_col,
         how="left_anti",
     )
-    return kept, audit.unionByName(near_drops)
+    return _finish(kept), audit.unionByName(near_drops)

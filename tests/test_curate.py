@@ -151,3 +151,36 @@ def test_scrub_pii_counts_and_redaction(spark):
     # 1.2.3 is not an IPv4 (3 octets); 3.14 / 2024 untouched
     assert (r2.n_emails, r2.n_ipv4, r2.n_phones) == (0, 0, 0)
     assert r2.text_clean == df.collect()[1].text
+
+
+def test_funnel_repetition_gate_and_scrub(spark):
+    """Optional stages: Gopher-style repetition thresholds drop spammy
+    docs with reason 'repetition'; scrub=True rewrites kept text."""
+    rows = [
+        (1, "the of and research harbor signal window garden travel "
+            "stone river music extra words here to pass the gates"),
+        # top-bigram dominated: 'click here' is most of the bigrams
+        (2, "the of and " + "click here " * 10),
+        # duplicate lines dominate (4 of 5 lines are copies: 60% > 50%)
+        (3, "the of and alpha beta\nthe of and alpha beta\n"
+            "the of and alpha beta\nthe of and alpha beta\n"
+            "unique closing line of text"),
+        # clean doc carrying PII to scrub
+        (4, "the of and contact sam.lee@corp.example.com at 10.1.2.3 "
+            "for the research signal music garden data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept, audit = curate_documents(
+        df,
+        max_dup_line_pct=50,
+        max_top_bigram_pct=30,
+        scrub=True,
+        near_dup=False,
+    )
+    reasons = {r.id: r.reason for r in audit.collect()}
+    assert reasons == {2: "repetition", 3: "repetition"}
+    kept_rows = {r.doc_id: r.text for r in kept.collect()}
+    assert set(kept_rows) == {1, 4}
+    assert "<EMAIL>" in kept_rows[4] and "<IP>" in kept_rows[4]
+    assert "sam.lee" not in kept_rows[4]
+    assert kept.columns == ["doc_id", "text"]
