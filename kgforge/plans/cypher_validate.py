@@ -66,13 +66,25 @@ def validate_cypher_entities_exist(cypher: str, onto: Ontology) -> list[str]:
     ]
 
 
+_CALL_RELTYPES = re.compile(r"relTypes\s*:\s*\[([^\]]*)\]", re.IGNORECASE)
+
+
 def validate_cypher_relations_exist(cypher: str, onto: Ontology) -> list[str]:
     known = {r.label for r in onto.relations}
-    return [
+    errs = [
         f"Relation {label} not found in ontology"
         for m in _ANON_EDGE.finditer(cypher)
         if (label := _clean_label(m.group(1))) not in known
     ]
+    # CALL algo.SPpaths/SSpaths relTypes lists name relation labels too —
+    # a typo'd label there would otherwise validate and silently return
+    # zero rows (beyond the reference validator, which predates CALL)
+    for m in _CALL_RELTYPES.finditer(cypher):
+        for item in m.group(1).split(","):
+            label = item.strip().strip("'\"")
+            if label and label not in known:
+                errs.append(f"Relation {label} not found in ontology")
+    return errs
 
 
 def _leg_endpoints(cypher: str, spans: list, idx: int):

@@ -138,3 +138,24 @@ def test_validate_cypher_udf(spark):
     )
     by_id = {r.id: r.n_errors for r in out}
     assert by_id == {1: 0, 2: 1, 3: 1}
+
+
+def test_call_reltypes_checked_against_ontology():
+    """A typo'd relTypes label in CALL algo.SPpaths fails validation
+    instead of silently returning zero rows."""
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+    from kgforge.plans.cypher_validate import validate_cypher
+
+    onto = Ontology(
+        entities=[Entity("City", [Attribute("name", "string", True, True)])],
+        relations=[Relation("ROAD", "City", "City", [])],
+    )
+    good = (
+        "MATCH (a:City), (b:City) CALL algo.SPpaths({sourceNode: a, "
+        "targetNode: b, relTypes: ['ROAD'], weightProp: 'w'}) "
+        "YIELD pathWeight RETURN pathWeight"
+    )
+    assert validate_cypher(good, onto) is None
+    bad = good.replace("'ROAD'", "'RAOD'")
+    errs = validate_cypher(bad, onto)
+    assert errs and any("RAOD" in e for e in errs)
