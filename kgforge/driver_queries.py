@@ -2792,6 +2792,64 @@ def cypher_prop_compare(spark, sf_dir):
 
 
 @_q(
+    "cypher_pattern_pred",
+    """
+    SELECT 'C' || c_custkey::VARCHAR AS cust
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    ORDER BY cust
+    """,
+)
+def cypher_pattern_pred(spark, sf_dir):
+    """WHERE pattern predicate — `MATCH (c:Customer) WHERE NOT
+    (c)-[:PLACED]->(:Order {status: 'F'})` is THE canonical generated
+    "without" shape (openCypher existence predicate). Compiles to one
+    left ANTI join, with the anonymous endpoint's inline props
+    filtering the existence side; oracle = NOT EXISTS. Every driver
+    customer has SOME order, so the status constraint is what makes the
+    gate non-vacuous (5% of customers have no Finished order)."""
+    from pyspark.sql import functions as _F
+    from kgforge.plans.cypher_exec import run_cypher
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ckey = _F.concat(_F.lit("C"), _F.col("c_custkey").cast("string"))
+    ockey = _F.concat(_F.lit("C"), _F.col("o_custkey").cast("string"))
+    okey = _F.concat(_F.lit("O"), _F.col("o_orderkey").cast("string"))
+    nodes = c.select(
+        _F.xxhash64(_F.lit("Customer"), ckey).alias("node_id"),
+        _F.lit("Customer").alias("label"),
+        ckey.alias("key"),
+        _F.create_map().cast("map<string,string>").alias("props"),
+    ).unionByName(
+        o.select(
+            _F.xxhash64(_F.lit("Order"), okey).alias("node_id"),
+            _F.lit("Order").alias("label"),
+            okey.alias("key"),
+            _F.create_map(
+                _F.lit("status"), _F.col("o_orderstatus").cast("string")
+            ).alias("props"),
+        )
+    )
+    edges = o.select(
+        _F.xxhash64(_F.lit("Customer"), ockey).alias("src_id"),
+        _F.lit("PLACED").alias("label"),
+        _F.xxhash64(_F.lit("Order"), okey).alias("dst_id"),
+        _F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) "
+        "WHERE NOT (c)-[:PLACED]->(:Order {status: 'F'}) "
+        "RETURN c AS cust ORDER BY cust",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_order_by_prop",
     """
     SELECT 'C' || c_custkey::VARCHAR AS cust

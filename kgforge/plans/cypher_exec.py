@@ -119,7 +119,11 @@ Semantics and scope:
   ``toLower/toUpper(var.prop) = '...'`` (also CONTAINS / STARTS WITH /
   ENDS WITH), and ``var.prop =~ 'regex'`` (whole-string match, Cypher
   semantics, compiled to an anchored ``rlike``). All compile to one Column
-  expression per WHERE — a single Catalyst Filter, no per-conjunct scan.
+  expression per WHERE — a single Catalyst Filter, no per-conjunct scan —
+  EXCEPT pattern predicates ``[NOT] (a)-[:R]->(b)`` (openCypher existence
+  predicates; "customers without orders"), which compile to one left
+  semi/anti join per conjunct (multiplicity-preserving, as Cypher
+  requires). Pattern predicates under a top-level OR raise.
 
 Everything compiles to label-filtered equi-joins + hash aggregation —
 Catalyst reorders/broadcasts them like any relational plan; there is no
@@ -986,8 +990,98 @@ def run_cypher(
                 df = df.filter(expr)
         return df
 
+    _PAT_GLYPH = re.compile(r"\)\s*(?:<-|-)\s*\[")
+
+    def _apply_pattern_pred(
+        df: DataFrame, pattern_text: str, neg: bool, known: set[str]
+    ) -> DataFrame:
+        """One `[NOT] (a)-[:R]->(b)` WHERE conjunct — openCypher's
+        pattern predicate ("customers WITHOUT orders" is the canonical
+        generated shape). Compiles to a left SEMI (existence) or ANTI
+        (NOT) join of the bound plan against the pattern's edge
+        relation: row multiplicity is preserved exactly as Cypher
+        requires (a predicate never duplicates rows). Unbound endpoints
+        may carry a label / inline props (`NOT (c)-[:PLACED]->
+        (:Order {status: 'P'})`) — they filter the existence side, one
+        semi join each. Single-hop legs only (a var-length pattern
+        predicate would hide a traversal inside a WHERE)."""
+        pnodes, plegs = _parse_pattern(pattern_text, var_gen, max_hops)
+        if len(plegs) != 1:
+            raise CypherUnsupported(
+                "a WHERE pattern predicate takes exactly one "
+                f"relationship: {pattern_text!r}"
+            )
+        src, rel, dst, hops, rel_var, undirected = plegs[0]
+        if hops is not None:
+            raise CypherUnsupported(
+                "variable-length pattern predicates are out of subset"
+            )
+        if rel_var is not None:
+            raise CypherUnsupported(
+                "a pattern predicate cannot bind a relationship variable"
+            )
+        bound_eps = [v for v, _l, _p in pnodes if v in known]
+        if not bound_eps:
+            raise CypherUnsupported(
+                "a pattern predicate must use at least one bound "
+                f"variable: {pattern_text!r}"
+            )
+        sub = leg_df((src, rel, dst, None, None, None, undirected))
+        for var, label, props in pnodes:
+            if var in known or (label is None and not props):
+                continue
+            nd = nodes
+            if label is not None:
+                nd = nd.filter(F.col("label") == label)
+            for k, v in props.items():
+                nd = nd.filter(F.col("props")[k] == v)
+            sub = sub.join(
+                nd.select(F.col("node_id").alias(f"{var}__id")),
+                on=f"{var}__id",
+                how="left_semi",
+            )
+        keys = [f"{v}__id" for v in dict.fromkeys(bound_eps)]
+        return df.join(
+            sub.select(*keys), on=keys, how="left_anti" if neg else "left_semi"
+        )
+
+    def apply_where(df: DataFrame, where_texts: list[str],
+                    known: set[str]) -> DataFrame:
+        """Segment-level WHERE: pattern-predicate conjuncts become
+        semi/anti joins, everything else stays ONE Column / Catalyst
+        Filter per WHERE (compile_bool). Pattern predicates under a
+        top-level OR would need an existence COLUMN rather than a join
+        — out of subset, refused rather than mis-scoped."""
+        for wt in where_texts:
+            masked = _mask_quotes(wt)
+            if not _PAT_GLYPH.search(masked):
+                df = apply_conds(df, [wt], known)
+                continue
+            if len(_split_keyword_toplevel(wt, r"\bOR\b")) > 1:
+                raise CypherUnsupported(
+                    "pattern predicates inside OR are out of subset"
+                )
+            residual: list[str] = []
+            for conj in _split_keyword_toplevel(wt, r"\bAND\b"):
+                c = conj.strip()
+                if not c:
+                    continue
+                nm = re.match(r"NOT\s+", c, re.IGNORECASE)
+                probe = c[nm.end():].strip() if nm else c
+                if probe.startswith("(") and _PAT_GLYPH.search(
+                    _mask_quotes(probe)
+                ):
+                    df = _apply_pattern_pred(
+                        df, probe, nm is not None, known
+                    )
+                else:
+                    residual.append(c)
+            if residual:
+                df = apply_conds(df, [" AND ".join(residual)], known)
+        return df
+
     bound_rels = {leg[4] for leg in all_legs if leg[4] is not None}
-    plan = apply_conds(plan, segments[0]["wheres"], bound | bound_rels)
+    plan = apply_where(plan, segments[0]["wheres"], bound | bound_rels)
 
     # ---- OPTIONAL MATCH: left-join each optional group ----------------
     def apply_optionals(
@@ -1732,7 +1826,7 @@ def run_cypher(
             if seg_legs or seg_groups:
                 plan = assemble(plan, seg_bound, seg_groups, seg_legs)
             seg_rels = {leg[4] for leg in seg_legs if leg[4] is not None}
-            plan = apply_conds(plan, seg["wheres"], seg_bound | seg_rels)
+            plan = apply_where(plan, seg["wheres"], seg_bound | seg_rels)
             plan = apply_optionals(plan, seg_bound, seg["optionals"])
         if seg["calls"]:
             plan = apply_calls(plan, seg_bound, seg["calls"], extra_cols)

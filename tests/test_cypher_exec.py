@@ -1412,3 +1412,68 @@ def test_order_by_hidden_prop_after_distinct_or_agg_raises(graph):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(q, nodes, edges)
+
+
+# ---- WHERE pattern predicates (existence semi/anti joins) -------------
+
+
+def test_where_not_pattern_predicate(graph):
+    """`WHERE NOT (f)-[:R]->(x)` — the "without" shape. Ana and Cy each
+    fought once; everyone fought, so filter against a specific fight."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) "
+        "WHERE NOT (f)-[:FOUGHT_IN]->(:Fight {title: 'Ana v Bo'}) "
+        "RETURN f ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [r.f for r in out] == ["Cy"]
+
+
+def test_where_pattern_predicate_positive_and_mixed(graph):
+    """Existence predicate AND a plain condition in one WHERE; row
+    multiplicity is preserved (Bo has two fights, still one row per
+    match binding)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WHERE (x)-[:PART_OF]->(:Event) AND f.wins >= 7 "
+        "RETURN f.name AS name, x.title AS title ORDER BY name, title",
+        nodes, edges,
+    ).collect()
+    assert [(r.name, r.title) for r in out] == [
+        ("Ana", "Ana v Bo"), ("Bo", "Ana v Bo"), ("Bo", "Bo v Cy"),
+    ]
+
+
+def test_where_pattern_predicate_between_bound_vars(graph):
+    """Both endpoints bound: `WHERE NOT (a)-[:R]->(b)` filters pairs."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter), (x:Fight) "
+        "WHERE NOT (f)-[:FOUGHT_IN]->(x) "
+        "RETURN f, x ORDER BY f, x",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.x) for r in out] == [
+        ("Ana", "Bo v Cy"), ("Cy", "Ana v Bo"),
+    ]
+
+
+def test_where_pattern_predicate_boundaries(graph):
+    nodes, edges = graph
+    cases = [
+        # var-length predicate
+        "MATCH (f:Fighter) WHERE NOT (f)-[:FOUGHT_IN*1..2]->(:Event) "
+        "RETURN f",
+        # OR with a pattern predicate
+        "MATCH (f:Fighter) "
+        "WHERE (f)-[:FOUGHT_IN]->(:Fight) OR f.wins > 5 RETURN f",
+        # no bound endpoint
+        "MATCH (f:Fighter) WHERE (a)-[:PART_OF]->(b) RETURN f",
+        # relationship variable inside a predicate
+        "MATCH (f:Fighter) WHERE (f)-[r:FOUGHT_IN]->(:Fight) RETURN f",
+    ]
+    for q in cases:
+        with pytest.raises(CypherUnsupported):
+            run_cypher(q, nodes, edges)
