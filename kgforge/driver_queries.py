@@ -17,7 +17,10 @@ values after sorting columns by name):
   (`den*inter >= num*uni`), never float compares;
 - integer outputs are cast to BIGINT on both sides (Spark `size()` is int32,
   DuckDB `len()` is int64);
-- DuckDB `regexp_replace` needs the 'g' flag to match Spark's replace-all.
+- DuckDB `regexp_replace` needs the 'g' flag to match Spark's replace-all;
+- DuckDB `/` on integers returns DOUBLE and `::BIGINT` ROUNDS half-even —
+  integer-division oracles must write `floor(a / b)::BIGINT` (or `//`) to
+  match Spark's `floor()`.
 """
 
 from __future__ import annotations
@@ -934,6 +937,81 @@ def pii_scrub(spark, sf_dir):
         "doc_id", "n_emails", "n_ipv4", "n_phones",
         F.md5(F.encode(F.col("text_clean"), "UTF-8")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+def _split_case_sql() -> str:
+    from kgforge.functions.sharding import split_bounds
+
+    bounds = split_bounds([("train", 98), ("val", 1), ("test", 1)])
+    clauses = " ".join(
+        f"WHEN h < '{b}' THEN '{name}'" for b, name in bounds[:-1]
+    )
+    return f"CASE {clauses} ELSE '{bounds[-1][1]}' END"
+
+
+@_q(
+    "corpus_hash_split",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             substr(md5('kgforge' || doc_id::VARCHAR), 1, 8) AS h
+      FROM documents
+    )
+    SELECT {_split_case_sql()} AS split, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS first_doc
+    FROM hashed GROUP BY 1 ORDER BY split
+    """,
+)
+def corpus_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (functions/sharding.py
+    hash_split): md5(salt || key) leading-hex thresholds, identical
+    literals on both engines via split_bounds(). Keyed on content
+    identity, not row position — stable under repartitioning and
+    re-runs."""
+    from kgforge.functions.sharding import hash_split
+
+    out = hash_split(_t(spark, sf_dir, "documents"))
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@_q(
+    "corpus_token_shards",
+    """
+    WITH run AS (
+      SELECT doc_id,
+             coalesce(sum(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prior
+      FROM documents
+    )
+    SELECT doc_id, floor(prior / 40000)::BIGINT AS shard
+    FROM run ORDER BY doc_id
+    """,
+)
+def corpus_token_shards(spark, sf_dir):
+    """Token-budget shard assignment (functions/sharding.py
+    token_shards): shard = floor(prior running weight / budget) in key
+    order, computed as a distributed prefix-sum (range repartition +
+    per-partition totals to the driver + local windows) — partition
+    boundaries never affect the answer, asserted by the oracle's GLOBAL
+    window cumsum. Weight = n_chars, budget 40k chars per shard."""
+    from kgforge.functions.sharding import token_shards
+
+    out = token_shards(
+        _t(spark, sf_dir, "documents"),
+        budget=40_000,
+        weight_col="n_chars",
+        num_partitions=8,
+    )
+    return out.select("doc_id", "shard").orderBy("doc_id")
 
 
 # =====================================================================

@@ -1,0 +1,63 @@
+"""Deterministic corpus sharding (functions/sharding.py): hash-split
+stability, prefix-sum shard assignment independent of partition layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgforge.functions.sharding import hash_split, split_bounds, token_shards
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(17)).collect()
+    }
+    assert a == b
+    # expected fractions within a loose band (md5 is uniform)
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.95 * n <= train <= n  # 98% nominal
+    assert set(a.values()) <= {"train", "val", "test"}
+    # salt re-roll changes assignments
+    c = {r.doc_id: r.split for r in hash_split(df, salt="other").collect()}
+    assert c != a
+
+
+def test_split_bounds_are_cumulative_hex():
+    bounds = split_bounds([("a", 1), ("b", 1)])
+    assert bounds == [("80000000", "a"), ("100000000", "b")]
+
+
+def test_token_shards_matches_serial_scan_any_layout(spark):
+    """Shard assignment == the serial greedy offset scan, whatever the
+    partition count; docs bigger than the budget own their offset."""
+    rows = [(i, (i % 7 + 1) * 10) for i in range(200)]
+    rows[50] = (50, 500)  # bigger than the budget below
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    expect = {}
+    run = 0
+    for i, w in sorted(rows):
+        expect[i] = run // 100
+        run += w
+    for parts in (1, 3, 16):
+        got = {
+            r.doc_id: r.shard
+            for r in token_shards(
+                df, budget=100, num_partitions=parts
+            ).collect()
+        }
+        assert got == expect, f"layout {parts} diverged"
+
+
+def test_token_shards_null_weights_count_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 60), (2, None), (3, 60)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: r.shard
+        for r in token_shards(df, budget=100, num_partitions=2).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0}
