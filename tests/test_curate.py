@@ -184,3 +184,37 @@ def test_funnel_repetition_gate_and_scrub(spark):
     assert "<EMAIL>" in kept_rows[4] and "<IP>" in kept_rows[4]
     assert "sam.lee" not in kept_rows[4]
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_canonical_url_idempotent_on_generated_soup(spark):
+    """Canonicalization must be a projection: canon(canon(u)) ==
+    canon(u) over a generated soup of scheme/case/port/param/fragment
+    combinations (one pass, the violation filter must be empty)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.scrub import canonical_url
+
+    rng = random.Random(7)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://"]
+    hosts = ["example.com", "WWW.Example.COM", "sub.ex.org:443",
+             "ex.org:80", "ex.org:8080"]
+    paths = ["", "/", "/A/b", "/A/b/", "/x%20y/"]
+    queries = ["", "?utm_source=a", "?id=1&utm_medium=m&b=2",
+               "?fbclid=z", "?ref=tw&gclid=q&keep=1", "?a=1&&b=2"]
+    frags = ["", "#top", "#a?b=c"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ] + ["not a url", "", "ftp://weird.example/x?utm_source=1"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url(F.col("url"))
+    out = df.select("url", once.alias("c1")).withColumn(
+        "c2", canonical_url(F.col("c1"))
+    )
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], [
+        (r.url, r.c1, r.c2) for r in bad[:5]
+    ]
