@@ -1014,6 +1014,45 @@ def corpus_token_shards(spark, sf_dir):
     return out.select("doc_id", "shard").orderBy("doc_id")
 
 
+@_q(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+               AS q_scale
+      FROM embeddings
+    )
+    SELECT vec_id, q_scale,
+           CASE WHEN q_scale > 0 THEN array_to_string(
+             list_transform(
+               embedding,
+               x -> floor(x::DOUBLE / q_scale * 127 + 0.5)::INT),
+             ',')
+           ELSE array_to_string(
+             list_transform(embedding, x -> 0), ',') END AS q_str
+    FROM s ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (functions/embeddings.py
+    quantize_int8): scale = max|x| is exact and order-free, each element
+    quantizes independently in double precision, so the oracle matches
+    bit-for-bit — floor(x/scale*127 + 0.5) is round-half-up on both
+    engines. Arrays compare through concat_ws (harness list
+    representations differ)."""
+    from kgforge.functions.embeddings import quantize_int8
+
+    out = quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "q_scale",
+        F.concat_ws(
+            ",", F.transform(F.col("q_vec"), lambda x: x.cast("string"))
+        ).alias("q_str"),
+    ).orderBy("vec_id")
+
+
 # =====================================================================
 # analytic headliners (shuffle/join/agg at scale; decimal-exact oracles)
 # =====================================================================

@@ -61,3 +61,57 @@ def test_token_shards_null_weights_count_zero(spark):
         for r in token_shards(df, budget=100, num_partitions=2).collect()
     }
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+# ---- embedding prep (functions/embeddings.py) -------------------------
+
+
+def test_l2_normalize_and_quantize_roundtrip(spark):
+    import math
+
+    from kgforge.functions.embeddings import (
+        dequantize_int8, l2_normalize, quantize_int8,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, [0.0, 0.0]),          # zero vector: stays zero, scale 0
+        (3, [-1.5, 0.5, 2.0]),
+        (4, [1e-6, -1e-6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    unit = {r.vec_id: r.vec_unit for r in l2_normalize(df).collect()}
+    assert unit[1] == [0.6, 0.8]
+    assert unit[2] == [0.0, 0.0]
+    for vid, v in unit.items():
+        n = math.sqrt(sum(x * x for x in v))
+        assert vid == 2 or abs(n - 1.0) < 1e-12
+    # cosine invariance: normalize twice == once
+    twice = {
+        r.vec_id: r.v2
+        for r in l2_normalize(
+            l2_normalize(df).withColumnRenamed("vec_unit", "u"),
+            vec_col="u", out_col="v2",
+        ).collect()
+    }
+    for vid in unit:
+        assert all(
+            abs(a - b) < 1e-12 for a, b in zip(unit[vid], twice[vid])
+        )
+
+    q = {
+        r.vec_id: (r.q_scale, r.q_vec)
+        for r in quantize_int8(df).collect()
+    }
+    assert q[1] == (4.0, [95, 127])       # 3/4*127=95.25 -> 95
+    assert q[2] == (0.0, [0, 0])
+    assert q[3][1] == [-95, 32, 127]      # -1.5/2*127=-95.25 -> floor+.5
+    # dequantization error bound: |x - q*scale/127| <= scale/254
+    deq = {
+        r.vec_id: r.vec_approx
+        for r in dequantize_int8(quantize_int8(df)).collect()
+    }
+    for vid, orig in rows:
+        scale = q[vid][0]
+        for a, b in zip(orig, deq[vid]):
+            assert abs(a - b) <= scale / 254 + 1e-12
