@@ -367,6 +367,53 @@ def label_propagation(
     return labels
 
 
+def k_core(
+    edges: DataFrame, k: int, rounds: int | None = None,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Bounded k-core peeling: nodes surviving iterative removal of
+    degree-< k nodes. Returns (id) — the (bounded) k-core vertex set.
+
+    edges(src, dst), SYMMETRIZED by the caller for undirected semantics
+    (degree = out-degree of the symmetric list). Each round: one degree
+    aggregate (map-side partial) + two semi-joins restricting the edge
+    list to surviving endpoints; `localCheckpoint` truncates lineage.
+    Early exit when a round removes nothing — peeling is monotone, so
+    exiting early equals running the remaining rounds.
+
+    ``rounds=None`` peels to the fixpoint (true k-core, bounded by
+    `max_rounds` as a runaway guard); a fixed ``rounds=r`` runs exactly
+    r peel rounds — the cross-engine-exact contract the driver gate
+    unrolls in SQL (same trick as `label_propagation`'s fixed n_iter:
+    a fixpoint is not expressible in a plain recursive CTE, a fixed
+    unroll is).
+    """
+    alive = edges.select("src", "dst").localCheckpoint()
+    n_rounds = rounds if rounds is not None else max_rounds
+    for _ in range(n_rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        new = (
+            alive.join(keep, on="src", how="left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")),
+                on="dst",
+                how="left_semi",
+            )
+            .localCheckpoint()
+        )
+        if alive.join(new, on=["src", "dst"], how="left_anti").isEmpty():
+            # nothing removed: converged (peeling only ever removes)
+            alive = new
+            break
+        alive = new
+    return alive.select(F.col("src").alias("id")).dropDuplicates()
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,

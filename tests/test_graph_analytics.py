@@ -266,3 +266,43 @@ def test_lpa_isolated_keeps_own_label(spark):
     }
     assert out[9] == 9
     assert out[1] == out[2]
+
+
+# ---- k-core (bounded peeling) -----------------------------------------
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    """4-clique with a pendant 3-chain: the 3-core is exactly the
+    clique; the chain peels away over MULTIPLE rounds (degree-1 end
+    first), so convergence-mode must iterate past one round."""
+    from kgforge.plans.graph_query import k_core, symmetrize
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 4), (4, 5), (5, 6)]
+    edges = symmetrize(
+        spark.createDataFrame(clique + tail, "src long, dst long")
+    )
+    core = {r.id for r in k_core(edges, k=3).collect()}
+    assert core == {0, 1, 2, 3}
+    # k above the max degree: everything peels to empty
+    assert k_core(edges, k=10).count() == 0
+    # fixed rounds=1 keeps the not-yet-unraveled chain interior
+    one = {r.id for r in k_core(edges, k=2, rounds=1).collect()}
+    assert one == {0, 1, 2, 3, 4, 5}  # only the degree-1 tip (6) peels
+
+
+def test_kcore_fixed_rounds_idempotent_after_convergence(spark):
+    """Early exit equals running the remaining rounds: rounds >> needed
+    gives the same core as convergence mode."""
+    from kgforge.plans.graph_query import k_core, symmetrize
+
+    edges = symmetrize(
+        spark.createDataFrame(
+            [(a, b) for a in range(5) for b in range(5) if a < b]
+            + [(4, 9), (9, 10)],
+            "src long, dst long",
+        )
+    )
+    a = {r.id for r in k_core(edges, k=3).collect()}
+    b = {r.id for r in k_core(edges, k=3, rounds=30).collect()}
+    assert a == b == {0, 1, 2, 3, 4}
