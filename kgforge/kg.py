@@ -609,6 +609,36 @@ class KnowledgeGraph:
             .select("label", "key", F.col("community_key").alias("community"))
         )
 
+    def k_core(
+        self,
+        k: int,
+        relation: str | None = None,
+        rounds: int | None = None,
+    ) -> DataFrame:
+        """Nodes in the k-core of the undirected edge projection:
+        (label, key) — iterative removal of degree-< k nodes
+        (plans/graph_query.k_core; `rounds` bounds the peel, None runs
+        to the fixpoint). The standard corpus-graph densification
+        filter: keep only entities embedded in dense neighborhoods."""
+        from kgforge.plans.graph_query import k_core as _k_core
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates()
+        core = _k_core(edges, k=k, rounds=rounds)
+        n = self.nodes()
+        return (
+            n.select(F.col("node_id").alias("id"), "label", "key")
+            .join(core, on="id", how="left_semi")
+            .select("label", "key")
+        )
+
     def shortest_path_weights(
         self,
         sources: list[tuple[str, str]],

@@ -255,3 +255,22 @@ def test_facade_graph_analytics(kg):
     # the star is one LPA community
     comm = {r.community for r in kg.communities().collect()}
     assert len(comm) == 1
+
+
+def test_facade_k_core(kg):
+    """The ACTED_IN star has max degree 3 at the hub but every actor has
+    degree 1: any k >= 2 empties the core; k=1 keeps everyone."""
+    kg.add_nodes(
+        [("Actor", {"name": f"A{i}"}) for i in range(3)]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie",
+             {"name": f"A{i}"}, {"title": "M"}, {})
+            for i in range(3)
+        ]
+    )
+    all_nodes = {(r.label, r.key) for r in kg.k_core(k=1).collect()}
+    assert ("Movie", "M") in all_nodes and len(all_nodes) == 4
+    assert kg.k_core(k=2).count() == 0
