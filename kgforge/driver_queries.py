@@ -1994,20 +1994,9 @@ def curate_docs_audit(spark, sf_dir):
     return audit
 
 
-@_q(
-    "cypher_exec_agg",
-    oracle="""
-    SELECT r.r_name AS region, count(*)::BIGINT AS n_nations
-    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY 1 ORDER BY region
-    """,
-)
-def cypher_exec_agg(spark, sf_dir):
-    """EP3/L5: the Cypher-subset executor (plans/cypher_exec.py) compiled
-    to a Catalyst join+agg plan, hash-checked against the equivalent SQL.
-    Graph = nation -[:IN_REGION]-> region from the driver tables."""
-    from kgforge.plans.cypher_exec import run_cypher
-
+def _nation_region_graph(spark, sf_dir):
+    """Nation -[:IN_REGION]-> Region graph with {name} props — shared by
+    the Cypher gates that need a small two-label graph."""
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     nodes = (
@@ -2035,6 +2024,24 @@ def cypher_exec_agg(spark, sf_dir):
             F.create_map().cast("map<string,string>").alias("props"),
         )
     )
+    return nodes, edges
+
+
+@_q(
+    "cypher_exec_agg",
+    oracle="""
+    SELECT r.r_name AS region, count(*)::BIGINT AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1 ORDER BY region
+    """,
+)
+def cypher_exec_agg(spark, sf_dir):
+    """EP3/L5: the Cypher-subset executor (plans/cypher_exec.py) compiled
+    to a Catalyst join+agg plan, hash-checked against the equivalent SQL.
+    Graph = nation -[:IN_REGION]-> region from the driver tables."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
     return run_cypher(
         "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
         "RETURN r AS region, count(n) AS n_nations ORDER BY region",
@@ -3008,6 +3015,33 @@ def cypher_pattern_pred(spark, sf_dir):
         "MATCH (c:Customer) "
         "WHERE NOT (c)-[:PLACED]->(:Order {status: 'F'}) "
         "RETURN c AS cust ORDER BY cust",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "cypher_unwind",
+    """
+    SELECT u.v AS v, r_name AS region
+    FROM (SELECT unnest(['NATION_3', 'NATION_17', 'NOPE']) AS v) u
+    JOIN nation ON n_name = u.v
+    JOIN region ON n_regionkey = r_regionkey
+    ORDER BY v
+    """,
+)
+def cypher_unwind(spark, sf_dir):
+    """UNWIND of a literal list — the multi-entity batch-lookup shape
+    ("regions of X and Y"). The cross join + WHERE n.name = v becomes
+    an equi-join at optimization time; the unmatched element ('NOPE')
+    drops, openCypher row semantics."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    return run_cypher(
+        "UNWIND ['NATION_3', 'NATION_17', 'NOPE'] AS v "
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) WHERE n.name = v "
+        "RETURN v, r AS region ORDER BY v",
         nodes,
         edges,
     )

@@ -8,6 +8,7 @@ read subset those prompts actually produce, against the materialized
 `nodes(node_id, label, key, props)` / `edges(src_id, label, dst_id, props)`
 tables:
 
+    UNWIND ['x', 'y'] AS v                           -- literal batch lookup
     MATCH (a:L1)-[r:R1]->(b:L2)<-[:R2]-(c), (d:L3) ...
     MATCH (a)-[:R1|R2]->(b)                          -- type alternation
     MATCH (a:L1)-[:R1*1..3]->(b:L2)                  -- variable length
@@ -139,9 +140,10 @@ from pyspark.sql import functions as F
 
 _CLAUSE = re.compile(
     r"\bOPTIONAL\s+MATCH\b|\bMATCH\b|\bWHERE\b|\bWITH\b|\bRETURN\b"
-    r"|\bORDER\s+BY\b|\bLIMIT\b|\bSKIP\b|\bCALL\b",
+    r"|\bORDER\s+BY\b|\bLIMIT\b|\bSKIP\b|\bCALL\b|\bUNWIND\b",
     re.IGNORECASE,
 )
+_UNWIND_BODY = re.compile(r"\[(.*)\]\s+AS\s+(\w+)$", re.IGNORECASE | re.DOTALL)
 # CALL algo.SPpaths({...}) YIELD items  /  CALL algo.SSpaths({...}) YIELD …
 _CALL_ALGO = re.compile(
     r"^algo\s*\.\s*(SPpaths|SSpaths)\s*\(\s*\{(.*)\}\s*\)\s*"
@@ -493,6 +495,21 @@ def run_cypher(
                 seg = segments[-1]
             seg["optionals"].append((body, []))
             ctx = "optional"
+        elif kw == "UNWIND":
+            # UNWIND of a LITERAL list ("movies of X and Y" batch
+            # lookups): one row per element, the alias becomes a plain
+            # column usable in WHERE (n.prop = x), RETURN, aggregates,
+            # and WITH. UNWIND of an expression / after WITH is out of
+            # subset.
+            if len(segments) > 1 or seg["with"] is not None:
+                raise CypherUnsupported("UNWIND after WITH is out of subset")
+            um = _UNWIND_BODY.fullmatch(body.strip())
+            if um is None:
+                raise CypherUnsupported(
+                    "only UNWIND [literal, ...] AS x is executed"
+                )
+            seg.setdefault("unwinds", []).append(um.groups())
+            ctx = "unwind"
         elif kw == "CALL":
             # CALL algo.SPpaths / algo.SSpaths — the reference prompt's
             # minimal-weight-path procedures (ref fixtures/prompts.py:
@@ -849,6 +866,42 @@ def run_cypher(
     bound.add(first_var)
     plan = assemble(plan, bound, pattern_groups, all_legs)
 
+    # ---- UNWIND literal lists: one row per element ---------------------
+    # The values relation is tiny and local; the cross join is the
+    # openCypher row semantics, and a following WHERE n.prop = x turns
+    # it into an equi-join at optimization time (Catalyst rewrites
+    # Filter-over-CrossJoin into a join condition).
+    unwind_cols: dict[str, str] = {}  # alias -> 'string' | 'double'
+    for body_items, uvar in segments[0].get("unwinds", []):
+        if uvar in var_specs or uvar in rel_vars or uvar in unwind_cols:
+            raise CypherUnsupported(f"duplicate variable {uvar!r}")
+        strs, nums = [], []
+        for item in _split_keyword(body_items, ","):
+            item = item.strip()
+            if not item:
+                continue
+            if item[0] in "'\"" and item[-1:] == item[0]:
+                strs.append(_unquote(item))
+            elif re.fullmatch(r"-?\d+(?:\.\d+)?", item):
+                nums.append(float(item))
+            else:
+                raise CypherUnsupported(f"bad UNWIND list item {item!r}")
+        if strs and nums:
+            raise CypherUnsupported("mixed-type UNWIND list")
+        vals = strs or nums
+        if not vals:
+            # UNWIND [] produces zero rows (openCypher)
+            plan = plan.limit(0)
+            unwind_cols[uvar] = "string"
+            plan = plan.withColumn(uvar, F.lit(None).cast("string"))
+            continue
+        kind = "string" if strs else "double"
+        vdf = nodes.sparkSession.createDataFrame(
+            [(v,) for v in vals], f"{uvar} {kind}"
+        )
+        plan = plan.crossJoin(F.broadcast(vdf))
+        unwind_cols[uvar] = kind
+
     # ---- WHERE (var.prop namespace) -----------------------------------
     def prop_col(var: str, prop: str) -> Column:
         if var not in var_specs and var not in rel_vars:
@@ -918,6 +971,20 @@ def run_cypher(
             return F.when(
                 n1.isNotNull() & n2.isNotNull(), opf(n1, n2)
             ).otherwise(opf(c1, c2))
+        pv = re.fullmatch(
+            r"(\w+)\.(\w+)\s*(=|<>|<=|>=|<|>|CONTAINS|STARTS\s+WITH"
+            r"|ENDS\s+WITH)\s*(\w+)",
+            cond_text,
+            re.IGNORECASE,
+        )
+        if pv is not None and pv.group(4) in unwind_cols:
+            # property vs UNWIND alias: the compare that turns the
+            # unwind cross join into an equi-join (batch lookup)
+            var, prop, op, name = pv.groups()
+            col = bound_prop_col(var, prop, known)
+            if unwind_cols[name] == "double":
+                col = col.try_cast("double")
+            return _OPS[re.sub(r"\s+", " ", op.upper())](col, F.col(name))
         fm = _FUNC_COND.fullmatch(cond_text)
         if fm is not None:
             fn, var, prop, op, lit = fm.groups()
@@ -1794,7 +1861,7 @@ def run_cypher(
     # more matching follows (node vars keep identity), plain-columns mode
     # when the last WITH feeds RETURN directly.
     ns: set[str] | None = None
-    extra_cols: set[str] = set()
+    extra_cols: set[str] = set(unwind_cols)
     carried_vars: set[str] = set()
     for i, seg in enumerate(segments):
         seg_bound = bound

@@ -1477,3 +1477,59 @@ def test_where_pattern_predicate_boundaries(graph):
     for q in cases:
         with pytest.raises(CypherUnsupported):
             run_cypher(q, nodes, edges)
+
+
+# ---- UNWIND literal lists ---------------------------------------------
+
+
+def test_unwind_batch_lookup(graph):
+    """UNWIND ['Ana','Cy'] AS v + WHERE f.name = v — the multi-entity
+    lookup shape; the alias is returnable and aggregable."""
+    nodes, edges = graph
+    out = run_cypher(
+        "UNWIND ['Ana', 'Cy', 'Nobody'] AS v "
+        "MATCH (f:Fighter) WHERE f.name = v "
+        "RETURN v, f.wins AS wins ORDER BY v",
+        nodes, edges,
+    ).collect()
+    assert [(r.v, r.wins) for r in out] == [("Ana", "12"), ("Cy", "3")]
+
+
+def test_unwind_rows_multiply_and_aggregate(graph):
+    """One row per element per match (openCypher row semantics); the
+    alias groups like any column."""
+    nodes, edges = graph
+    out = run_cypher(
+        "UNWIND [1, 2] AS k MATCH (f:Fighter) "
+        "WHERE f.wins >= k RETURN k, count(f) AS n ORDER BY k",
+        nodes, edges,
+    ).collect()
+    # all three fighters have wins >= 1 and >= 2
+    assert [(r.k, r.n) for r in out] == [(1.0, 3), (2.0, 3)]
+    out2 = run_cypher(
+        "UNWIND ['a', 'b'] AS t MATCH (f:Fighter) "
+        "RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert [r.n for r in out2] == [6]  # 2 elements x 3 fighters
+
+
+def test_unwind_empty_list_and_boundaries(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "UNWIND [] AS v MATCH (f:Fighter) RETURN count(*) AS n",
+        nodes, edges,
+    ).collect()
+    assert [r.n for r in out] == [0]
+    for q in (
+        # UNWIND after WITH
+        "MATCH (f:Fighter) WITH f UNWIND ['a'] AS v RETURN v",
+        # expression UNWIND
+        "UNWIND collect(f) AS v MATCH (f:Fighter) RETURN v",
+        # mixed types
+        "UNWIND ['a', 1] AS v MATCH (f:Fighter) RETURN v",
+        # alias collides with a pattern variable
+        "UNWIND ['a'] AS f MATCH (f:Fighter) RETURN f",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(q, nodes, edges)
