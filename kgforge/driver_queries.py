@@ -3021,6 +3021,32 @@ def cypher_pattern_pred(spark, sf_dir):
 
 
 @_q(
+    "cypher_size_degree",
+    """
+    SELECT 'C' || c_custkey::VARCHAR AS cust,
+           count(o_orderkey)::BIGINT AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY n_orders DESC, cust LIMIT 20
+    """,
+)
+def cypher_size_degree(spark, sf_dir):
+    """size((c)-[:PLACED]->(:Order)) — the per-row degree expression
+    generated queries use instead of a grouping count. Compiles to ONE
+    pre-aggregated degree relation left-joined onto the plan (0 for
+    customers with no orders), then an ordinary top-k."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _customer_order_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (c:Customer) "
+        "RETURN c AS cust, size((c)-[:PLACED]->(:Order)) AS n_orders "
+        "ORDER BY n_orders DESC, cust LIMIT 20",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_unwind",
     """
     SELECT u.v AS v, r_name AS region

@@ -1926,6 +1926,70 @@ def run_cypher(
     # hidden sort keys after RETURN DISTINCT / aggregation (they are
     # not in scope), and so does this executor.
     ret_text = " ".join(ret_parts)
+
+    # ---- size((v)-[:R]->(...)) degree expressions ----------------------
+    # The per-row degree idiom generated queries use instead of a
+    # grouping count ("RETURN n, size((n)-[:KNOWS]->()) AS deg"). Each
+    # distinct pattern compiles ONCE to a pre-aggregated (id, degree)
+    # relation left-joined onto the plan (missing -> 0); the expression
+    # is then a plain column, usable bare or inside aggregates. Same
+    # single-leg subset as WHERE pattern predicates.
+    _SIZE_ITEM = re.compile(
+        r"size\s*\(\s*(\([^)]*\)\s*(?:<-|-)\s*\[[^\]]*\]\s*(?:->|-)"
+        r"\s*\([^)]*\))\s*\)",
+        re.IGNORECASE,
+    )
+    size_seq = iter(range(1000))
+    if ns is None:
+        def _compile_size(m: re.Match) -> str:
+            nonlocal plan
+            pnodes, plegs = _parse_pattern(
+                m.group(1), var_gen, max_hops
+            )
+            if len(plegs) != 1 or plegs[0][3] is not None:
+                raise CypherUnsupported(
+                    "size() takes one single-hop relationship pattern"
+                )
+            if plegs[0][4] is not None:
+                raise CypherUnsupported(
+                    "size() patterns cannot bind a relationship variable"
+                )
+            src, rel, dst, _h, _rv, undirected = plegs[0]
+            # the final stage's bound vars: carried vars + this stage's
+            # pattern vars (seg_bound survives the pipeline loop)
+            anchors = [v for v, _l, _p in pnodes if v in seg_bound]
+            if len(anchors) != 1:
+                raise CypherUnsupported(
+                    "size() takes exactly one bound endpoint (the "
+                    f"anchor): {m.group(1)!r}"
+                )
+            anchor = anchors[0]
+            sub = leg_df((src, rel, dst, None, None, None, undirected))
+            for v, label, props in pnodes:
+                if v == anchor or (label is None and not props):
+                    continue
+                nd = nodes
+                if label is not None:
+                    nd = nd.filter(F.col("label") == label)
+                for pk, pv_ in props.items():
+                    nd = nd.filter(F.col("props")[pk] == pv_)
+                sub = sub.join(
+                    nd.select(F.col("node_id").alias(f"{v}__id")),
+                    on=f"{v}__id",
+                    how="left_semi",
+                )
+            name = f"__size{next(size_seq)}"
+            deg = sub.groupBy(f"{anchor}__id").agg(
+                F.count("*").cast("long").alias(name)
+            )
+            plan = plan.join(deg, on=f"{anchor}__id", how="left").fillna(
+                {name: 0}
+            )
+            extra_cols.add(name)
+            return name
+
+        ret_text = _SIZE_ITEM.sub(_compile_size, ret_text)
+
     ret_is_distinct = bool(re.match(r"DISTINCT\b", ret_text, re.IGNORECASE))
     ret_has_aggs = any(
         (m := _RET_ITEM.fullmatch(item.strip())) is not None and m.group(1)

@@ -1533,3 +1533,45 @@ def test_unwind_empty_list_and_boundaries(graph):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(q, nodes, edges)
+
+
+# ---- size((n)-[:R]->()) degree expressions ----------------------------
+
+
+def test_size_pattern_degree_expression(graph):
+    """Per-row degree without grouping — `RETURN f, size((f)-[:R]->())`;
+    zero-degree rows get 0, and the expression aggregates."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) "
+        "RETURN f, size((f)-[:FOUGHT_IN]->(:Fight)) AS deg ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.deg) for r in out] == [("Ana", 1), ("Bo", 2), ("Cy", 1)]
+    out2 = run_cypher(
+        "MATCH (e:Event) RETURN e, size((e)-[:PART_OF]->()) AS outd, "
+        "size((e)<-[:PART_OF]-()) AS ind",
+        nodes, edges,
+    ).collect()
+    assert [(r.e, r.outd, r.ind) for r in out2] == [("Open 1", 0, 2)]
+    out3 = run_cypher(
+        "MATCH (f:Fighter) "
+        "RETURN max(size((f)-[:FOUGHT_IN]->())) AS max_deg",
+        nodes, edges,
+    ).collect()
+    assert [r.max_deg for r in out3] == [2.0]
+
+
+def test_size_pattern_boundaries(graph):
+    nodes, edges = graph
+    for q in (
+        # var-length inside size()
+        "MATCH (f:Fighter) RETURN size((f)-[:FOUGHT_IN*1..2]->()) AS d",
+        # both endpoints bound
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "RETURN size((f)-[:FOUGHT_IN]->(x)) AS d",
+        # no bound endpoint
+        "MATCH (f:Fighter) RETURN size((a)-[:PART_OF]->(b)) AS d",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(q, nodes, edges)
