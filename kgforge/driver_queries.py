@@ -1062,6 +1062,50 @@ def graph_kcore(spark, sf_dir):
 
 
 @_q(
+    "corpus_decontaminate",
+    r"""
+    WITH dt AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), bt AS (
+      SELECT doc_id AS bench_id, t[11:30] AS t
+      FROM dt WHERE doc_id % 50 = 0
+    ), ds AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS shingle
+      FROM dt, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 12)) AS i) g
+      WHERE len(t) >= 13
+    ), bs AS (
+      SELECT DISTINCT bench_id, array_to_string(t[i:i+12], ' ') AS shingle
+      FROM bt, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 12)) AS i) g
+      WHERE len(t) >= 13
+    )
+    SELECT doc_id, bench_id, count(*)::BIGINT AS n_shared
+    FROM ds JOIN bs USING (shingle)
+    GROUP BY 1, 2 ORDER BY doc_id, bench_id
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py
+    ngram_contamination, the GPT-3 13-gram filter): the 'benchmark' is
+    synthesized deterministically on BOTH engines as tokens 11-30 of
+    every 50th document, so each bench text is contaminated by its
+    source doc (>= 8 shared 13-grams) plus any genuine repeats. One
+    shingle equi-join, benchmark side broadcastable."""
+    from kgforge.functions.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 11, 20), " ").alias("text"),
+    )
+    out = ngram_contamination(docs, bench, n=13)
+    return out.orderBy("doc_id", "bench_id")
+
+
+@_q(
     "embedding_quantize",
     """
     WITH s AS (

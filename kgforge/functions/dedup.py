@@ -370,3 +370,56 @@ def simhash_pairs(
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def _word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """Distinct lowercase word n-grams: (out_id, shingle). The token
+    array is materialized once before the shingle transform (HOF
+    subexpressions are not CSE'd); docs with < n tokens contribute
+    nothing."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias(out_id), toks.alias("__t"))
+    sh = base.filter(F.size("__t") >= n).select(
+        out_id,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {n} + 1),"
+                f" i -> array_join(slice(__t, i, {n}), ' '))"
+            )
+        ).alias("shingle"),
+    )
+    return sh.dropDuplicates()
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 13-gram filter, Brown et
+    al. 2020 §C): (doc_id, bench_id, n_shared) for every training doc
+    sharing at least one exact lowercase word n-gram with a benchmark
+    text — the docs a training pipeline must drop (or flag) before the
+    eval numbers mean anything.
+
+    Plan shape: both corpora shingle scan-side (distinct word n-grams
+    per doc), then ONE equi-join keyed by the shingle string and a
+    count aggregate keyed (doc, bench). The benchmark side is tiny in
+    practice (eval sets are KBs, the corpus is TBs) — Catalyst
+    broadcasts it, so the corpus is never shuffled; with a big bench
+    side the shingle-keyed sort-merge join still never materializes a
+    cross product.
+    """
+    a = _word_shingles(docs, id_col, text_col, n, "doc_id")
+    b = _word_shingles(bench, bench_id_col, bench_text_col, n, "bench_id")
+    return (
+        a.join(b, on="shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

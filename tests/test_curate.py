@@ -218,3 +218,38 @@ def test_canonical_url_idempotent_on_generated_soup(spark):
     assert bad == [], [
         (r.url, r.c1, r.c2) for r in bad[:5]
     ]
+
+
+def test_ngram_contamination_semantics(spark):
+    """Exact word-13-gram overlap: a doc containing a benchmark span is
+    flagged with the right shared count; near misses are not."""
+    from kgforge.functions.dedup import ngram_contamination
+
+    span = "one two three four five six seven eight nine ten " \
+           "eleven twelve thirteen"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words here {span} suffix words"),
+            # 12-of-13 overlap (one word changed): NOT contaminated
+            (2, f"prefix {span.replace('seven', 'SEVEN7')} suffix"),
+            (3, "completely unrelated text with many distinct tokens "
+                "spread over enough words to shingle"),
+            # case-insensitive match
+            (4, span.upper()),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, span)], "bench_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in ngram_contamination(docs, bench, n=13).collect()
+    }
+    assert got == {(1, 100): 1, (4, 100): 1}
+    # n=5 finds the partial overlap in doc 2 too (prefix + suffix runs)
+    got5 = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in ngram_contamination(docs, bench, n=5).collect()
+    }
+    assert (2, 100) in got5 and got5[(1, 100)] == 9
