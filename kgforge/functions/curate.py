@@ -47,6 +47,8 @@ def curate_documents(
     max_dup_line_pct: int | None = None,
     max_top_bigram_pct: int | None = None,
     scrub: bool = False,
+    bench: DataFrame | None = None,
+    bench_ngram: int = 13,
     near_dup: bool = True,
     minhash_kwargs: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -65,6 +67,9 @@ def curate_documents(
     percentage (integer cross-multiplied); `scrub=True` redacts
     email/IP/phone PII from the KEPT text (functions/scrub.scrub_pii) —
     a rewrite, not a drop, so it adds no audit rows.
+    `bench=<DataFrame(bench_id, text)>` adds benchmark DECONTAMINATION
+    (dedup.ngram_contamination, exact `bench_ngram`-gram overlap):
+    contaminated docs drop with reason ``contaminated`` before dedup.
     """
     base = TS.quality_stats(
         TS.lang_id(df, text_col, min_hits=lang_min_hits), text_col
@@ -111,6 +116,21 @@ def curate_documents(
             *df.columns
         )
 
+    decon_audit = None
+    if bench is not None:
+        hits = (
+            D.ngram_contamination(
+                survivors, bench, n=bench_ngram,
+                id_col=id_col, text_col=text_col,
+            )
+            .select(F.col("doc_id").alias(id_col))
+            .dropDuplicates()
+        )
+        decon_audit = hits.select(
+            F.col(id_col).alias("id"), F.lit("contaminated").alias("reason")
+        )
+        survivors = survivors.join(hits, on=id_col, how="left_anti")
+
     # exact dedup: keep the smallest id per normalized-text fingerprint
     fp = TS.normalize_text(F.col(text_col))
     with_fp = survivors.withColumn(
@@ -139,6 +159,8 @@ def curate_documents(
     )
     if rep_audit is not None:
         audit = audit.unionByName(rep_audit)
+    if decon_audit is not None:
+        audit = audit.unionByName(decon_audit)
 
     def _finish(kept: DataFrame) -> DataFrame:
         if not scrub:

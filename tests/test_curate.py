@@ -253,3 +253,26 @@ def test_ngram_contamination_semantics(spark):
         for r in ngram_contamination(docs, bench, n=5).collect()
     }
     assert (2, 100) in got5 and got5[(1, 100)] == 9
+
+
+def test_funnel_decontamination_stage(spark):
+    """bench= drops contaminated docs with reason 'contaminated' before
+    dedup; clean docs flow through."""
+    span = "one two three four five six seven eight nine ten " \
+           "eleven twelve thirteen"
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and research harbor signal window garden "
+                "travel stone river music data"),
+            (2, f"the of and leaked benchmark span {span} end padding"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, span)], "bench_id bigint, text string"
+    )
+    kept, audit = curate_documents(docs, bench=bench, near_dup=False)
+    assert {r.doc_id for r in kept.collect()} == {1}
+    assert {(r.id, r.reason) for r in audit.collect()} == {
+        (2, "contaminated")
+    }
