@@ -62,6 +62,8 @@ def hash_split(
     in expectation (md5 is uniform), like any hash split.
     """
     splits = splits or [("train", 98), ("val", 1), ("test", 1)]
+    if isinstance(splits, dict):  # {'train': 98, ...} reads naturally
+        splits = list(splits.items())
     bounds = split_bounds(splits)
     h = F.substring(
         F.md5(F.encode(F.concat(F.lit(salt), F.col(key_col).cast("string")),
