@@ -1062,6 +1062,65 @@ def graph_kcore(spark, sf_dir):
 
 
 @_q(
+    "corpus_prep_e2e",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, text,
+        CASE WHEN len(list_intersect(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 {_STOPLIST_SQL})) >= 2
+             THEN 'en' ELSE 'other' END AS pred_lang,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+        len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct
+      FROM documents WHERE text IS NOT NULL
+    ), surv AS (
+      SELECT doc_id, text FROM sig
+      WHERE pred_lang = 'en' AND n_tokens >= 5
+        AND 100 * n_punct <= 100 * greatest(n_tokens, 1)
+    ), fps AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM surv
+    ), keepers AS (
+      SELECT f.doc_id, f.text
+      FROM fps f JOIN (
+        SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp
+      ) k USING (fp) WHERE f.doc_id = k.keep_id
+    ), sp AS (
+      SELECT doc_id, length(text) AS w,
+             substr(md5('kgforge' || doc_id::VARCHAR), 1, 8) AS h
+      FROM keepers
+    ), spl AS (
+      SELECT doc_id, w, {{SPLIT_CASE}} AS split FROM sp
+    ), run AS (
+      SELECT doc_id, split,
+             coalesce(sum(w) OVER (
+               PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prior
+      FROM spl
+    )
+    SELECT doc_id, split, floor(prior / 4000)::BIGINT AS shard
+    FROM run ORDER BY doc_id
+    """.replace("{SPLIT_CASE}", _split_case_sql()),
+)
+def corpus_prep_e2e(spark, sf_dir):
+    """The whole training-data prep as ONE call
+    (functions/curate.py prepare_corpus): core funnel -> deterministic
+    hash split -> per-split token-budget shards (char weights, budget
+    4000). The oracle replays every leg — funnel survivors, md5-hex
+    split thresholds, per-split global cumsum — so the composition is
+    value-exact end to end, per document."""
+    from kgforge.functions.curate import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    prepared, _audit = prepare_corpus(docs, budget=4000, near_dup=False)
+    return prepared.select("doc_id", "split", "shard").orderBy("doc_id")
+
+
+@_q(
     "corpus_decontaminate",
     r"""
     WITH dt AS (

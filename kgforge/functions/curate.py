@@ -202,3 +202,54 @@ def curate_documents(
         how="left_anti",
     )
     return _finish(kept), audit.unionByName(near_drops)
+
+
+def prepare_corpus(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: list[tuple[str, int]] | None = None,
+    salt: str = "kgforge",
+    weight_col: str | None = None,
+    **curate_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call training-corpus prep: curate -> deterministic hash
+    split -> token-budget shard assignment. Returns (prepared, audit):
+    `prepared` is the kept rows plus ``split`` and ``shard`` columns,
+    `audit` names every dropped row (curate_documents contract).
+
+    Shards are assigned WITHIN each split in key order (a shard never
+    straddles the train/val boundary — trainers consume splits
+    independently), via `sharding.token_shards`' distributed
+    prefix-sum, one pass per split label (the per-split total hop to
+    the driver is one row per partition — metadata scale). The shard
+    weight defaults to ``length(text_col)`` (chars) so it works before
+    any tokenizer choice; pass `weight_col` to shard on real token
+    counts.
+    """
+    from kgforge.functions.sharding import hash_split, token_shards
+
+    splits = splits or [("train", 98), ("val", 1), ("test", 1)]
+    if isinstance(splits, dict):
+        splits = list(splits.items())
+    kept, audit = curate_documents(
+        df, id_col=id_col, text_col=text_col, **curate_kwargs
+    )
+    kept = hash_split(kept, key_col=id_col, splits=splits, salt=salt)
+    wcol = weight_col
+    if wcol is None:
+        wcol = "__w"
+        kept = kept.withColumn(wcol, F.length(F.col(text_col)))
+    parts = []
+    for name, _w in splits:
+        sub = kept.filter(F.col("split") == name)
+        parts.append(
+            token_shards(sub, budget, key_col=id_col, weight_col=wcol)
+        )
+    prepared = parts[0]
+    for p in parts[1:]:
+        prepared = prepared.unionByName(p)
+    if weight_col is None:
+        prepared = prepared.drop("__w")
+    return prepared, audit
