@@ -3150,6 +3150,52 @@ def cypher_size_degree(spark, sf_dir):
 
 
 @_q(
+    "cypher_case_banding",
+    """
+    SELECT CASE WHEN c_acctbal >= 5000 THEN 'high'
+                WHEN c_acctbal >= 0 THEN 'mid'
+                ELSE 'neg' END AS band,
+           count(*)::BIGINT AS n
+    FROM customer GROUP BY 1 ORDER BY band
+    """,
+)
+def cypher_case_banding(spark, sf_dir):
+    """CASE WHEN banding in RETURN — the bucketing shape generated
+    aggregations use. The searched CASE compiles to one hidden column
+    (conditions reuse the full WHERE grammar) and groups like any
+    key; integer thresholds keep the string-prop numeric compare
+    engine-exact."""
+    from pyspark.sql import functions as _F
+
+    from kgforge.plans.cypher_exec import run_cypher
+
+    c = _t(spark, sf_dir, "customer")
+    ckey = _F.concat(_F.lit("C"), _F.col("c_custkey").cast("string"))
+    nodes = c.select(
+        _F.xxhash64(_F.lit("Customer"), ckey).alias("node_id"),
+        _F.lit("Customer").alias("label"),
+        ckey.alias("key"),
+        _F.create_map(
+            _F.lit("acctbal"), _F.col("c_acctbal").cast("string")
+        ).alias("props"),
+    )
+    edges = nodes.limit(0).select(
+        _F.col("node_id").alias("src_id"),
+        _F.col("label"),
+        _F.col("node_id").alias("dst_id"),
+        _F.col("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) "
+        "RETURN CASE WHEN c.acctbal >= 5000 THEN 'high' "
+        "WHEN c.acctbal >= 0 THEN 'mid' ELSE 'neg' END AS band, "
+        "count(*) AS n ORDER BY band",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_unwind",
     """
     SELECT u.v AS v, r_name AS region

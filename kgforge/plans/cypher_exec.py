@@ -1940,6 +1940,83 @@ def run_cypher(
         re.IGNORECASE,
     )
     size_seq = iter(range(1000))
+    case_seq = iter(range(1000))
+    if ns is None:
+        # ---- CASE WHEN ... THEN ... [ELSE ...] END banding ------------
+        # The bucketing shape generated aggregations use ("RETURN CASE
+        # WHEN c.bal >= 5000 THEN 'high' ELSE 'low' END AS band,
+        # count(*)"). Conditions reuse the full WHERE grammar
+        # (compile_bool: AND/OR/NOT/parens/IN/exists/prop-prop);
+        # branch values are literals. The CASE compiles to ONE hidden
+        # column; with no ELSE, unmatched rows get NULL (openCypher).
+        def _compile_case(m: re.Match) -> str:
+            nonlocal plan
+            body = m.group(1)
+            parts = _split_keyword(body, r"\bWHEN\b")
+            if parts[0].strip():
+                raise CypherUnsupported(
+                    "only searched CASE (CASE WHEN <cond> ...) is "
+                    "executed"
+                )
+            default = None
+
+            def _lit(text: str):
+                text = text.strip()
+                if text[:1] in "'\"" and text[-1:] == text[:1]:
+                    return F.lit(_unquote(text))
+                if re.fullmatch(r"-?\d+(?:\.\d+)?", text):
+                    return F.lit(float(text))
+                raise CypherUnsupported(
+                    f"CASE branch values must be literals, got {text!r}"
+                )
+
+            branches = []
+            for i, part in enumerate(parts[1:]):
+                chunks = _split_keyword(part, r"\bTHEN\b")
+                if len(chunks) != 2:
+                    raise CypherUnsupported(
+                        f"bad CASE branch {part.strip()!r}"
+                    )
+                cond_text, value = chunks
+                if i == len(parts) - 2:
+                    tail = _split_keyword(value, r"\bELSE\b")
+                    if len(tail) == 2:
+                        value, default_text = tail
+                        default = _lit(default_text)
+                    elif len(tail) != 1:
+                        raise CypherUnsupported("multiple ELSE in CASE")
+                cond = compile_bool(cond_text.strip(), seg_bound | rel_vars)
+                if cond is None:
+                    raise CypherUnsupported("empty CASE condition")
+                branches.append((cond, _lit(value)))
+            expr = F.when(*branches[0])
+            for cond, val in branches[1:]:
+                expr = expr.when(cond, val)
+            if default is not None:
+                expr = expr.otherwise(default)
+            name = f"__case{next(case_seq)}"
+            plan = plan.withColumn(name, expr)
+            extra_cols.add(name)
+            return name
+
+        masked_ret = _mask_quotes(ret_text)
+        out_parts, last = [], 0
+        for cm_ in re.finditer(
+            r"\bCASE\b(.*?)\bEND\b", masked_ret, re.IGNORECASE | re.DOTALL
+        ):
+            out_parts.append(ret_text[last:cm_.start()])
+            out_parts.append(
+                _compile_case(
+                    re.match(
+                        r"CASE(.*)END",
+                        ret_text[cm_.start():cm_.end()],
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                )
+            )
+            last = cm_.end()
+        out_parts.append(ret_text[last:])
+        ret_text = "".join(out_parts)
     if ns is None:
         def _compile_size(m: re.Match) -> str:
             nonlocal plan

@@ -1575,3 +1575,47 @@ def test_size_pattern_boundaries(graph):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(q, nodes, edges)
+
+
+# ---- CASE WHEN banding in RETURN --------------------------------------
+
+
+def test_case_banding_and_inside_aggregate(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) "
+        "RETURN CASE WHEN f.wins >= 10 THEN 'elite' "
+        "WHEN f.wins >= 5 THEN 'mid' ELSE 'new' END AS band, "
+        "count(*) AS n ORDER BY band",
+        nodes, edges,
+    ).collect()
+    assert [(r.band, r.n) for r in out] == [
+        ("elite", 1), ("mid", 1), ("new", 1),
+    ]
+    out2 = run_cypher(
+        "MATCH (f:Fighter) "
+        "RETURN sum(CASE WHEN f.wins >= 5 THEN 1 ELSE 0 END) AS n_vets",
+        nodes, edges,
+    ).collect()
+    assert [r.n_vets for r in out2] == [2.0]
+
+
+def test_case_no_else_yields_null_and_boundaries(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) "
+        "RETURN f, CASE WHEN f.wins > 100 THEN 'gg' END AS x ORDER BY f",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.x) for r in out] == [
+        ("Ana", None), ("Bo", None), ("Cy", None),
+    ]
+    for q in (
+        # simple (value-matching) CASE form
+        "MATCH (f:Fighter) RETURN CASE f.wins WHEN 12 THEN 'a' END AS x",
+        # non-literal branch value
+        "MATCH (f:Fighter) "
+        "RETURN CASE WHEN f.wins > 5 THEN f.name END AS x",
+    ):
+        with pytest.raises(CypherUnsupported):
+            run_cypher(q, nodes, edges)
