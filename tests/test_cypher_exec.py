@@ -1619,3 +1619,38 @@ def test_case_no_else_yields_null_and_boundaries(graph):
     ):
         with pytest.raises(CypherUnsupported):
             run_cypher(q, nodes, edges)
+
+
+def test_facade_runs_new_constructs_through_validator(spark, workdir):
+    """kg.query validates (F5) then executes: UNWIND, CASE banding,
+    size() degrees, and pattern predicates must all pass validation and
+    run end-to-end."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[
+            Entity("City", [Attribute("name", "string", True, True)]),
+        ],
+        relations=[Relation("ROAD", "City", "City", [])],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([("City", {"name": c}) for c in "abcd"])
+    kg.add_edges([
+        ("ROAD", "City", "City", {"name": s}, {"name": d})
+        for s, d in [("a", "b"), ("a", "c"), ("b", "c")]
+    ])
+    out = kg.query(
+        "UNWIND ['a', 'd', 'zz'] AS v MATCH (c:City) WHERE c.name = v "
+        "RETURN v, size((c)-[:ROAD]->()) AS deg, "
+        "CASE WHEN c.name = 'a' THEN 'hub' ELSE 'leaf' END AS kind "
+        "ORDER BY v"
+    ).collect()
+    assert [(r.v, r.deg, r.kind) for r in out] == [
+        ("a", 2, "hub"), ("d", 0, "leaf"),
+    ]
+    out2 = kg.query(
+        "MATCH (c:City) WHERE NOT (c)-[:ROAD]->(:City) "
+        "RETURN c ORDER BY c"
+    ).collect()
+    assert [r.c for r in out2] == ["c", "d"]
