@@ -3265,6 +3265,68 @@ def cypher_order_by_prop(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_scalar_fns",
+    """
+    SELECT lower(n_name) AS nation,
+           substr(n_name, 1, 8) AS pfx,
+           coalesce(CASE WHEN c_acctbal > 5000 THEN c_mktsegment END,
+                    'NONE') AS seg,
+           count(*)::BIGINT AS n_cust,
+           CAST(max(c_custkey) AS DOUBLE) AS max_key
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY nation, seg
+    """,
+)
+def cypher_scalar_fns(spark, sf_dir):
+    """Scalar functions in RETURN (toLower / substring / coalesce /
+    toInteger) compiled to hidden columns usable as grouping keys AND
+    under aggregates. substring follows openCypher 0-based indexing
+    (the oracle's substr is 1-based). The seg prop is stored NULL for
+    low-balance customers so coalesce's first-non-null is observable;
+    max(toInteger(...)) runs over the hidden cast column (double, like
+    every numeric Cypher aggregate here)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("custkey"), F.col("c_custkey").cast("string"),
+            F.lit("seg"),
+            F.when(F.col("c_acctbal") > 5000, F.col("c_mktsegment")),
+        ).alias("props"),
+    ).unionByName(
+        nation.select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("key"),
+            F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+        )
+    )
+    edges = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("src_id"),
+        F.lit("FROM").alias("label"),
+        F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer)-[:FROM]->(n:Nation) "
+        "RETURN toLower(n.name) AS nation, substring(n.name, 0, 8) AS pfx, "
+        "coalesce(c.seg, 'NONE') AS seg, count(*) AS n_cust, "
+        "max(toInteger(c.custkey)) AS max_key "
+        "ORDER BY nation, seg",
+        nodes,
+        edges,
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

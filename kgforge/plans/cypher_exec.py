@@ -213,6 +213,13 @@ _RET_ITEM = re.compile(
 )
 # numeric aggregates operate on try_cast-double props (props store strings)
 _NUM_AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+# scalar functions compiled to hidden columns in RETURN; args carry no
+# nested parens, so a search loop resolves nested calls innermost-first
+_SCALAR_RE = re.compile(
+    r"\b(toLower|toUpper|trim|toInteger|toFloat|coalesce|substring|type)"
+    r"\s*\(([^()]*)\)",
+    re.IGNORECASE,
+)
 
 
 def _mask_quotes(s: str) -> str:
@@ -804,6 +811,7 @@ def run_cypher(
         ]
         if rel_var is not None:
             cols.append(F.col("props").alias(f"{rel_var}__props"))
+            cols.append(F.col("label").alias(f"{rel_var}__type"))
         fwd = e.select(*cols)
         if not undirected:
             return fwd
@@ -817,6 +825,7 @@ def run_cypher(
         ]
         if rel_var is not None:
             rcols.append(F.col("props").alias(f"{rel_var}__props"))
+            rcols.append(F.col("label").alias(f"{rel_var}__type"))
         return fwd.unionByName(e.select(*rcols))
 
     def assemble(plan: DataFrame, bound: set[str],
@@ -1941,6 +1950,7 @@ def run_cypher(
     )
     size_seq = iter(range(1000))
     case_seq = iter(range(1000))
+    fn_seq = iter(range(1000))
     if ns is None:
         # ---- CASE WHEN ... THEN ... [ELSE ...] END banding ------------
         # The bucketing shape generated aggregations use ("RETURN CASE
@@ -2066,6 +2076,115 @@ def run_cypher(
             return name
 
         ret_text = _SIZE_ITEM.sub(_compile_size, ret_text)
+
+    if ns is None:
+        # ---- scalar functions in RETURN --------------------------------
+        # The string/cast scalars generated queries wrap projections in
+        # (`RETURN toLower(n.name) AS name`, `coalesce(n.nick, n.name)`,
+        # `type(r)`). Each call compiles to ONE hidden column (same
+        # mechanism as CASE/size above) so the result is usable bare,
+        # inside aggregates, and under ORDER BY via its alias. The scan
+        # loop re-masks after every substitution, so NESTED calls resolve
+        # innermost-first (`toLower(coalesce(a.x, 'y'))`). Arguments are
+        # properties, earlier hidden columns, or literals. substring()
+        # follows openCypher's 0-based indexing (Spark's substring is
+        # 1-based). type() reads the relationship label captured by
+        # leg_df for bound single-hop relationship variables.
+        def _scalar_arg(text: str) -> Column:
+            text = text.strip()
+            if text[:1] in "'\"" and text[-1:] == text[:1] and len(text) >= 2:
+                return F.lit(_unquote(text))
+            if re.fullmatch(r"-?\d+", text):
+                return F.lit(int(text))
+            if re.fullmatch(r"-?\d+\.\d+", text):
+                return F.lit(float(text))
+            v, _, p = text.partition(".")
+            if p:
+                return prop_col(v, p)
+            if v in extra_cols:
+                return F.col(v)
+            raise CypherUnsupported(
+                "scalar-function arguments are properties or literals, "
+                f"got {text!r}"
+            )
+
+        def _int_lit(text: str, what: str) -> int:
+            if not re.fullmatch(r"\d+", text.strip()):
+                raise CypherUnsupported(
+                    f"substring {what} must be a non-negative integer "
+                    f"literal, got {text.strip()!r}"
+                )
+            return int(text)
+
+        def _compile_scalar(fn: str, raw_args: str, masked_args: str) -> str:
+            nonlocal plan
+            fnl = fn.lower()
+            args, last = [], 0
+            for j, ch in enumerate(masked_args):
+                if ch == ",":
+                    args.append(raw_args[last:j])
+                    last = j + 1
+            args.append(raw_args[last:])
+            if raw_args.strip() == "":
+                args = []
+            n_args = {
+                "tolower": (1, 1), "toupper": (1, 1), "trim": (1, 1),
+                "tointeger": (1, 1), "tofloat": (1, 1), "type": (1, 1),
+                "coalesce": (2, 99), "substring": (2, 3),
+            }[fnl]
+            if not (n_args[0] <= len(args) <= n_args[1]):
+                raise CypherUnsupported(
+                    f"{fn}() takes {n_args[0]}"
+                    + (f"..{n_args[1]}" if n_args[1] != n_args[0] else "")
+                    + f" arguments, got {len(args)}"
+                )
+            if fnl == "type":
+                a = args[0].strip()
+                if a not in rel_vars or f"{a}__type" not in plan.columns:
+                    raise CypherUnsupported(
+                        "type() takes a bound single-hop relationship "
+                        f"variable, got {a!r}"
+                    )
+                expr = F.col(f"{a}__type")
+            elif fnl == "coalesce":
+                expr = F.coalesce(*[_scalar_arg(a) for a in args])
+            elif fnl == "substring":
+                start = _int_lit(args[1], "start")
+                if len(args) == 3:
+                    expr = F.substring(
+                        _scalar_arg(args[0]), start + 1,
+                        _int_lit(args[2], "length"),
+                    )
+                else:
+                    expr = F.substring(
+                        _scalar_arg(args[0]), start + 1, 2 ** 31 - 1
+                    )
+            elif fnl == "tolower":
+                expr = F.lower(_scalar_arg(args[0]))
+            elif fnl == "toupper":
+                expr = F.upper(_scalar_arg(args[0]))
+            elif fnl == "trim":
+                expr = F.trim(_scalar_arg(args[0]))
+            elif fnl == "tointeger":
+                expr = _scalar_arg(args[0]).try_cast("long")
+            else:  # tofloat
+                expr = _scalar_arg(args[0]).try_cast("double")
+            name = f"__fn{next(fn_seq)}"
+            plan = plan.withColumn(name, expr)
+            extra_cols.add(name)
+            return name
+
+        while True:
+            masked_ret = _mask_quotes(ret_text)
+            sm = _SCALAR_RE.search(masked_ret)
+            if sm is None:
+                break
+            name = _compile_scalar(
+                sm.group(1),
+                ret_text[sm.start(2):sm.end(2)],
+                sm.group(2),
+            )
+            ret_text = ret_text[:sm.start()] + name + ret_text[sm.end():]
 
     ret_is_distinct = bool(re.match(r"DISTINCT\b", ret_text, re.IGNORECASE))
     ret_has_aggs = any(

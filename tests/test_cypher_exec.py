@@ -1654,3 +1654,82 @@ def test_facade_runs_new_constructs_through_validator(spark, workdir):
         "RETURN c ORDER BY c"
     ).collect()
     assert [r.c for r in out2] == ["c", "d"]
+
+
+# ---- scalar functions in RETURN (hidden-column compilation) -----------
+
+
+def test_scalar_functions_in_return(graph):
+    """toLower/toUpper/toInteger/substring/coalesce each compile to one
+    hidden column; substring is openCypher 0-based; the scalar alias is
+    sortable (ORDER BY lo)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN toLower(f.name) AS lo, "
+        "toUpper(f.name) AS up, toInteger(f.wins) AS w, "
+        "substring(f.name, 0, 2) AS pfx, "
+        "coalesce(f.nick, f.name) AS handle ORDER BY lo",
+        nodes, edges,
+    ).collect()
+    assert [(r.lo, r.up, r.w, r.pfx, r.handle) for r in out] == [
+        ("ana", "ANA", 12, "An", "Ana"),
+        ("bo", "BO", 7, "Bo", "Bo"),
+        ("cy", "CY", 3, "Cy", "Cy"),
+    ]
+
+
+def test_scalar_nested_and_inside_aggregates(graph):
+    """Nested calls resolve innermost-first; a hidden scalar column is a
+    valid aggregate argument (numeric aggs cast to double) and collect
+    target."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "RETURN x AS fight, max(toInteger(f.wins)) AS best, "
+        "collect(DISTINCT toUpper(trim(f.name))) AS who "
+        "ORDER BY fight",
+        nodes, edges,
+    ).collect()
+    assert [(r.fight, r.best, r.who) for r in out] == [
+        ("Ana v Bo", 12.0, ["ANA", "BO"]),
+        ("Bo v Cy", 7.0, ["BO", "CY"]),
+    ]
+
+
+def test_type_of_relationship_var(graph):
+    """type(r) reads the relationship label captured by leg_df — useful
+    with alternation where the matched type varies per row."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (a)-[r:FOUGHT_IN|PART_OF]->(b) "
+        "RETURN type(r) AS rel, count(*) AS n ORDER BY rel",
+        nodes, edges,
+    ).collect()
+    assert [(r.rel, r.n) for r in out] == [("FOUGHT_IN", 4), ("PART_OF", 2)]
+
+
+def test_scalar_unsupported_shapes_raise(graph):
+    nodes, edges = graph
+    for bad in [
+        "MATCH (f:Fighter) RETURN type(f) AS t",          # not a rel var
+        "MATCH (f:Fighter) RETURN substring(f.name, f.wins) AS s",
+        "MATCH (f:Fighter) RETURN coalesce(f.name) AS s",  # arity
+        "MATCH (f:Fighter) RETURN toLower(g.name) AS s",   # unknown var
+        "MATCH (f:Fighter) RETURN toLower() AS s",         # arity
+    ]:
+        with pytest.raises(CypherUnsupported):
+            run_cypher(bad, nodes, edges)
+
+
+def test_scalar_literal_commas_and_quotes_masked(graph):
+    """Quoted literals containing commas/parens must not confuse the
+    argument splitter (masked scan)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN coalesce(f.nick, 'n/a, (none)') AS h, "
+        "f AS name ORDER BY name",
+        nodes, edges,
+    ).collect()
+    assert [(r.h, r.name) for r in out] == [
+        ("n/a, (none)", "Ana"), ("n/a, (none)", "Bo"), ("n/a, (none)", "Cy"),
+    ]
