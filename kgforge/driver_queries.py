@@ -3327,6 +3327,63 @@ def cypher_scalar_fns(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_paragraphs",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    mixed AS (
+      SELECT a.doc_id AS doc_id,
+             a.text || chr(10) || chr(10) || b.text || chr(10) || chr(10)
+               || c.text AS text
+      FROM d a
+      JOIN d b ON b.doc_id = a.doc_id + 1
+      JOIN d c ON c.doc_id = a.doc_id + 2
+    ),
+    paras AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10) || chr(10))) AS para,
+             generate_subscripts(
+               string_split(text, chr(10) || chr(10)), 1) AS pos
+      FROM mixed
+    ),
+    ranked AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (
+               PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM paras WHERE para <> ''
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_kept,
+           string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_paragraphs_gate(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup, keep-first-occurrence (the
+    C4/RefinedWeb boilerplate stage). The driver documents are
+    single-paragraph, so the gate stitches each doc with its two
+    successors (inner joins — both engines drop the same tail docs)
+    into 3-paragraph pages where every text appears ~3 times; dedup
+    must keep exactly the first copy and reassemble pages in original
+    paragraph order. Oracle = row_number window over the paragraph
+    string; engine = min(struct(id, pos)) agg keyed by md5 fingerprint
+    (partial-agg-friendly — see dedup.dedup_paragraphs docstring)."""
+    from kgforge.functions.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sep = "\n\n"
+    mixed = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .join(d.alias("c"), F.col("c.doc_id") == F.col("a.doc_id") + 2)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(sep, "a.text", "b.text", "c.text").alias("text"),
+        )
+    )
+    return dedup_paragraphs(mixed, sep=sep).orderBy("doc_id")
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

@@ -423,3 +423,71 @@ def ngram_contamination(
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+# ----------------------------------------------------- paragraph dedup
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, keep-first (C4/RefinedWeb's
+    boilerplate stage: the reference has no curation surface at all —
+    engine-new, like the rest of this module).
+
+    Every paragraph (text split on `sep`, empties dropped) survives only
+    at its FIRST corpus position — the lexicographic (id, position)
+    minimum — and each document is reassembled from its surviving
+    paragraphs in original order. A document whose every paragraph is a
+    repeat disappears from the output.
+
+    100-TB shape: paragraphs carry an md5 fingerprint; first occurrence
+    per fingerprint is groupBy(min(struct(id, pos))) — ONE shuffle keyed
+    by the fingerprint with map-side partial agg, so a boilerplate
+    paragraph repeated across millions of pages collapses to one row
+    per map task before the exchange (a row_number window would send
+    the whole hot fingerprint to one partition). The keep decision
+    joins back on the fingerprint (AQE handles skewed fingerprints),
+    reassembly is one groupBy(id). The exploded paragraph frame feeds
+    both sides, so it is persist_tracked.
+    """
+    import re as _re
+
+    paras = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("__pos", "__para"),
+        )
+        .filter(F.col("__para") != "")
+        .withColumn("__fp", F.md5(F.encode(F.col("__para"), "UTF-8")))
+    )
+    paras = _persist(paras)
+    firsts = paras.groupBy("__fp").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
+    )
+    kept = paras.join(firsts, on="__fp").filter(
+        (F.col("__id") == F.col("__first").getField("__id"))
+        & (F.col("__pos") == F.col("__first").getField("__pos"))
+    )
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__para"))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+        .withColumnRenamed("__id", id_col)
+        .select(id_col, "n_kept", text_col)
+    )

@@ -74,3 +74,39 @@ def test_simhash_cap_bounds_boilerplate(spark):
     assert found >= 8, found
     assert len(pairs) < 200
     D.release_cached()
+
+
+# ------------------------------------------------ paragraph dedup (exact)
+
+
+def test_paragraph_dedup_keep_first_and_reassemble(spark):
+    """Cross-doc dup kept at first (doc, pos); within-doc repeat kept
+    once; all-repeat docs disappear; empty paragraphs drop; surviving
+    paragraphs reassemble in original order."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\nalpha"),       # within-doc repeat
+            (2, "beta\n\ngamma"),                 # beta already seen
+            (3, "alpha\n\nbeta"),                 # fully duplicate doc
+            (4, "\n\ndelta\n\n\n\ngamma"),        # empties + late gamma
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_kept"], r["text"])
+        for r in D.dedup_paragraphs(df).collect()
+    }
+    assert out == {
+        1: (2, "alpha\n\nbeta"),
+        2: (1, "gamma"),
+        4: (1, "delta"),
+    }
+
+
+def test_paragraph_dedup_single_paragraph_docs_degenerate_to_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in D.dedup_paragraphs(df).collect()}
+    assert out == {1: "same", 3: "other"}
