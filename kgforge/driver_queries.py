@@ -3384,6 +3384,49 @@ def dedup_paragraphs_gate(spark, sf_dir):
     return dedup_paragraphs(mixed, sep=sep).orderBy("doc_id")
 
 
+@_q(
+    "corpus_mix",
+    """
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             md5('kgforge-mix' || doc_id::VARCHAR) AS hx
+      FROM documents
+    ), b(source, budget) AS (
+      VALUES ('src0', 4000), ('src1', 2500), ('src7', 6000)
+    ), r AS (
+      SELECT h.doc_id, h.source, h.n_chars, b.budget,
+             coalesce(sum(h.n_chars) OVER (
+               PARTITION BY h.source ORDER BY h.hx, h.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+      FROM h JOIN b ON h.source = b.source
+    )
+    SELECT doc_id, source, n_chars::BIGINT AS n_chars
+    FROM r WHERE run < budget
+    ORDER BY source, doc_id
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Domain mixing with per-source token budgets (mix_corpus): docs
+    hash-ordered within each source, kept while the prior running
+    weight is under the source budget; unbudgeted sources drop. The
+    engine runs the grouped two-phase distributed prefix-sum (no
+    per-source window — a hot source would serialize onto one task);
+    the oracle is the equivalent per-source window over the same
+    md5(salt || key) order. Weight = n_chars (column shared by both
+    engines)."""
+    from kgforge.functions.sharding import mix_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = mix_corpus(
+        d,
+        {"src0": 4000, "src1": 2500, "src7": 6000},
+        weight_col="n_chars",
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("source", "doc_id")
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

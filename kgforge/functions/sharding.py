@@ -134,3 +134,81 @@ def token_shards(
         .withColumn(out_col, F.floor(F.col("__run") / budget).cast("long"))
         .drop("__pid", "__prefix", "__run")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    salt: str = "kgforge-mix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic domain mixing: per-source token budgets.
+
+    The mixture-weighting stage of a training-data pipeline ("30 B
+    tokens of web, 5 B of code, ..."): docs are ordered within each
+    source by md5(salt || key) — a deterministic uniform shuffle — and
+    kept while the source's PRIOR running weight is below its budget
+    (the boundary doc is included, so each source overshoots by at most
+    one doc). Sources without a budget drop. The selection depends only
+    on (key, salt, budgets) — never on physical layout — so re-runs and
+    cluster-size changes reproduce the same mixture; change `salt` to
+    re-roll.
+
+    100-TB shape: generalizes `token_shards`' two-phase distributed
+    prefix-sum to GROUPED prefixes. Range-repartition by (source, hash,
+    key) so a hot source spreads over many contiguous partitions; ship
+    per-(partition, source) totals to the driver (numPartitions x
+    n_sources rows — metadata scale); window locally per (partition,
+    source) against the broadcast per-source prefix. No
+    Window.partitionBy(source) anywhere — that plan would put a
+    90%-of-corpus source on ONE task.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    h = F.md5(
+        F.encode(
+            F.concat(F.lit(salt), F.col(key_col).cast("string")), "UTF-8"
+        )
+    )
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    bdf = spark.createDataFrame(
+        sorted(budgets.items()), f"{source_col} string, __budget long"
+    )
+    base = df.join(F.broadcast(bdf), on=source_col).withColumn("__h", h)
+    # same one-materialization rule as token_shards: both phases must
+    # see the same row->partition assignment
+    parts = (
+        base.repartitionByRange(
+            n, F.col(source_col), F.col("__h"), F.col(key_col)
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = (
+        parts.groupBy("__pid", source_col).agg(F.sum(w).alias("__t"))
+    ).collect()
+    acc: dict[str, int] = {}
+    rows = []
+    # within a source, ascending __pid IS ascending (hash, key) order:
+    # the range partitioner's composite ranges keep each source's rows
+    # contiguous across partitions
+    for r in sorted(totals, key=lambda r: (r[source_col], r["__pid"])):
+        rows.append((r["__pid"], r[source_col], acc.get(r[source_col], 0)))
+        acc[r[source_col]] = acc.get(r[source_col], 0) + (r["__t"] or 0)
+    pref = spark.createDataFrame(
+        rows, f"__pid int, {source_col} string, __prefix long"
+    )
+    win = Window.partitionBy("__pid", source_col).orderBy("__h", key_col)
+    return (
+        parts.join(F.broadcast(pref), on=["__pid", source_col])
+        .withColumn("__run", F.sum(w).over(win) - w + F.col("__prefix"))
+        .filter(F.col("__run") < F.col("__budget"))
+        .drop("__pid", "__prefix", "__run", "__budget", "__h")
+    )

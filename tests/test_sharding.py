@@ -115,3 +115,67 @@ def test_l2_normalize_and_quantize_roundtrip(spark):
         scale = q[vid][0]
         for a, b in zip(orig, deq[vid]):
             assert abs(a - b) <= scale / 254 + 1e-12
+
+
+def test_mix_corpus_budget_semantics_and_layout_independence(spark):
+    """Serial-scan twin: per source, hash-order docs and keep while the
+    prior running weight < budget (boundary doc included). The Spark
+    grouped two-phase prefix-sum must match at every partition count,
+    and sources without a budget must drop."""
+    import hashlib
+
+    from kgforge.functions.sharding import mix_corpus
+
+    rows = [
+        (i, f"s{i % 3}", 10 + (i * 7) % 50) for i in range(60)
+    ]  # s0/s1/s2, varied weights
+    budgets = {"s0": 120, "s1": 35}  # s2 drops entirely
+    salt = "kgforge-mix"
+
+    def serial():
+        keep = set()
+        by_src: dict[str, list] = {}
+        for i, s, w in rows:
+            hx = hashlib.md5(f"{salt}{i}".encode()).hexdigest()
+            by_src.setdefault(s, []).append((hx, i, w))
+        for s, docs in by_src.items():
+            if s not in budgets:
+                continue
+            run = 0
+            for hx, i, w in sorted(docs):
+                if run < budgets[s]:
+                    keep.add(i)
+                run += w
+        return keep
+
+    expected = serial()
+    assert expected  # non-trivial
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    for n_parts in (1, 3, 16):
+        got = {
+            r["doc_id"]
+            for r in mix_corpus(
+                df.repartition(5), budgets, num_partitions=n_parts
+            ).collect()
+        }
+        assert got == expected, n_parts
+    # overshoot bound: per source, kept weight - budget < max doc weight
+    out = mix_corpus(df, budgets).groupBy("source").agg(
+        F.sum("n_tokens").alias("w")
+    ).collect()
+    for r in out:
+        assert r["w"] - budgets[r["source"]] < 60
+
+
+def test_mix_corpus_rejects_bad_budgets(spark):
+    import pytest as _pytest
+
+    from kgforge.functions.sharding import mix_corpus
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id long, source string, n_tokens long"
+    )
+    with _pytest.raises(ValueError):
+        mix_corpus(df, {})
+    with _pytest.raises(ValueError):
+        mix_corpus(df, {"a": -1})
