@@ -3427,6 +3427,71 @@ def corpus_mix(spark, sf_dir):
     ).orderBy("source", "doc_id")
 
 
+@_q(
+    "cypher_write_replay",
+    """
+    SELECT n_name AS nation, r_name AS region
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY nation
+    """,
+)
+def cypher_write_replay(spark, sf_dir):
+    """Write-Cypher replay e2e: the reference's emitted MERGE strings
+    (node MERGE+SET, MATCH/MATCH/edge-MERGE — extract_data_step.py:
+    218-266) executed via kg.execute_writes (batched to one upsert per
+    table), then read back with kg.query. The query strings are built
+    driver-side from the nation/region rows — gate-scale metadata (30
+    rows), mimicking how the reference emits per-extraction queries;
+    the oracle joins the same base tables directly."""
+    import os
+    import shutil
+
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[
+            Entity("Nation", [Attribute("name", "string", True, True)]),
+            Entity("Region", [Attribute("name", "string", True, True)]),
+        ],
+        relations=[Relation("IN_REGION", "Nation", "Region", [])],
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".work", "gate_writes", tag,
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    kg = KnowledgeGraph(spark, onto, base)
+    pairs = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_name", "r_name")
+        .collect()
+    )
+    queries = [
+        f'MERGE (n:Region {{name: "{r}"}})'
+        for r in sorted({p["r_name"] for p in pairs})
+    ] + [
+        f'MERGE (n:Nation {{name: "{p["n_name"]}"}}) RETURN n'
+        for p in pairs
+    ] + [
+        f'MATCH (s:Nation {{name: "{p["n_name"]}"}}) '
+        f'MATCH (t:Region {{name: "{p["r_name"]}"}}) '
+        "MERGE (s)-[r:IN_REGION]->(t) RETURN r"
+        for p in pairs
+    ]
+    stats = kg.execute_writes(queries, count_valid=True)
+    assert stats["edges_written"] == len(pairs), stats
+    return kg.query(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN n AS nation, r AS region ORDER BY nation"
+    )
+
+
 @_q("kg_fixture_pr")
 def kg_fixture_pr(spark, sf_dir):
     """North-rule P/R gate vs the reference's OWN fixtures (hand-derived

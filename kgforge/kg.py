@@ -465,6 +465,19 @@ class KnowledgeGraph:
 
         return match_edges(self.nodes(), self.edges(), src_label, relation, dst_label)
 
+    def execute_writes(
+        self, queries: list[str], count_valid: bool = False
+    ) -> dict:
+        """Replay reference-emitted write Cypher (`MERGE (n:L {..}) SET
+        n += {..}` / `MATCH .. MATCH .. MERGE (s)-[r:R]->(t) ..`,
+        ref extract_data_step.py:218-266) through the batch upserts —
+        N queries become one join-rewrite per table per segment. See
+        plans/cypher_write.py for grammar, segmenting, and the
+        endpoint-keying deviation note."""
+        from kgforge.plans.cypher_write import execute_writes
+
+        return execute_writes(self, queries, count_valid=count_valid)
+
     def query(self, cypher: str) -> DataFrame:
         """Execute a read-only Cypher query (the subset the reference's
         prompt produces: MATCH chains, WHERE, RETURN + count/sum/avg/min/max
