@@ -6,11 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from kgforge.plans.cypher_write import (
-    CypherUnsupported,
-    execute_writes,
-    parse_write,
-)
+from kgforge.plans.cypher_write import CypherUnsupported, parse_write
 
 
 def _ontology():
@@ -182,3 +178,57 @@ def test_execute_writes_reference_serializer_roundtrip(spark, workdir):
         "MATCH (p:Person) RETURN p, p.bio AS bio"
     ).collect()
     assert [(r.p, r.bio) for r in out] == [('Jo "JJ" Iz', "a, b: c")]
+
+
+def test_export_replay_roundtrip(spark, workdir):
+    """sinks/falkordb_export renders the reference's MERGE statements;
+    executing that export through execute_writes must rebuild the SAME
+    graph (export -> parse is the identity on (label, key, props)).
+    Ties the export sink and the write parser to each other — exactly
+    what a FalkorDB user migrating in either direction relies on."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.sinks.falkordb_export import edge_statements, node_statements
+
+    kg_a = KnowledgeGraph(spark, _ontology(), workdir + "/a")
+    kg_a.add_nodes(
+        [
+            ("Person", {"name": 'Jo "JJ" Iz', "bio": "x, y: z"}),
+            ("Person", {"name": "Ana"}),
+            ("City", {"name": "Rio"}),
+        ]
+    )
+    kg_a.add_edges(
+        [
+            ("LIVES_IN", "Person", "City",
+             {"name": 'Jo "JJ" Iz'}, {"name": "Rio"}, {"since": "2020"}),
+        ]
+    )
+    key_attrs = {"Person": "name", "City": "name", "LIVES_IN": "name"}
+    node_q = [
+        r["stmt"]
+        for r in node_statements(kg_a.nodes(), key_attrs).collect()
+    ]
+    # add_edges already materializes src_label/src_key/dst_label/dst_key
+    # (kg.py batch upsert), so edge_statements reads them directly.
+    edge_q = [
+        r["stmt"]
+        for r in edge_statements(kg_a.edges(), key_attrs).collect()
+    ]
+    kg_b = KnowledgeGraph(spark, _ontology(), workdir + "/b")
+    kg_b.execute_writes(sorted(node_q) + sorted(edge_q))
+    a_nodes = sorted(
+        (r.label, r.key, dict(r.props)) for r in kg_a.nodes().collect()
+    )
+    b_nodes = sorted(
+        (r.label, r.key, dict(r.props)) for r in kg_b.nodes().collect()
+    )
+    assert a_nodes == b_nodes
+    a_edges = sorted(
+        (r.src_id, r.label, r.dst_id, dict(r.props))
+        for r in kg_a.edges().collect()
+    )
+    b_edges = sorted(
+        (r.src_id, r.label, r.dst_id, dict(r.props))
+        for r in kg_b.edges().collect()
+    )
+    assert a_edges == b_edges
