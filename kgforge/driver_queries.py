@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kgforge.functions import dedup as D
+from kgforge.functions import sharding as SH
 from kgforge.functions import similarity as S
 from kgforge.functions import textstats as TS
 
@@ -773,6 +774,52 @@ def text_repetition(spark, sf_dir):
 
 
 @_q(
+    "text_zipf_quality",
+    """
+    WITH ref_toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE lang = 'en' AND text IS NOT NULL
+    ), vocab AS (
+      SELECT tok, count(*) AS c FROM ref_toks GROUP BY tok
+      ORDER BY c DESC, tok LIMIT 500
+    ), ranked AS (
+      SELECT tok, row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank
+      FROM vocab
+    ), oov AS (
+      SELECT max(rank) + 1 AS oov_rank FROM ranked
+    ), doc_toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), scored AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_tok,
+             sum(CASE WHEN r.rank IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             sum(coalesce(r.rank, (SELECT oov_rank FROM oov)))::BIGINT
+               AS sum_rank
+      FROM doc_toks d LEFT JOIN ranked r USING (tok)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           coalesce(s.n_tok, 0)::BIGINT AS n_tok,
+           coalesce(s.n_oov, 0)::BIGINT AS n_oov,
+           coalesce(s.sum_rank, 0)::BIGINT AS sum_rank
+    FROM documents LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_zipf_quality(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring, integer-exact
+    (functions/textstats.py zipf_rank_model + zipf_quality): fit token
+    ranks on the 'en' slice (top 500), score EVERY document by summed
+    token rank with OOV charged max_rank+1. sum_rank/n_tok is the
+    mean-rank perplexity proxy; the gate pins the integer pieces."""
+    docs = _t(spark, sf_dir, "documents")
+    model = TS.zipf_rank_model(docs.where(F.col("lang") == "en"), top_n=500)
+    out = TS.zipf_quality(docs, model)
+    return out.select("doc_id", "n_tok", "n_oov", "sum_rank")
+
+
+@_q(
     "url_canonical_dedup",
     r"""
     WITH v AS (
@@ -1012,6 +1059,47 @@ def corpus_token_shards(spark, sf_dir):
         num_partitions=8,
     )
     return out.select("doc_id", "shard").orderBy("doc_id")
+
+
+def _strata_case_sql() -> str:
+    from kgforge.functions.sharding import sample_bound
+
+    en, de = sample_bound(1, 2), sample_bound(1, 4)
+    return (
+        f"CASE WHEN lang = 'en' THEN h < '{en}' "
+        f"WHEN lang = 'de' THEN h < '{de}' "
+        "WHEN lang = 'zh' THEN FALSE ELSE TRUE END"
+    )
+
+
+@_q(
+    "corpus_stratified_sample",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             substr(md5('kgforge' || doc_id::VARCHAR), 1, 8) AS h
+      FROM documents
+    )
+    SELECT doc_id::BIGINT AS doc_id, lang
+    FROM hashed WHERE {_strata_case_sql()} ORDER BY doc_id
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (functions/sharding.py
+    stratified_sample): corpus rebalancing at fixed integer rates — en
+    halved, de quartered, zh dropped, other langs ride the default
+    (1,1). Keep iff leading-8 md5(salt || key) hex < the stratum's
+    sample_bound threshold; identical literals on both engines. Pure
+    single-pass filter (no shuffle), key-deterministic, and samples
+    NEST across rates (the 1/4 set is a subset of the 1/2 set)."""
+    out = SH.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": (1, 2), "de": (1, 4), "zh": (0, 1)},
+    )
+    return (
+        out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+        .orderBy("doc_id")
+    )
 
 
 @_q(

@@ -212,3 +212,58 @@ def mix_corpus(
         .filter(F.col("__run") < F.col("__budget"))
         .drop("__pid", "__prefix", "__run", "__budget", "__h")
     )
+
+
+def sample_bound(num: int, den: int) -> str:
+    """Keep-rate num/den -> exclusive 8-hex md5 threshold (same literal
+    on both engines; shares `_HEX_SPACE` with split_bounds)."""
+    if den <= 0 or num < 0:
+        raise ValueError("rate must be num >= 0, den > 0")
+    return format(min(num, den) * _HEX_SPACE // den, "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, tuple[int, int]],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "kgforge",
+    default_rate: tuple[int, int] = (1, 1),
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (corpus rebalancing).
+
+    The standard pretraining-mix move — downsample over-represented
+    strata (a language, a domain, a crawl snapshot) at fixed rates —
+    implemented as a pure filter on md5(salt || key): keep a row iff its
+    leading 8 hash hex < the stratum's `sample_bound(num, den)`. Like
+    `hash_split`, the decision is a function of the KEY only, so it is
+    exact-reproducible on any cluster layout, stable under re-runs, and
+    a row kept at rate 1/4 is also kept at 1/2 (nested samples for
+    ablations). Rates are integer fractions; expected (not exact) keep
+    fraction is num/den. num >= den keeps the whole stratum; num == 0
+    drops it. One WholeStageCodegen filter — no shuffle, no sort.
+    """
+    items = sorted(rates.items())
+    h = F.substring(
+        F.md5(
+            F.encode(
+                F.concat(F.lit(salt), F.col(key_col).cast("string")), "UTF-8"
+            )
+        ),
+        1,
+        8,
+    )
+
+    def keep_for(num: int, den: int):
+        if num >= den:
+            return F.lit(True)
+        if num <= 0:
+            return F.lit(False)
+        return h < F.lit(sample_bound(num, den))
+
+    cond = keep_for(*default_rate)
+    for stratum, (num, den) in items:
+        cond = F.when(
+            F.col(strata_col) == F.lit(stratum), keep_for(num, den)
+        ).otherwise(cond)
+    return df.filter(cond)

@@ -13,7 +13,7 @@ fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small, fixed English function-word list for the n-gram-free language
@@ -143,6 +143,91 @@ def repetition_stats(
         base.drop("__toks", "__bigrams")
         .join(counts, on=id_col, how="left")
         .fillna({"top_bigram_n": 0, "n_bigrams": 0})
+    )
+
+
+def zipf_rank_model(
+    ref: DataFrame, text_col: str = "text", top_n: int = 50_000
+) -> DataFrame:
+    """Fit a Zipf-rank unigram model on a reference corpus slice.
+
+    CCNet-style LM quality filtering (Wenzek et al. 2020) without
+    floating-point log-probabilities: rank the reference slice's tokens by
+    frequency (ties broken by token string, so the model is a pure function
+    of the data). Under Zipf's law ``log p(tok) ~ -log rank``, so a
+    document's mean token rank is a monotone proxy for its unigram
+    perplexity — and it is INTEGER-valued, which keeps the engine-vs-oracle
+    comparison bit-exact (this repo's standing rule: no float-sum compares).
+
+    Scale shape: token counts are a groupBy (map-side partial agg collapses
+    the Zipf head before the shuffle); the top-``top_n`` cut compiles to
+    TakeOrderedAndProject (no full sort); the row_number window then runs
+    over at most ``top_n`` rows, so its single-partition plan is bounded by
+    construction and the returned model is always broadcast-sized.
+
+    Returns (tok, rank) with rank 1 = most frequent.
+    """
+    toks = ref.where(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("tok").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("__c").desc(), F.col("tok").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "tok", "rank"
+    )
+
+
+def zipf_quality(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a `zipf_rank_model`: summed token rank.
+
+    Adds per-document BIGINT columns (ratios/means are the caller's
+    threshold compare, per the integer-exactness rule):
+
+    - ``n_tok`` — token count;
+    - ``n_oov`` — tokens outside the model vocabulary;
+    - ``sum_rank`` — sum of each token's model rank, OOV tokens charged
+      ``max(rank) + 1``. ``sum_rank / n_tok`` (caller-side) is the
+      mean-rank quality score: low = fluent head-heavy text, high =
+      rare-token soup (the unigram-perplexity proxy used to gate
+      web-crawl text before training).
+
+    Documents with NULL text keep zeros. Scale shape: explode preserves
+    the source partitioning; the model join is an explicit broadcast (the
+    model is vocab-sized by construction); the OOV rank rides as a 1-row
+    broadcast cross join; the per-doc re-aggregate collapses to one row
+    per document map-side before its shuffle.
+    """
+    oov = model.agg((F.max("rank") + F.lit(1)).alias("__oov"))
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("tok"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(model), on="tok", how="left")
+        .join(F.broadcast(oov))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("rank"), F.col("__oov")))
+            .cast("long")
+            .alias("sum_rank"),
+        )
+    )
+    return df.join(per_doc, on=id_col, how="left").fillna(
+        {"n_tok": 0, "n_oov": 0, "sum_rank": 0}
     )
 
 

@@ -276,3 +276,37 @@ def test_funnel_decontamination_stage(spark):
     assert {(r.id, r.reason) for r in audit.collect()} == {
         (2, "contaminated")
     }
+
+
+def test_zipf_model_ranks_and_cap(spark):
+    """Ranks follow (count DESC, token ASC); top_n truncates the tail."""
+    from kgforge.functions.textstats import zipf_rank_model
+
+    ref = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a z")], "doc_id bigint, text string"
+    )
+    # counts: a=3, b=3, c=1, z=1 -> ties break on token string
+    model = {r.tok: r["rank"] for r in zipf_rank_model(ref).collect()}
+    assert model == {"a": 1, "b": 2, "c": 3, "z": 4}
+    capped = {r.tok for r in zipf_rank_model(ref, top_n=2).collect()}
+    assert capped == {"a", "b"}
+
+
+def test_zipf_quality_sums_and_oov(spark):
+    """sum_rank charges OOV tokens max_rank+1; NULL text scores zeros;
+    casing/whitespace fold into the same tokens as the model fit."""
+    from kgforge.functions.textstats import zipf_quality, zipf_rank_model
+
+    ref = spark.createDataFrame(
+        [(1, "b b b a a c")], "doc_id bigint, text string"
+    )
+    model = zipf_rank_model(ref)  # a=1, b=2, c=3 -> oov rank 4
+    docs = spark.createDataFrame(
+        [(10, "  A b\tQQ "), (11, None)], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: (r.n_tok, r.n_oov, r.sum_rank)
+        for r in zipf_quality(docs, model).collect()
+    }
+    assert out[10] == (3, 1, 1 + 2 + 4)
+    assert out[11] == (0, 0, 0)

@@ -179,3 +179,54 @@ def test_mix_corpus_rejects_bad_budgets(spark):
         mix_corpus(df, {})
     with _pytest.raises(ValueError):
         mix_corpus(df, {"a": -1})
+
+
+def test_stratified_sample_nested_deterministic(spark):
+    """Per-stratum keep decisions are pure key functions: partition-layout
+    independent, salt-rerollable, and NESTED (rate 1/4 sample is a subset
+    of the 1/2 sample — the ablation-ladder property)."""
+    from kgforge.functions.sharding import sample_bound, stratified_sample
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    half = {
+        r.doc_id
+        for r in stratified_sample(df, {"en": (1, 2)}).collect()
+    }
+    quarter = {
+        r.doc_id
+        for r in stratified_sample(df, {"en": (1, 4)}).collect()
+    }
+    assert quarter <= half  # nesting
+    # non-en strata ride the default rate (1,1): all kept
+    non_en = {i for i, lang in rows if lang != "en"}
+    assert non_en <= half
+    en = {i for i, lang in rows if lang == "en"}
+    kept_en = half & en
+    assert 0.4 * len(en) <= len(kept_en) <= 0.6 * len(en)
+    # layout independence
+    relaid = {
+        r.doc_id
+        for r in stratified_sample(df.repartition(17), {"en": (1, 2)}).collect()
+    }
+    assert relaid == half
+    # zero rate drops the stratum; >=1 keeps it whole
+    out = stratified_sample(df, {"zh": (0, 1), "de": (3, 2)})
+    langs = {r.lang for r in out.collect()}
+    assert "zh" not in langs and "de" in langs
+    assert out.where(F.col("lang") == "de").count() == len(
+        {i for i, l in rows if l == "de"}
+    )
+    # salt re-roll changes the kept set
+    other = {
+        r.doc_id
+        for r in stratified_sample(df, {"en": (1, 2)}, salt="x").collect()
+    }
+    assert other != half
+    # bound literal sanity
+    assert sample_bound(1, 2) == "80000000"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_bound(1, 0)
