@@ -1103,6 +1103,96 @@ def corpus_stratified_sample(spark, sf_dir):
 
 
 @_q(
+    "corpus_pack_sequences",
+    """
+    WITH run AS (
+      SELECT doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prior
+      FROM documents
+    ), b AS (
+      SELECT doc_id, prior,
+             floor(prior / 2048)::BIGINT AS first_block,
+             CASE WHEN coalesce(n_chars, 0) > 0
+                  THEN floor((prior + n_chars - 1) / 2048)::BIGINT
+                  ELSE floor(prior / 2048)::BIGINT END AS last_block
+      FROM run
+    )
+    SELECT doc_id, prior::BIGINT AS tok_offset, first_block, last_block,
+           (last_block - first_block + 1)::BIGINT AS n_blocks
+    FROM b ORDER BY doc_id
+    """,
+)
+def corpus_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (functions/sharding.py
+    pack_sequences): docs concatenated in key order, cut into
+    2048-token blocks; per doc the global offset and the span of blocks
+    it touches. Same distributed prefix-sum as token_shards (layout
+    never affects the answer — the oracle's GLOBAL window cumsum pins
+    it). Weight = n_chars; DuckDB '/' note: integer division returns
+    DOUBLE and ::BIGINT rounds, so the oracle floor()s."""
+    out = SH.pack_sequences(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        block=2048,
+        weight_col="n_chars",
+        num_partitions=8,
+    )
+    return out.select(
+        "doc_id",
+        F.col("offset").alias("tok_offset"),
+        "first_block",
+        "last_block",
+        "n_blocks",
+    ).orderBy("doc_id")
+
+
+@_q(
+    "dedup_incremental",
+    f"""
+    WITH newb AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET}, replace(upper(text), ' ', '  ')
+      FROM documents WHERE doc_id % 4 = 0
+    ), nfp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM newb
+    ), sfp AS (
+      SELECT DISTINCT
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 3 = 0
+    ), fresh AS (
+      SELECT * FROM nfp WHERE fp NOT IN (SELECT fp FROM sfp)
+    )
+    SELECT min(doc_id)::BIGINT AS doc_id, fp
+    FROM fresh GROUP BY fp ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Ingest-time exact dedup (functions/dedup.py dedup_against): a
+    new batch (documents + normalized-equal variant copies of every 4th
+    doc) deduplicated against a prior snapshot (every 3rd doc) WITHOUT
+    touching the snapshot rows — left_anti against the snapshot's
+    DISTINCT fingerprint set, then keep-min-id within the batch. Rows
+    already seen drop; in-batch variant copies collapse to their base."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = base.where(F.col("doc_id") % 3 == 0)
+    variants = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+    )
+    out = D.dedup_against(base.unionByName(variants), seen)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.encode(norm, "UTF-8")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@_q(
     "graph_kcore",
     """
     WITH pe AS (

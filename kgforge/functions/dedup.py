@@ -90,6 +90,39 @@ def exact_duplicates(
     )
 
 
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop `new` rows already in a prior
+    snapshot, then keep-first within the batch.
+
+    The ingest-time shape of exact dedup — a fresh crawl arrives and
+    must be deduplicated against everything already accepted WITHOUT
+    re-deduplicating the (much larger) accepted corpus. Two stages, both
+    keyed on md5(normalized text):
+
+    1. cross-snapshot: left_anti join of `new` fingerprints against the
+       DISTINCT fingerprints of `seen` (the snapshot side reduces to its
+       fingerprint set — at scale this is the pre-aggregated/bloom side,
+       never the raw corpus);
+    2. within-batch: keep the min-id row per surviving fingerprint
+       (same canon rule as `exact_duplicates`).
+
+    Returns the surviving `new` rows (all columns). Rows with NULL text
+    normalize to a shared fingerprint like any other value — callers
+    filter empties upstream (curate_documents does).
+    """
+    fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
+    new_fp = new.withColumn("__fp", fp)
+    seen_fp = seen.select(fp.alias("__fp")).distinct()
+    fresh = new_fp.join(seen_fp, on="__fp", how="left_anti")
+    keep = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keep, on=["__fp", id_col], how="left_semi").drop("__fp")
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 

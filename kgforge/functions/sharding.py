@@ -19,6 +19,12 @@ input.
   metadata scale), each partition then windows locally against its
   broadcast prefix. No `Window.orderBy` without a partition key anywhere
   — that plan collapses 100 TB onto one task.
+- `pack_sequences` extends the same prefix-sum to concat-and-chunk
+  packing: global token offsets and the span of fixed-size training
+  blocks each doc touches.
+- `stratified_sample` / `mix_corpus` rebalance the corpus: per-stratum
+  keep rates as a pure md5-key filter; per-source token budgets via the
+  grouped prefix-sum.
 """
 
 from __future__ import annotations
@@ -100,6 +106,22 @@ def token_shards(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    return (
+        _prior_running(df, key_col, weight_col, num_partitions)
+        .withColumn(out_col, F.floor(F.col("__run") / budget).cast("long"))
+        .drop("__run")
+    )
+
+
+def _prior_running(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """df + `__run` = PRIOR running weight (long) in global key order —
+    the two-phase distributed prefix-sum shared by `token_shards` and
+    `pack_sequences`. NULL weights count 0."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
@@ -128,11 +150,56 @@ def token_shards(
     win = Window.partitionBy("__pid").orderBy(key_col)
     return (
         parts.join(F.broadcast(pref_df), on="__pid")
+        .withColumn("__run", F.sum(w).over(win) - w + F.col("__prefix"))
+        .drop("__pid", "__prefix")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    block: int,
+    key_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: map each doc to its training
+    blocks.
+
+    The GPT-style packing a trainer consumes: all docs are concatenated
+    in key order and the token stream is cut into fixed ``block``-token
+    sequences; a doc's tokens land at a global offset and may straddle a
+    block boundary. Adds BIGINT columns:
+
+    - ``offset`` — global token offset of the doc's first token;
+    - ``first_block`` / ``last_block`` — the blocks the doc's tokens
+      touch (``floor(offset / block)`` .. ``floor((offset + w - 1) /
+      block)``; an empty/NULL-weight doc "touches" only the block at its
+      offset);
+    - ``n_blocks`` — ``last_block - first_block + 1`` (straddle count;
+      ``n_blocks > 1`` means the doc crosses boundaries).
+
+    Deterministic on any cluster layout: the offsets come from the same
+    two-phase distributed prefix-sum as `token_shards` (range
+    repartition by key, per-partition totals to the driver — metadata
+    scale — then local windows against the broadcast prefix). No global
+    Window.orderBy anywhere.
+    """
+    if block <= 0:
+        raise ValueError("block must be positive")
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    first = F.floor(F.col("offset") / block).cast("long")
+    last = F.when(
+        w > 0, F.floor((F.col("offset") + w - 1) / block).cast("long")
+    ).otherwise(first)
+    return (
+        _prior_running(df, key_col, weight_col, num_partitions)
+        .withColumnRenamed("__run", "offset")
+        .withColumn("first_block", first)
+        .withColumn("last_block", last)
         .withColumn(
-            "__run", F.sum(w).over(win) - w + F.col("__prefix")
+            "n_blocks",
+            (F.col("last_block") - F.col("first_block") + 1).cast("long"),
         )
-        .withColumn(out_col, F.floor(F.col("__run") / budget).cast("long"))
-        .drop("__pid", "__prefix", "__run")
     )
 
 

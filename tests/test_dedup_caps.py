@@ -110,3 +110,30 @@ def test_paragraph_dedup_single_paragraph_docs_degenerate_to_exact(spark):
     )
     out = {r["doc_id"]: r["text"] for r in D.dedup_paragraphs(df).collect()}
     assert out == {1: "same", 3: "other"}
+
+
+def test_dedup_against_snapshot_and_batch(spark):
+    """Cross-snapshot drops rows whose normalized text is already seen;
+    within-batch keeps the min-id row; normalization folds case and
+    whitespace; all original columns survive."""
+    from kgforge.functions.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "old news")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "hello world"),    # dup of seen #1 (normalized)
+            (11, "fresh thing"),
+            (12, "FRESH  thing "),  # in-batch dup of 11
+            (13, "another"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup_against(new, seen).collect()}
+    assert set(out) == {11, 13}
+    assert out[11] == "fresh thing"  # original text preserved
+    # idempotence: survivors re-run against seen+survivors -> unchanged
+    surv = dedup_against(new, seen)
+    again = {r.doc_id for r in dedup_against(surv, seen).collect()}
+    assert again == {11, 13}

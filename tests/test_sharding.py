@@ -230,3 +230,36 @@ def test_stratified_sample_nested_deterministic(spark):
 
     with _pytest.raises(ValueError):
         sample_bound(1, 0)
+
+
+def test_pack_sequences_matches_serial_scan_any_layout(spark):
+    """Offsets/blocks == the serial concat-and-chunk scan at every
+    partition count; straddling docs report the full block span; NULL
+    weight counts 0 and touches one block."""
+    from kgforge.functions.sharding import pack_sequences
+
+    rows = [(i, (i % 5 + 1) * 30) for i in range(100)]
+    rows[20] = (20, 500)   # straddles several 128-blocks
+    rows[21] = (21, None)  # empty doc
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    expect = {}
+    run = 0
+    for i, w in sorted(rows):
+        w0 = w or 0
+        first = run // 128
+        last = (run + w0 - 1) // 128 if w0 > 0 else first
+        expect[i] = (run, first, last, last - first + 1)
+        run += w0
+    for parts in (1, 3, 16):
+        got = {
+            r.doc_id: (r.offset, r.first_block, r.last_block, r.n_blocks)
+            for r in pack_sequences(
+                df, block=128, num_partitions=parts
+            ).collect()
+        }
+        assert got == expect, f"layout {parts} diverged"
+    assert expect[20][3] > 1  # the straddler really straddles
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, block=0)
