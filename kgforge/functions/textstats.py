@@ -205,8 +205,13 @@ def zipf_quality(
     the source partitioning; the model join is an explicit broadcast (the
     model is vocab-sized by construction); the OOV rank rides as a 1-row
     broadcast cross join; the per-doc re-aggregate collapses to one row
-    per document map-side before its shuffle.
+    per document map-side before its shuffle. The model is materialized
+    ONCE (eager localCheckpoint — vocab-sized, cheap): it feeds both the
+    token join and the OOV-rank aggregate, and without the checkpoint
+    each consumer would re-run the fit — a double scan of the reference
+    slice at scale.
     """
+    model = model.localCheckpoint()
     oov = model.agg((F.max("rank") + F.lit(1)).alias("__oov"))
     toks = df.where(F.col(text_col).isNotNull()).select(
         id_col,
