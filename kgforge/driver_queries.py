@@ -1193,6 +1193,61 @@ def dedup_incremental(spark, sf_dir):
 
 
 @_q(
+    "warc_ingest",
+    """
+    SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,
+           md5(text) AS text_md5
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY target_uri
+    """,
+)
+def warc_ingest(spark, sf_dir):
+    """WARC round-trip ingestion (sources/warc.py): the documents table
+    is serialized into 4 member-gzipped WARC files (Common Crawl layout,
+    one response record per doc, deterministic bytes), then re-ingested
+    with the DISTRIBUTED parser (binaryFile scan -> mapInPandas) —
+    proving byte-exact build->parse->HTTP-split->decode fidelity against
+    the table the files came from. Synthesis is driver-side (gate scale:
+    hundreds of docs); parsing — the operator under test — is fully
+    distributed, one task per file."""
+    import os
+
+    from kgforge.sources.warc import build_warc, warc_text_documents
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    out_dir = f"/root/repo/.work/warc_gate/{os.path.basename(sf_dir)}"
+    os.makedirs(out_dir, exist_ok=True)
+    shards: dict[int, list] = {i: [] for i in range(4)}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        shards[r["doc_id"] % 4].append(
+            {
+                "warc_type": "response",
+                "record_id": f"<urn:uuid:{r['doc_id']}>",
+                "target_uri": f"https://{r['source']}/doc/{r['doc_id']}",
+                "http_status": 200,
+                "http_content_type": "text/plain",
+                "http_body": r["text"].encode("utf-8"),
+            }
+        )
+    paths = []
+    for i, recs in shards.items():
+        p = f"{out_dir}/part{i}.warc.gz"
+        with open(p, "wb") as f:
+            f.write(build_warc(recs, gzip_members=True))
+        paths.append(p)
+    docs = warc_text_documents(spark, paths)
+    return docs.select(
+        "target_uri",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    ).orderBy("target_uri")
+
+
+@_q(
     "graph_kcore",
     """
     WITH pe AS (

@@ -274,6 +274,14 @@ def load_source(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     low = path.lower()
     if low.startswith("http://") or low.startswith("https://"):
         return load_url(spark, [path], **kwargs)
+    if low.endswith(".warc") or low.endswith(".warc.gz"):
+        from kgforge.sources.warc import warc_text_documents
+
+        return warc_text_documents(spark, [path]).select(
+            F.col("target_uri").alias("source"),
+            F.lit(0).cast("long").alias("doc_id"),
+            F.col("text").alias("content"),
+        )
     if low.endswith(".pdf"):
         return load_pdf(spark, [path])
     if low.endswith(".html"):

@@ -1,0 +1,253 @@
+"""WARC ingestion: the Common Crawl wire format, parsed distributed.
+
+Engine-new surface (the reference has no crawl-archive loader; ref
+document_loaders/* stop at text/html/pdf/csv/jsonl/url): a web-scale
+training-data pipeline ingests WARC — ISO 28500, the format Common Crawl
+publishes — so the engine reads it natively with a pure-stdlib parser.
+
+Format recap (all that this parser relies on):
+
+    WARC/1.0\r\n
+    WARC-Type: response\r\n
+    WARC-Record-ID: <urn:uuid:...>\r\n
+    WARC-Target-URI: https://...\r\n
+    Content-Length: N\r\n           <- payload byte length, authoritative
+    \r\n
+    <N bytes of payload>\r\n\r\n    <- response payload = HTTP message
+
+Records concatenate; Common Crawl gzips each record as its OWN gzip
+member (so range requests can start at any member). `gzip.decompress`
+walks multi-member streams, so one decompress handles both layouts.
+
+Scale shape: `load_warc` is a `binaryFile` scan -> `mapInPandas` parser.
+A WARC FILE is the unit of parallelism (the format is not arbitrarily
+splittable — records are length-prefixed, and member-aligned splitting
+needs an index); Common Crawl ships ~1 GB files in the tens of thousands
+per crawl, so file-granular tasks saturate any cluster. Payload bytes
+stay binary columns end-to-end (the multimodal rule); HTTP header
+parsing happens once, inside the same Arrow batch, never per-row Python
+in a downstream plan.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge.sources.html import html_to_text
+
+_CRLF = b"\r\n"
+
+# load_warc output schema (mapInPandas DDL)
+WARC_SCHEMA = (
+    "file string, record_id string, warc_type string, target_uri string, "
+    "warc_date string, http_status int, http_content_type string, "
+    "payload binary"
+)
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Yield raw records from WARC bytes (gzip'd — any member layout —
+    or plain). Each dict: headers (dict, original case-insensitive keys
+    lowered) + payload bytes. Tolerant of trailing garbage: parsing
+    stops at the first spot that doesn't start a `WARC/` version line
+    (truncated tail files surface as fewer records, not a crash).
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n or not data[pos:].startswith(b"WARC/"):
+            return
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            return
+        headers: dict[str, str] = {}
+        head = data[pos:head_end].split(_CRLF)
+        for line in head[1:]:  # line 0 is the version
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = head_end + 4
+        payload = data[body_start : body_start + length]
+        if len(payload) < length:
+            return  # truncated record
+        yield {"headers": headers, "payload": payload}
+        pos = body_start + length
+
+
+def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) from an HTTP response message; a
+    payload with no HTTP header block comes back (None, None, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head_end = payload.find(_CRLF + _CRLF)
+    if head_end < 0:
+        return None, None, payload
+    lines = payload[:head_end].split(_CRLF)
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for line in lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("ascii", "replace")
+    return status, ctype, payload[head_end + 4 :]
+
+
+def load_warc(
+    spark: SparkSession,
+    paths: list[str] | str,
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """Distributed WARC scan -> one row per record of the wanted types.
+
+    Columns (`WARC_SCHEMA`): file, record_id, warc_type, target_uri,
+    warc_date, http_status, http_content_type, payload (the HTTP BODY
+    bytes for response records — headers already stripped — and the raw
+    record payload otherwise). Filter/prune happens inside the Arrow
+    batch, so unwanted record types (request/metadata/warcinfo) never
+    leave the parser.
+    """
+    wanted = {t.lower() for t in record_types} if record_types else None
+
+    def parse_files(batches):
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(blob)):
+                    h = rec["headers"]
+                    wtype = h.get("warc-type", "")
+                    if wanted is not None and wtype.lower() not in wanted:
+                        continue
+                    status, ctype, body = split_http_payload(rec["payload"])
+                    rows.append(
+                        (
+                            path,
+                            h.get("warc-record-id"),
+                            wtype,
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            status,
+                            ctype,
+                            body,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "record_id", "warc_type", "target_uri",
+                    "warc_date", "http_status", "http_content_type",
+                    "payload",
+                ],
+            )
+
+    df = spark.read.format("binaryFile").load(paths)
+    return df.select("path", "content").mapInPandas(parse_files, WARC_SCHEMA)
+
+
+def warc_text_documents(
+    spark: SparkSession, paths: list[str] | str
+) -> DataFrame:
+    """WARC responses -> text documents: (target_uri, content_type,
+    text). text/html bodies run the bs4-parity extractor (same UDF as
+    every other html path); text/* bodies decode as UTF-8 (replacement
+    on bad bytes); other content types drop. 2xx responses only."""
+    recs = load_warc(spark, paths, record_types=("response",))
+
+    def to_text(batches):
+        for pdf in batches:
+            keep_uri, keep_ct, keep_text = [], [], []
+            for uri, status, ctype, body in zip(
+                pdf["target_uri"], pdf["http_status"],
+                pdf["http_content_type"], pdf["payload"],
+            ):
+                if status is None or not 200 <= status < 300:
+                    continue
+                base = (ctype or "").split(";")[0].strip().lower()
+                if base == "text/html":
+                    text = html_to_text(bytes(body))
+                elif base.startswith("text/"):
+                    text = bytes(body).decode("utf-8", "replace")
+                else:
+                    continue
+                keep_uri.append(uri)
+                keep_ct.append(base)
+                keep_text.append(text)
+            yield pd.DataFrame(
+                {
+                    "target_uri": keep_uri,
+                    "content_type": keep_ct,
+                    "text": keep_text,
+                }
+            )
+
+    return recs.mapInPandas(
+        to_text, "target_uri string, content_type string, text string"
+    )
+
+
+# --------------------------------------------------------------- writer
+
+
+def build_warc(
+    records: list[dict], gzip_members: bool = False
+) -> bytes:
+    """Serialize records to WARC bytes (the test/gate twin of
+    `parse_warc`; also the deterministic synthesizer for fixtures).
+
+    Each record dict: ``warc_type``, ``target_uri``, ``record_id``,
+    ``warc_date`` (all optional but type), and either ``payload`` bytes
+    (written verbatim) or ``http_body`` bytes + optional ``http_status``
+    / ``http_content_type`` (wrapped in a minimal HTTP/1.1 response
+    head, the Common Crawl response layout). ``gzip_members=True`` gzips
+    each record as its own member (mtime pinned 0 — byte-deterministic).
+    """
+    out = bytearray()
+    for rec in records:
+        if "payload" in rec:
+            payload = rec["payload"]
+        else:
+            status = rec.get("http_status", 200)
+            ctype = rec.get("http_content_type", "text/plain")
+            body = rec["http_body"]
+            payload = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("ascii") + body
+        head = ["WARC/1.0"]
+        head.append(f"WARC-Type: {rec['warc_type']}")
+        for key, field in (
+            ("WARC-Record-ID", "record_id"),
+            ("WARC-Target-URI", "target_uri"),
+            ("WARC-Date", "warc_date"),
+        ):
+            if rec.get(field):
+                head.append(f"{key}: {rec[field]}")
+        head.append(f"Content-Length: {len(payload)}")
+        member = (
+            "\r\n".join(head).encode("ascii")
+            + _CRLF * 2
+            + payload
+            + _CRLF * 2
+        )
+        if gzip_members:
+            member = gzip.compress(member, mtime=0)
+        out += member
+    return bytes(out)

@@ -1,0 +1,155 @@
+"""WARC ingestion (sources/warc.py): round-trip build->parse exactness,
+multi-member gzip (the Common Crawl layout), HTTP splitting, record-type
+pruning, html-vs-text body handling, factory dispatch, truncation
+tolerance."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from kgforge.sources.warc import (
+    build_warc, load_warc, parse_warc, split_http_payload,
+    warc_text_documents,
+)
+
+WORK = "/root/repo/.work/warc_tests"
+
+
+def _sample_records():
+    return [
+        {
+            "warc_type": "warcinfo",
+            "record_id": "<urn:uuid:info-1>",
+            "payload": b"software: kgforge-test\r\n",
+        },
+        {
+            "warc_type": "request",
+            "target_uri": "https://a.example/x",
+            "payload": b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n",
+        },
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:resp-1>",
+            "target_uri": "https://a.example/x",
+            "warc_date": "2026-01-01T00:00:00Z",
+            "http_status": 200,
+            "http_content_type": "text/html; charset=utf-8",
+            "http_body": b"<html><body><p>Hello <b>WARC</b></p></body></html>",
+        },
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:resp-2>",
+            "target_uri": "https://b.example/plain",
+            "http_status": 200,
+            "http_content_type": "text/plain",
+            "http_body": "plain body é".encode("utf-8"),
+        },
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:resp-404>",
+            "target_uri": "https://b.example/gone",
+            "http_status": 404,
+            "http_content_type": "text/plain",
+            "http_body": b"not found",
+        },
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:resp-bin>",
+            "target_uri": "https://b.example/img",
+            "http_status": 200,
+            "http_content_type": "image/png",
+            "http_body": b"\x89PNG\r\n\x1a\n....",
+        },
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_build_parse_roundtrip(gz):
+    data = build_warc(_sample_records(), gzip_members=gz)
+    recs = list(parse_warc(data))
+    assert [r["headers"]["warc-type"] for r in recs] == [
+        "warcinfo", "request", "response", "response", "response",
+        "response",
+    ]
+    resp = recs[2]
+    assert resp["headers"]["warc-target-uri"] == "https://a.example/x"
+    status, ctype, body = split_http_payload(resp["payload"])
+    assert (status, ctype) == (200, "text/html; charset=utf-8")
+    assert body == b"<html><body><p>Hello <b>WARC</b></p></body></html>"
+    # non-HTTP payload passes through untouched
+    assert split_http_payload(recs[0]["payload"]) == (
+        None, None, b"software: kgforge-test\r\n"
+    )
+
+
+def test_gzip_members_are_independent():
+    """Common Crawl layout: each record its own gzip member; a single
+    member alone must also parse (range-request reads start anywhere)."""
+    data = build_warc(_sample_records(), gzip_members=True)
+    # decompress the FIRST member only
+    d = gzip.zlib.decompressobj(31)
+    first = d.decompress(data)
+    assert first.startswith(b"WARC/1.0")
+    assert len(list(parse_warc(gzip.compress(first, mtime=0)))) == 1
+    assert d.unused_data  # more members follow
+
+
+def test_parse_tolerates_truncation():
+    data = build_warc(_sample_records())
+    cut = data[: len(data) - len(data) // 3]
+    recs = list(parse_warc(cut))
+    assert 0 < len(recs) < 6  # prefix records survive, no crash
+    assert list(parse_warc(b"")) == []
+    assert list(parse_warc(b"garbage not warc")) == []
+
+
+def _write(path: str, data: bytes) -> str:
+    os.makedirs(WORK, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def test_load_warc_distributed(spark):
+    p1 = _write(f"{WORK}/a.warc", build_warc(_sample_records()))
+    p2 = _write(
+        f"{WORK}/b.warc.gz", build_warc(_sample_records(), gzip_members=True)
+    )
+    out = load_warc(spark, [p1, p2]).collect()
+    # responses only (default), 4 per file
+    assert len(out) == 8
+    assert {r.warc_type for r in out} == {"response"}
+    by_uri = {
+        (r.file.endswith("b.warc.gz"), r.target_uri): r for r in out
+    }
+    r = by_uri[(False, "https://a.example/x")]
+    assert r.http_status == 200
+    assert bytes(r.payload).startswith(b"<html>")
+    # all types when asked
+    allrecs = load_warc(spark, [p1], record_types=()).collect()
+    assert len(allrecs) == 6 or {r.warc_type for r in allrecs} >= {
+        "warcinfo", "request", "response"
+    }
+
+
+def test_warc_text_documents_and_dispatch(spark):
+    from kgforge.sources.html import html_to_text
+    from kgforge.sources.loaders import load_source
+
+    p = _write(
+        f"{WORK}/c.warc.gz", build_warc(_sample_records(), gzip_members=True)
+    )
+    docs = {r.target_uri: r for r in warc_text_documents(spark, [p]).collect()}
+    # 404 and image/png dropped; html extracted with the parity parser
+    assert set(docs) == {"https://a.example/x", "https://b.example/plain"}
+    assert docs["https://a.example/x"].text == html_to_text(
+        b"<html><body><p>Hello <b>WARC</b></p></body></html>"
+    )
+    assert docs["https://b.example/plain"].text == "plain body é"
+    assert docs["https://b.example/plain"].content_type == "text/plain"
+    # S7 factory routes *.warc / *.warc.gz
+    via_factory = {r.source: r.content for r in load_source(spark, p).collect()}
+    assert via_factory["https://b.example/plain"] == "plain body é"
