@@ -1193,6 +1193,40 @@ def dedup_incremental(spark, sf_dir):
 
 
 @_q(
+    "cypher_union",
+    """
+    SELECT DISTINCT name FROM (
+      SELECT n.n_name AS name
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'REGION_0'
+      UNION ALL
+      SELECT n_name FROM nation WHERE n_name LIKE 'NATION_1%'
+    ) ORDER BY name
+    """,
+)
+def cypher_union(spark, sf_dir):
+    """UNION of two full sub-queries (plans/cypher_exec.py run_cypher):
+    REGION_0's nations vs nations named NATION_1* — the sides OVERLAP
+    (NATION_10/15 are in REGION_0), so the cross-side dedup is
+    load-bearing. Each side compiles independently (its own MATCH/WHERE/
+    RETURN); plain UNION = unionByName + dropDuplicates. Final sort is
+    engine-side (openCypher has no post-union ORDER BY in this subset)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    out = run_cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "WHERE r.name = 'REGION_0' RETURN n.name AS name "
+        "UNION "
+        "MATCH (n:Nation) WHERE n.name STARTS WITH 'NATION_1' "
+        "RETURN n.name AS name",
+        nodes,
+        edges,
+    )
+    return out.orderBy("name")
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

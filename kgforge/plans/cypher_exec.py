@@ -26,6 +26,7 @@ tables:
     RETURN a, b.prop AS p, n  [DISTINCT]
     ORDER BY n DESC, p SKIP 5 LIMIT 10
     ORDER BY count(b) DESC, a.prop           -- unaliased agg / var.prop
+    UNION [ALL] MATCH ... RETURN ...         -- full sub-queries, same cols
 
 Semantics and scope:
 
@@ -144,6 +145,7 @@ _CLAUSE = re.compile(
     re.IGNORECASE,
 )
 _UNWIND_BODY = re.compile(r"\[(.*)\]\s+AS\s+(\w+)$", re.IGNORECASE | re.DOTALL)
+_UNION_RE = re.compile(r"\bUNION(\s+ALL)?\b", re.IGNORECASE)
 # CALL algo.SPpaths({...}) YIELD items  /  CALL algo.SSpaths({...}) YIELD …
 _CALL_ALGO = re.compile(
     r"^algo\s*\.\s*(SPpaths|SSpaths)\s*\(\s*\{(.*)\}\s*\)\s*"
@@ -456,6 +458,34 @@ def run_cypher(
     max_hops: int = MAX_VAR_HOPS,
 ) -> DataFrame:
     """Execute a read-only Cypher query against the graph tables."""
+    # ---- UNION [ALL]: independent sub-queries, combined rows ----------
+    # openCypher: each side is a full query (its own MATCH..RETURN and
+    # per-side ORDER BY/LIMIT); sides must return the SAME column names;
+    # UNION dedups across sides, UNION ALL keeps multiplicity; mixing
+    # the two in one query is invalid. Compiled as recursive run_cypher
+    # per side + unionByName (+ dropDuplicates for plain UNION).
+    text = cypher.strip().rstrip(";")
+    union_marks = list(_UNION_RE.finditer(_mask_quotes(text)))
+    if union_marks:
+        alls = {bool(m.group(1)) for m in union_marks}
+        if len(alls) > 1:
+            raise CypherUnsupported(
+                "mixing UNION and UNION ALL in one query is invalid Cypher"
+            )
+        parts, last = [], 0
+        for m in union_marks:
+            parts.append(text[last : m.start()])
+            last = m.end()
+        parts.append(text[last:])
+        out = run_cypher(parts[0], nodes, edges, max_hops)
+        for part in parts[1:]:
+            nxt = run_cypher(part, nodes, edges, max_hops)
+            if set(nxt.columns) != set(out.columns):
+                raise CypherUnsupported(
+                    "UNION sides must return the same column names"
+                )
+            out = out.unionByName(nxt)
+        return out if alls.pop() else out.dropDuplicates()
     # ---- ordered clause scan: WHERE binds to the clause it follows ----
     # The query is a PIPELINE of segments separated by WITH boundaries:
     # each segment holds its MATCH/WHERE/OPTIONAL-MATCH clauses and ends

@@ -1733,3 +1733,103 @@ def test_scalar_literal_commas_and_quotes_masked(graph):
     assert [(r.h, r.name) for r in out] == [
         ("n/a, (none)", "Ana"), ("n/a, (none)", "Bo"), ("n/a, (none)", "Cy"),
     ]
+
+
+# ---------------------------------------------------------- UNION [ALL]
+
+
+def test_union_dedups_across_sides(graph):
+    """openCypher UNION: each side a full query, same column names, rows
+    deduplicated across sides."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight {title: 'Ana v Bo'}) "
+        "RETURN f.name AS name "
+        "UNION "
+        "MATCH (f:Fighter) WHERE f.wins >= 7 RETURN f.name AS name",
+        nodes, edges,
+    ).collect()
+    # side 1: Ana, Bo; side 2: Ana(12), Bo(7) -> dedup to 2
+    assert sorted(r.name for r in out) == ["Ana", "Bo"]
+
+
+def test_union_all_keeps_multiplicity(graph):
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter {name: 'Cy'}) RETURN f.name AS name "
+        "UNION ALL "
+        "MATCH (f:Fighter) WHERE f.wins < 10 RETURN f.name AS name",
+        nodes, edges,
+    ).collect()
+    assert sorted(r.name for r in out) == ["Bo", "Cy", "Cy"]
+
+
+def test_union_per_side_order_limit(graph):
+    """ORDER BY/LIMIT bind to their own side (openCypher), not the union."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN f.name AS name ORDER BY name LIMIT 1 "
+        "UNION "
+        "MATCH (f:Fighter) RETURN f.name AS name ORDER BY name DESC LIMIT 1",
+        nodes, edges,
+    ).collect()
+    assert sorted(r.name for r in out) == ["Ana", "Cy"]
+
+
+def test_union_guards(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherUnsupported, match="same column names"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN f.name AS a "
+            "UNION MATCH (f:Fighter) RETURN f.name AS b",
+            nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported, match="mixing UNION"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN f.name AS a "
+            "UNION MATCH (f:Fighter) RETURN f.name AS a "
+            "UNION ALL MATCH (f:Fighter) RETURN f.name AS a",
+            nodes, edges,
+        )
+    # a quoted 'UNION' inside a string literal is NOT a union boundary
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name = 'UNION' RETURN f.name AS name",
+        nodes, edges,
+    ).collect()
+    assert out == []
+
+
+def test_union_through_kg_query(spark, workdir):
+    """kg.query validates both UNION sides' legs (the validator is
+    leg-span based, so UNION needs no special pass-through) then
+    executes the union."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[
+            Entity("Actor", [Attribute("name", "string", True, True)]),
+            Entity("Movie", [Attribute("title", "string", True, True)]),
+        ],
+        relations=[Relation("ACTED_IN", "Actor", "Movie", [])],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([
+        ("Actor", {"name": "Jose"}), ("Actor", {"name": "Mira"}),
+        ("Movie", {"title": "Tide"}),
+    ])
+    kg.add_edges([
+        ("ACTED_IN", "Actor", "Movie", {"name": "Jose"}, {"title": "Tide"}),
+    ])
+    out = kg.query(
+        "MATCH (a:Actor)-[:ACTED_IN]->(m:Movie) RETURN a.name AS name "
+        "UNION MATCH (a:Actor {name: 'Mira'}) RETURN a.name AS name"
+    ).collect()
+    assert sorted(r.name for r in out) == ["Jose", "Mira"]
+    # an invalid leg on EITHER side still rejects
+    with pytest.raises(ValueError, match="direction"):
+        kg.query(
+            "MATCH (a:Actor)-[:ACTED_IN]->(m:Movie) RETURN a.name AS name "
+            "UNION MATCH (a:Actor)<-[:ACTED_IN]-(m:Movie) "
+            "RETURN a.name AS name"
+        )
