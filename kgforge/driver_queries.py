@@ -1227,6 +1227,34 @@ def cypher_union(spark, sf_dir):
 
 
 @_q(
+    "cypher_node_props",
+    """
+    SELECT 'Nation' AS lbl, n.n_name AS name,
+           '{"name":"' || r.r_name || '"}' AS region_props
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY name
+    """,
+)
+def cypher_node_props(spark, sf_dir):
+    """labels()/properties() in RETURN (plans/cypher_exec.py): the
+    reference's QA contract returns WHOLE entities ("return all relevant
+    entities ... and attributes", ref fixtures/prompts.py CYPHER_GEN) —
+    labels(n) is the pattern label (single-label model) and
+    properties(n) serializes the props map as canonical sorted-key JSON,
+    reproduced literally by the oracle's string concat."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN labels(n) AS lbl, n.name AS name, "
+        "properties(r) AS region_props ORDER BY name",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

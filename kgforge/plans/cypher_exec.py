@@ -218,7 +218,8 @@ _NUM_AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
 # scalar functions compiled to hidden columns in RETURN; args carry no
 # nested parens, so a search loop resolves nested calls innermost-first
 _SCALAR_RE = re.compile(
-    r"\b(toLower|toUpper|trim|toInteger|toFloat|coalesce|substring|type)"
+    r"\b(toLower|toUpper|trim|toInteger|toFloat|coalesce|substring|type"
+    r"|labels|properties)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -2161,6 +2162,7 @@ def run_cypher(
                 "tolower": (1, 1), "toupper": (1, 1), "trim": (1, 1),
                 "tointeger": (1, 1), "tofloat": (1, 1), "type": (1, 1),
                 "coalesce": (2, 99), "substring": (2, 3),
+                "labels": (1, 1), "properties": (1, 1),
             }[fnl]
             if not (n_args[0] <= len(args) <= n_args[1]):
                 raise CypherUnsupported(
@@ -2176,6 +2178,37 @@ def run_cypher(
                         f"variable, got {a!r}"
                     )
                 expr = F.col(f"{a}__type")
+            elif fnl == "labels":
+                # single-label data model (like the reference's MERGE
+                # surface): labels(n) is the pattern's label STRING, a
+                # compile-time constant — openCypher's list collapses to
+                # its only element (documented deviation). An unlabeled
+                # var has no static label and raises.
+                a = args[0].strip()
+                if a not in var_specs:
+                    raise CypherUnsupported(
+                        f"labels() takes a bound node variable, got {a!r}"
+                    )
+                if var_specs[a][0] is None:
+                    raise CypherUnsupported(
+                        "labels() needs a LABELED variable in this subset"
+                    )
+                expr = F.lit(var_specs[a][0])
+            elif fnl == "properties":
+                # the full props map as CANONICAL JSON (keys sorted) —
+                # deterministic, engine-comparable, and feeds the
+                # reference's "return all attributes" QA contract
+                a = args[0].strip()
+                if a not in var_specs:
+                    raise CypherUnsupported(
+                        f"properties() takes a bound node variable, got "
+                        f"{a!r}"
+                    )
+                expr = F.to_json(
+                    F.map_from_entries(
+                        F.array_sort(F.map_entries(F.col(f"{a}__props")))
+                    )
+                )
             elif fnl == "coalesce":
                 expr = F.coalesce(*[_scalar_arg(a) for a in args])
             elif fnl == "substring":

@@ -1833,3 +1833,30 @@ def test_union_through_kg_query(spark, workdir):
             "UNION MATCH (a:Actor)<-[:ACTED_IN]-(m:Movie) "
             "RETURN a.name AS name"
         )
+
+
+def test_labels_and_properties_in_return(graph):
+    """labels(n) = the pattern's label string (single-label model,
+    documented deviation from openCypher's list); properties(n) = the
+    full props map as canonical sorted-key JSON."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter {name: 'Ana'}) "
+        "RETURN labels(f) AS lbl, properties(f) AS props",
+        nodes, edges,
+    ).collect()
+    assert [(r.lbl, r.props) for r in out] == [
+        ("Fighter", '{"name":"Ana","wins":"12"}')
+    ]
+    # usable inside aggregates / grouping like any hidden column
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN labels(f) AS lbl, count(f) AS n",
+        nodes, edges,
+    ).collect()
+    assert [(r.lbl, r.n) for r in out] == [("Fighter", 3)]
+    with pytest.raises(CypherUnsupported, match="LABELED"):
+        run_cypher("MATCH (x) RETURN labels(x) AS l", nodes, edges)
+    with pytest.raises(CypherUnsupported, match="bound node variable"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN properties(zz) AS p", nodes, edges
+        )
