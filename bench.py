@@ -69,6 +69,9 @@ HEADLINE = [
     "cypher_with_topk",
     "graph_pagerank",
     "graph_weighted_sssp",
+    # r4 session-4 additions (new rows vs BENCH_r03 — not regressions)
+    "text_zipf_quality",
+    "corpus_pack_sequences",
 ]
 
 

@@ -1255,6 +1255,65 @@ def cypher_node_props(spark, sf_dir):
 
 
 @_q(
+    "cypher_percentile",
+    """
+    WITH g AS (
+      SELECT n_name AS nation, list_sort(list(c_acctbal)) AS l
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT nation,
+           CAST(l[greatest(CAST(ceil(0.5 * len(l)) AS BIGINT), 1)]
+                AS DOUBLE) AS med_bal,
+           CAST(l[greatest(CAST(ceil(0.9 * len(l)) AS BIGINT), 1)]
+                AS DOUBLE) AS p90_bal
+    FROM g ORDER BY nation
+    """,
+)
+def cypher_percentile(spark, sf_dir):
+    """percentileDisc (plans/cypher_exec.py _pct_disc): Neo4j/FalkorDB
+    nearest-rank percentile — 1-based index ceil(p*n) into the group's
+    sorted values, exact (no interpolation) so the cross-engine hash
+    compare is stable. The oracle replays the identical rule via DuckDB
+    list aggregation + 1-based indexing. Graph = customer -[:FROM]->
+    nation (same builder as cypher_num_agg)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+        ).alias("props"),
+    ).unionByName(
+        nation.select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("key"),
+            F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+        )
+    )
+    edges = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("src_id"),
+        F.lit("FROM").alias("label"),
+        F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer)-[:FROM]->(n:Nation) "
+        "RETURN n AS nation, percentileDisc(c.acctbal, 0.5) AS med_bal, "
+        "percentileDisc(c.acctbal, 0.9) AS p90_bal ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

@@ -208,6 +208,7 @@ _IN_COND = re.compile(
 _RET_ITEM = re.compile(
     r"^(?:(count|sum|avg|min|max|collect)\s*\(\s*(DISTINCT\s+)?"
     r"(\*|\w+(?:\.\w+)?)\s*\)"
+    r"|(percentileDisc)\s*\(\s*(\w+(?:\.\w+)?)\s*,\s*([\d.]+)\s*\)"
     r"|(length)\s*\(\s*(\w+)\s*\)"
     r"|(\w+)(?:\.(\w+))?)"
     r"(?:\s+AS\s+(\w+))?$",
@@ -215,6 +216,19 @@ _RET_ITEM = re.compile(
 )
 # numeric aggregates operate on try_cast-double props (props store strings)
 _NUM_AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+
+
+def _pct_disc(col: Column, p: float) -> Column:
+    """Neo4j/FalkorDB percentileDisc: nearest-rank over the group's
+    non-NULL values — 1-based index ceil(p * n) into the sorted values
+    (p=0 -> min, p=1 -> max). collect_list skips NULLs (openCypher
+    parity); an all-NULL group yields NULL via try_element_at. Exact and
+    engine-replicable (no interpolation), unlike percentileCont."""
+    lst = F.sort_array(F.collect_list(col))
+    idx = F.greatest(
+        F.ceil(F.size(lst) * F.lit(float(p))).cast("int"), F.lit(1)
+    )
+    return F.try_element_at(lst, idx)
 # scalar functions compiled to hidden columns in RETURN; args carry no
 # nested parens, so a search loop resolves nested calls innermost-first
 _SCALAR_RE = re.compile(
@@ -1277,8 +1291,36 @@ def run_cypher(
             m = _RET_ITEM.fullmatch(item.strip())
             if m is None:
                 raise CypherUnsupported(f"unsupported return item {item!r}")
-            (cnt, cnt_distinct, cnt_arg, length_fn, length_arg,
-             var, prop, alias) = m.groups()
+            (cnt, cnt_distinct, cnt_arg, pct, pct_arg, pct_p, length_fn,
+             length_arg, var, prop, alias) = m.groups()
+            if pct:
+                if not 0.0 <= float(pct_p) <= 1.0:
+                    raise CypherUnsupported(
+                        f"percentileDisc percentile must be in [0, 1], "
+                        f"got {pct_p}"
+                    )
+                unsafe_aggs.append(item.strip())
+                name = alias or f"percentileDisc_{pct_arg.replace('.', '_')}"
+                v, _, p = pct_arg.partition(".")
+                if columns_ns is not None:
+                    if p or v not in columns_ns:
+                        raise CypherUnsupported(
+                            f"unknown column {pct_arg!r} after WITH"
+                        )
+                    target = F.col(v)
+                elif p:
+                    target = prop_col(v, p)
+                elif v in extra:
+                    target = F.col(v)
+                else:
+                    raise CypherUnsupported(
+                        "percentileDisc() takes a property (var.prop), "
+                        f"got {pct_arg!r}"
+                    )
+                aggs.append(
+                    (name, _pct_disc(target.try_cast("double"), float(pct_p)))
+                )
+                continue
             if columns_ns is not None:
                 # post-WITH namespace: bare column names + count()
                 if length_fn:
@@ -1779,10 +1821,15 @@ def run_cypher(
             m = _RET_ITEM.fullmatch(item.strip())
             if m is None:
                 raise CypherUnsupported(f"unsupported WITH item {item!r}")
-            (cnt, cnt_distinct, cnt_arg, length_fn, _length_arg,
-             var, prop, alias) = m.groups()
+            (cnt, cnt_distinct, cnt_arg, pct, _pct_arg, _pct_p, length_fn,
+             _length_arg, var, prop, alias) = m.groups()
             if length_fn:
                 raise CypherUnsupported("length() before MATCH-after-WITH")
+            if pct:
+                raise CypherUnsupported(
+                    "percentileDisc at a WITH boundary before a later "
+                    "MATCH is out of subset (use it in RETURN)"
+                )
             if cnt:
                 fnl = cnt.lower()
                 arg = cnt_arg.strip()
@@ -2251,7 +2298,8 @@ def run_cypher(
 
     ret_is_distinct = bool(re.match(r"DISTINCT\b", ret_text, re.IGNORECASE))
     ret_has_aggs = any(
-        (m := _RET_ITEM.fullmatch(item.strip())) is not None and m.group(1)
+        (m := _RET_ITEM.fullmatch(item.strip())) is not None
+        and (m.group(1) or m.group(4))  # count/sum/... or percentileDisc
         for item in _split_top_commas(
             re.sub(r"^DISTINCT\b", "", ret_text, flags=re.IGNORECASE)
         )

@@ -1860,3 +1860,34 @@ def test_labels_and_properties_in_return(graph):
         run_cypher(
             "MATCH (f:Fighter) RETURN properties(zz) AS p", nodes, edges
         )
+
+
+def test_percentile_disc(graph):
+    """Neo4j/FalkorDB percentileDisc: nearest-rank ceil(p*n), 1-based,
+    p=0 -> min, p=1 -> max; implicit grouping like any aggregate."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN percentileDisc(f.wins, 0.5) AS med, "
+        "percentileDisc(f.wins, 0) AS lo, percentileDisc(f.wins, 1) AS hi",
+        nodes, edges,
+    ).collect()
+    assert [(r.med, r.lo, r.hi) for r in out] == [(7.0, 3.0, 12.0)]
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "RETURN x.title AS fight, percentileDisc(f.wins, 1.0) AS best "
+        "ORDER BY fight",
+        nodes, edges,
+    ).collect()
+    assert [(r.fight, r.best) for r in out] == [
+        ("Ana v Bo", 12.0), ("Bo v Cy", 7.0),
+    ]
+    with pytest.raises(CypherUnsupported, match=r"\[0, 1\]"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN percentileDisc(f.wins, 1.5) AS x",
+            nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported, match="property"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN percentileDisc(f, 0.5) AS x",
+            nodes, edges,
+        )
