@@ -203,6 +203,62 @@ def warc_text_documents(
     )
 
 
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    text_col: str = "text",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Distributed WARC sink: one member-gzipped WARC file per partition.
+
+    The export half of the WARC story (re-publishing a curated corpus in
+    the archive format downstream crawler tooling consumes): each task
+    serializes its partition's rows as `response` records (text/plain
+    HTTP payloads, UTF-8) into ``part-{partition_id:05d}.warc.gz`` under
+    ``out_dir`` and emits one MANIFEST row (path, n_records, n_bytes) —
+    the returned DataFrame is metadata-sized, the data plane never
+    leaves the executors. Record ids/dates derive from the row's uri
+    (no wall clock), so a rerun over identical partitioning reproduces
+    identical bytes (`build_warc` pins gzip mtime=0). Round-trips
+    through `load_warc`/`warc_text_documents` by construction.
+    """
+    import os
+
+    def write_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs, n = [], 0
+        for pdf in batches:
+            for uri, text in zip(pdf[uri_col], pdf[text_col]):
+                if text is None:
+                    continue
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "record_id": f"<urn:kgforge:{uri}>",
+                        "target_uri": uri,
+                        "http_status": 200,
+                        "http_content_type": "text/plain",
+                        "http_body": str(text).encode("utf-8"),
+                    }
+                )
+                n += 1
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        data = build_warc(recs, gzip_members=gzip_members)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
+        )
+
+    return df.select(uri_col, text_col).mapInPandas(
+        write_partition, "path string, n_records long, n_bytes long"
+    )
+
+
 # --------------------------------------------------------------- writer
 
 

@@ -153,3 +153,31 @@ def test_warc_text_documents_and_dispatch(spark):
     # S7 factory routes *.warc / *.warc.gz
     via_factory = {r.source: r.content for r in load_source(spark, p).collect()}
     assert via_factory["https://b.example/plain"] == "plain body é"
+
+
+def test_write_warc_roundtrip(spark):
+    """Distributed sink: one WARC file per partition + a metadata-sized
+    manifest; re-ingesting through warc_text_documents reproduces the
+    exact (uri, text) set; NULL texts drop."""
+    import shutil
+
+    from kgforge.sources.warc import write_warc
+
+    out_dir = f"{WORK}/sink_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    rows = [(f"https://ex.com/{i}", f"text {i} é") for i in range(37)]
+    rows.append(("https://ex.com/null", None))
+    df = spark.createDataFrame(
+        rows, "target_uri string, text string"
+    ).repartition(4)
+    manifest = write_warc(df, out_dir).collect()
+    assert len(manifest) == 4
+    assert sum(r.n_records for r in manifest) == 37
+    assert all(r.path.endswith(".warc.gz") for r in manifest)
+    back = {
+        (r.target_uri, r.text)
+        for r in warc_text_documents(
+            spark, [r.path for r in manifest]
+        ).collect()
+    }
+    assert back == set(rows[:-1])
