@@ -203,6 +203,48 @@ def warc_text_documents(
     )
 
 
+def warc_pages(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """WARC responses -> the KG pipeline's PAGES contract (url, warc_ts,
+    html, text, lang — plans/pipeline.py stage 01), so a crawl archive
+    feeds run_pipeline directly: 2xx text/html responses only, raw html
+    BYTES preserved for the in-UDF extractor and DOM wrappers (the
+    pipeline's bs4-parity UDF does its own decode), warc_ts parsed from
+    the record's WARC-Date, text/lang NULL (stage 01 fills text)."""
+    recs = load_warc(spark, paths, record_types=("response",))
+
+    def to_pages(batches):
+        for pdf in batches:
+            urls, dates, htmls = [], [], []
+            for uri, date, status, ctype, body in zip(
+                pdf["target_uri"], pdf["warc_date"], pdf["http_status"],
+                pdf["http_content_type"], pdf["payload"],
+            ):
+                base = (ctype or "").split(";")[0].strip().lower()
+                if status is None or not 200 <= status < 300:
+                    continue
+                if base != "text/html":
+                    continue
+                urls.append(uri)
+                dates.append(date)
+                htmls.append(bytes(body))
+            yield pd.DataFrame(
+                {"url": urls, "warc_date": dates, "html": htmls}
+            )
+
+    pages = recs.mapInPandas(
+        to_pages, "url string, warc_date string, html binary"
+    )
+    return pages.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "warc_ts"
+        ),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,

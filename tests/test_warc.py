@@ -181,3 +181,62 @@ def test_write_warc_roundtrip(spark):
         ).collect()
     }
     assert back == set(rows[:-1])
+
+
+def test_warc_pages_feed_the_pipeline(spark, workdir):
+    """Crawl-archive e2e: corpus pages -> WARC files -> warc_pages ->
+    run_pipeline produces the SAME triples as running the pipeline on
+    the in-memory pages (proving WARC is a first-class pipeline source,
+    not just a parser)."""
+    import shutil
+
+    from kgforge.plans.pipeline import run_pipeline
+    from kgforge.sources.pages import (
+        corpus_to_spark, generate_corpus, movies_ontology,
+    )
+    from kgforge.sources.warc import warc_pages
+
+    c = generate_corpus(n_pages=16, seed=7)
+    pages, _, _ = corpus_to_spark(spark, c)
+    with_html = [p for p in c.pages if p["html"]]
+    assert len(with_html) >= 10
+    recs = [
+        {
+            "warc_type": "response",
+            "record_id": f"<urn:kgforge:{p['url']}>",
+            "target_uri": p["url"],
+            "warc_date": p["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "http_status": 200,
+            "http_content_type": "text/html; charset=utf-8",
+            "http_body": p["html"]
+            if isinstance(p["html"], bytes)
+            else p["html"].encode("utf-8"),
+        }
+        for p in with_html
+    ]
+    path = f"{WORK}/pipeline.warc.gz"
+    _write(path, build_warc(recs, gzip_members=True))
+
+    wp = warc_pages(spark, [path])
+    assert wp.columns == ["url", "warc_ts", "html", "text", "lang"]
+    for d in (f"{workdir}/direct", f"{workdir}/via_warc"):
+        shutil.rmtree(d, ignore_errors=True)
+    keep = {p["url"] for p in with_html}
+    direct = run_pipeline(
+        spark,
+        pages.where(pages.url.isin(keep)),
+        movies_ontology(),
+        f"{workdir}/direct",
+    )
+    via = run_pipeline(spark, wp, movies_ontology(), f"{workdir}/via_warc")
+
+    def tri(out):
+        return {
+            (r.subj_label, r.subj_key, r.pred, r.obj_label, r.obj_key)
+            for r in out["triples"].select(
+                "subj_label", "subj_key", "pred", "obj_label", "obj_key"
+            ).collect()
+        }
+
+    a, b = tri(direct), tri(via)
+    assert a == b and len(a) > 0
