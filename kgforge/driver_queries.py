@@ -1314,6 +1314,54 @@ def cypher_percentile(spark, sf_dir):
 
 
 @_q(
+    "cypher_math_fns",
+    """
+    SELECT c_custkey::VARCHAR AS custkey,
+           abs(CAST(c_acctbal AS DOUBLE)) AS abs_bal,
+           CAST(ceil(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS ceil_bal,
+           CAST(floor(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS floor_bal,
+           CAST(sign(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS sign_bal,
+           CAST(floor(CAST(c_acctbal AS DOUBLE)) AS BIGINT)::VARCHAR
+             AS floor_str
+    FROM customer ORDER BY custkey
+    """,
+)
+def cypher_math_fns(spark, sf_dir):
+    """Math scalars in RETURN (plans/cypher_exec.py hidden-column
+    framework): abs/ceil/floor/sign over try_cast-double props,
+    toString nested over floor. round() is deliberately out of subset —
+    Spark rounds HALF_UP, DuckDB/openCypher half-even, a silent
+    cross-engine divergence. ceil/floor/sign return BIGINT (Cypher
+    parity), exact on both engines."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("custkey"), F.col("c_custkey").cast("string"),
+            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+        ).alias("props"),
+    )
+    edges = customer.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) RETURN c.custkey AS custkey, "
+        "abs(c.acctbal) AS abs_bal, ceil(c.acctbal) AS ceil_bal, "
+        "floor(c.acctbal) AS floor_bal, sign(c.acctbal) AS sign_bal, "
+        "toString(floor(c.acctbal)) AS floor_str ORDER BY custkey",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

@@ -233,7 +233,7 @@ def _pct_disc(col: Column, p: float) -> Column:
 # nested parens, so a search loop resolves nested calls innermost-first
 _SCALAR_RE = re.compile(
     r"\b(toLower|toUpper|trim|toInteger|toFloat|coalesce|substring|type"
-    r"|labels|properties)"
+    r"|labels|properties|toString|abs|ceil|floor|sign)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -2210,6 +2210,8 @@ def run_cypher(
                 "tointeger": (1, 1), "tofloat": (1, 1), "type": (1, 1),
                 "coalesce": (2, 99), "substring": (2, 3),
                 "labels": (1, 1), "properties": (1, 1),
+                "tostring": (1, 1), "abs": (1, 1), "ceil": (1, 1),
+                "floor": (1, 1), "sign": (1, 1),
             }[fnl]
             if not (n_args[0] <= len(args) <= n_args[1]):
                 raise CypherUnsupported(
@@ -2277,6 +2279,23 @@ def run_cypher(
                 expr = F.trim(_scalar_arg(args[0]))
             elif fnl == "tointeger":
                 expr = _scalar_arg(args[0]).try_cast("long")
+            elif fnl == "tostring":
+                expr = _scalar_arg(args[0]).cast("string")
+            elif fnl in ("abs", "ceil", "floor", "sign"):
+                # math scalars over try_cast-double props; ceil/floor
+                # return BIGINT (Cypher parity), abs keeps the input's
+                # numeric shape, sign is -1/0/1. round() is deliberately
+                # absent: Spark rounds HALF_UP, DuckDB/openCypher
+                # half-even — a silent cross-engine divergence trap.
+                arg = _scalar_arg(args[0]).try_cast("double")
+                if fnl == "abs":
+                    expr = F.abs(arg)
+                elif fnl == "ceil":
+                    expr = F.ceil(arg).cast("long")
+                elif fnl == "floor":
+                    expr = F.floor(arg).cast("long")
+                else:
+                    expr = F.signum(arg).cast("long")
             else:  # tofloat
                 expr = _scalar_arg(args[0]).try_cast("double")
             name = f"__fn{next(fn_seq)}"

@@ -1891,3 +1891,18 @@ def test_percentile_disc(graph):
             "MATCH (f:Fighter) RETURN percentileDisc(f, 0.5) AS x",
             nodes, edges,
         )
+
+
+def test_math_scalars_in_return(graph):
+    """abs/ceil/floor/sign over try_cast-double props; toString casts;
+    nesting through the hidden-column loop (toString(floor(...)))."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter {name: 'Ana'}) "
+        "RETURN abs(f.wins) AS a, ceil(f.wins) AS c, floor(f.wins) AS fl, "
+        "sign(f.wins) AS s, toString(floor(f.wins)) AS st",
+        nodes, edges,
+    ).collect()
+    assert [(r.a, r.c, r.fl, r.s, r.st) for r in out] == [
+        (12.0, 12, 12, 1, "12")
+    ]
