@@ -32,6 +32,7 @@ in a downstream plan.
 from __future__ import annotations
 
 import gzip
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -337,10 +338,15 @@ def build_warc(
             ("WARC-Date", "warc_date"),
         ):
             if rec.get(field):
-                head.append(f"{key}: {rec[field]}")
+                # raw CR/LF in a header value would break record framing
+                # (valid URIs percent-encode them; data-derived ids may not)
+                clean = re.sub(r"[\r\n]+", " ", str(rec[field]))
+                head.append(f"{key}: {clean}")
         head.append(f"Content-Length: {len(payload)}")
         member = (
-            "\r\n".join(head).encode("ascii")
+            # WARC/1.0 header values may be UTF-8 (IRIs in Target-URI);
+            # the parser decodes utf-8 symmetrically
+            "\r\n".join(head).encode("utf-8")
             + _CRLF * 2
             + payload
             + _CRLF * 2
