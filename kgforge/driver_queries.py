@@ -1361,6 +1361,30 @@ def cypher_math_fns(spark, sf_dir):
     )
 
 
+@_q("dedup_minhash_incremental")  # LSH banding not SQL-expressible
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup vs a snapshot (functions/dedup.py
+    MinHashIndex + minhash_against): the documents table is the accepted
+    snapshot (banded ONCE), the 80%-prefix variants are the incoming
+    batch — each variant must hit its base doc WITHOUT the snapshot
+    being re-shingled. pytest (test_dedup_caps) adds the fresh-doc
+    negative, threshold, and save/load-parity checks."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    variants = d.select(
+        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+        F.expr("substr(text, 1, (n_chars * 4) div 5)").alias("text"),
+    )
+    idx = D.minhash_index(d)
+    out = D.minhash_against(
+        variants, idx, threshold_num=8, threshold_den=10
+    )
+    return out.select(
+        "new_id", "seen_id",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
 @_q(
     "warc_ingest",
     """

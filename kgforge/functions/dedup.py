@@ -245,30 +245,14 @@ def minhash_pairs(
     `exact_duplicates` first so oversized buckets only hold what exact
     dedup already collapsed.
     """
-    rows_per_band = n_hashes // n_bands
-    # persist: the band self-join and the two verification joins would
-    # otherwise re-evaluate the signature/shingle expressions per consumer
-    base = _persist(
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(F.col(text_col), n_hashes, shingle_k).alias(
-                "sig"
-            ),
-            word_set(F.col(text_col)).alias("ws"),
-        )
-    )
-    # bands carry only (id, band key): the word-set arrays must not ride
-    # through the n_bands-way explosion and both join sides — verification
-    # fetches them back by id from the persisted base
-    bands = base.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda i: F.slice("sig", i * rows_per_band + 1, rows_per_band),
-            )
-        ).alias("band_idx", "band"),
-    ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string")))
+    # _band_table persists its base: the band self-join and the two
+    # verification joins would otherwise re-evaluate the signature/
+    # shingle expressions per consumer. Bands carry only (id, band key):
+    # the word-set arrays must not ride through the n_bands-way
+    # explosion and both join sides — verification fetches them back by
+    # id from the persisted base.
+    bands, ws = _band_table(df, id_col, text_col, n_hashes, n_bands,
+                            shingle_k)
     bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
@@ -283,7 +267,6 @@ def minhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    ws = base.select("id", "ws")
     verified = (
         cands.join(
             ws.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a")),
@@ -305,6 +288,163 @@ def minhash_pairs(
         )
     )
     return verified
+
+
+class MinHashIndex:
+    """A built MinHash-LSH snapshot index: the accepted corpus's band
+    table + word sets, persisted once and joined against every incoming
+    batch — the NEAR-DUP twin of `dedup_against`'s fingerprint set. At
+    scale the snapshot is orders of magnitude larger than a batch, so
+    re-banding it per batch (what `minhash_pairs` over the union would
+    do) is the thing this index exists to avoid.
+
+    `params` ride with the index: a query batch MUST band with the same
+    (n_hashes, n_bands, shingle_k) or bucket keys are meaningless.
+    """
+
+    def __init__(self, bands: DataFrame, word_sets: DataFrame,
+                 params: dict):
+        self.bands = bands          # (id, band_idx, band_hash)
+        self.word_sets = word_sets  # (id, ws)
+        self.params = params
+
+    def save(self, path: str) -> None:
+        """Bands partitioned by band_idx (a probe prunes to its own
+        band's files); params as JSON next to them."""
+        import json
+
+        self.bands.write.mode("overwrite").partitionBy("band_idx").parquet(
+            f"{path}/bands"
+        )
+        self.word_sets.write.mode("overwrite").parquet(f"{path}/word_sets")
+        from kgforge.functions.similarity import _save_json_meta
+
+        _save_json_meta(self.bands, f"{path}/meta", json.dumps(self.params))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MinHashIndex":
+        import json
+
+        params = json.loads(
+            "".join(r.value for r in spark.read.text(f"{path}/meta").collect())
+        )
+        return cls(
+            spark.read.parquet(f"{path}/bands"),
+            spark.read.parquet(f"{path}/word_sets"),
+            params,
+        )
+
+
+def _band_table(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int,
+    n_bands: int, shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """((id, band_idx, band_hash), (id, ws)) — one signature pass."""
+    rows_per_band = n_hashes // n_bands
+    base = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), n_hashes, shingle_k).alias(
+                "sig"
+            ),
+            word_set(F.col(text_col)).alias("ws"),
+        )
+    )
+    bands = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.slice("sig", i * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band_idx", "band"),
+    ).withColumn("band_hash", F.xxhash64(F.col("band").cast("string"))).drop(
+        "band"
+    )
+    return bands, base.select("id", "ws")
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket: int | None = 10_000,
+) -> MinHashIndex:
+    """Build the snapshot index (band once, query many). Oversized
+    buckets are capped at BUILD (same `_cap_buckets` rule as
+    minhash_pairs) so a degenerate shingle can never quadratic-join a
+    later batch."""
+    bands, ws = _band_table(df, id_col, text_col, n_hashes, n_bands,
+                            shingle_k)
+    bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket)
+    return MinHashIndex(
+        bands, ws,
+        {"n_hashes": n_hashes, "n_bands": n_bands, "shingle_k": shingle_k},
+    )
+
+
+def minhash_against(
+    new: DataFrame,
+    index: MinHashIndex,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup candidates of a new batch AGAINST a snapshot index:
+    (new_id, seen_id, inter, uni), exact word-set Jaccard >= threshold.
+
+    The incremental form of `minhash_pairs`: the snapshot side is the
+    pre-banded index (never re-scanned, never re-shingled); only the new
+    batch pays the signature pass. Band equi-join on (band_idx,
+    band_hash) blocks; exact Jaccard over both sides' word sets decides
+    (LSH can only LOSE candidates, never fabricate) — identical
+    verification rule to the in-batch path."""
+    p = index.params
+    bands, ws = _band_table(
+        new, id_col, text_col, p["n_hashes"], p["n_bands"], p["shingle_k"]
+    )
+    bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket)
+    cands = (
+        bands.alias("q")
+        .join(
+            index.bands.alias("s"),
+            on=[
+                F.col("q.band_idx") == F.col("s.band_idx"),
+                F.col("q.band_hash") == F.col("s.band_hash"),
+            ],
+        )
+        .select(
+            F.col("q.id").alias("new_id"), F.col("s.id").alias("seen_id")
+        )
+        .dropDuplicates(["new_id", "seen_id"])
+    )
+    return (
+        cands.join(
+            ws.select(F.col("id").alias("new_id"), F.col("ws").alias("ws_n")),
+            on="new_id",
+        )
+        .join(
+            index.word_sets.select(
+                F.col("id").alias("seen_id"), F.col("ws").alias("ws_s")
+            ),
+            on="seen_id",
+        )
+        .select(
+            "new_id",
+            "seen_id",
+            F.size(F.array_intersect("ws_n", "ws_s")).alias("inter"),
+            F.size(F.array_union("ws_n", "ws_s")).alias("uni"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * F.col("uni")
+        )
+    )
 
 
 # --------------------------------------------------------------- SimHash

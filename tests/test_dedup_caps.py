@@ -137,3 +137,48 @@ def test_dedup_against_snapshot_and_batch(spark):
     surv = dedup_against(new, seen)
     again = {r.doc_id for r in dedup_against(surv, seen).collect()}
     assert again == {11, 13}
+
+
+def test_minhash_index_against_snapshot(spark, tmp_path):
+    """Incremental near-dup: band the snapshot ONCE (MinHashIndex), then
+    join each new batch against it — near-dups of snapshot docs are
+    found, fresh docs are not, and a saved/loaded index answers
+    identically."""
+    from kgforge.functions.dedup import (
+        MinHashIndex, minhash_against, minhash_index,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions beneath the ancient stone bridge at midnight "
+        "and the river carries every secret to the patient sea"
+    )
+    snapshot = spark.createDataFrame(
+        [(i, f"{base_text} variant {i}") for i in range(20)]
+        + [(100, "completely different text about spark shuffles and "
+                 "partition pruning in columnar storage engines today")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(snapshot)
+    # near-dup of snapshot doc (drop the last 3 words), one fresh doc
+    near = base_text.rsplit(" ", 3)[0] + " variant 3"
+    new = spark.createDataFrame(
+        [(1000, near),
+         (2000, "unrelated fresh content on gardening tulip bulbs and "
+                "compost rotation schedules for northern climates soon")],
+        "doc_id long, text string",
+    )
+    hits = minhash_against(new, idx).collect()
+    assert {r.new_id for r in hits} == {1000}
+    assert all(
+        10 * r.inter >= 7 * r.uni and r.seen_id < 100 for r in hits
+    )
+    # save/load answers identically (params ride with the index)
+    path = str(tmp_path / "mh_idx")
+    idx.save(path)
+    idx2 = MinHashIndex.load(spark, path)
+    assert idx2.params == idx.params
+    hits2 = {
+        (r.new_id, r.seen_id) for r in minhash_against(new, idx2).collect()
+    }
+    assert hits2 == {(r.new_id, r.seen_id) for r in hits}
