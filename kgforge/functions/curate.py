@@ -46,6 +46,8 @@ def curate_documents(
     max_punct_per_token_pct: int = 100,
     max_dup_line_pct: int | None = None,
     max_top_bigram_pct: int | None = None,
+    zipf_model: DataFrame | None = None,
+    max_mean_rank: tuple[int, int] | None = None,
     scrub: bool = False,
     bench: DataFrame | None = None,
     bench_ngram: int = 13,
@@ -70,6 +72,11 @@ def curate_documents(
     `bench=<DataFrame(bench_id, text)>` adds benchmark DECONTAMINATION
     (dedup.ngram_contamination, exact `bench_ngram`-gram overlap):
     contaminated docs drop with reason ``contaminated`` before dedup.
+    `zipf_model` (textstats.zipf_rank_model) + `max_mean_rank=(num,
+    den)` add the CCNet-style LM-quality gate: drop reason
+    ``perplexity`` when the doc's mean token rank exceeds num/den
+    (integer cross-multiplied — den*sum_rank > num*n_tok — so the
+    threshold compare stays bit-exact cross-engine).
     """
     base = TS.quality_stats(
         TS.lang_id(df, text_col, min_hits=lang_min_hits), text_col
@@ -116,6 +123,25 @@ def curate_documents(
             *df.columns
         )
 
+    zipf_audit = None
+    if zipf_model is not None and max_mean_rank is not None:
+        num, den = max_mean_rank
+        if den <= 0 or num < 0:
+            raise ValueError("max_mean_rank must be (num >= 0, den > 0)")
+        z = TS.zipf_quality(survivors, zipf_model, text_col, id_col)
+        z = z.withColumn(
+            "_reason",
+            F.when(
+                F.lit(den) * F.col("sum_rank")
+                > F.lit(num) * F.greatest(F.col("n_tok"), F.lit(1)),
+                F.lit("perplexity"),
+            ),
+        )
+        zipf_audit = z.filter(F.col("_reason").isNotNull()).select(
+            F.col(id_col).alias("id"), F.col("_reason").alias("reason")
+        )
+        survivors = z.filter(F.col("_reason").isNull()).select(*df.columns)
+
     decon_audit = None
     if bench is not None:
         hits = (
@@ -159,6 +185,8 @@ def curate_documents(
     )
     if rep_audit is not None:
         audit = audit.unionByName(rep_audit)
+    if zipf_audit is not None:
+        audit = audit.unionByName(zipf_audit)
     if decon_audit is not None:
         audit = audit.unionByName(decon_audit)
 

@@ -310,3 +310,32 @@ def test_zipf_quality_sums_and_oov(spark):
     }
     assert out[10] == (3, 1, 1 + 2 + 4)
     assert out[11] == (0, 0, 0)
+
+
+def test_funnel_zipf_perplexity_gate(spark):
+    """The LM-quality stage drops rare-token soup (mean rank > num/den)
+    with reason 'perplexity', after the quality gate and before dedup;
+    fluent head-heavy docs pass."""
+    from kgforge.functions.curate import curate_documents
+    from kgforge.functions.textstats import zipf_rank_model
+
+    common = "the of and to in it is was for on with that"
+    ref = spark.createDataFrame(
+        [(1, common * 3)], "doc_id bigint, text string"
+    )
+    model = zipf_rank_model(ref)  # vocab = the 12 common words
+    docs = spark.createDataFrame(
+        [
+            (10, f"{common} {common}"),           # all in-vocab: low rank
+            (11, "zyx wvu tsr qpo nml kji hgf"),  # all OOV: max rank
+        ],
+        "doc_id bigint, text string",
+    )
+    kept, audit = curate_documents(
+        docs, lang_min_hits=0, min_tokens=1,
+        zipf_model=model, max_mean_rank=(12, 1), near_dup=False,
+    )
+    assert {r.doc_id for r in kept.collect()} == {10}
+    assert {(r.id, r.reason) for r in audit.collect()} == {
+        (11, "perplexity")
+    }
