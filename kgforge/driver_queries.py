@@ -1386,6 +1386,44 @@ def dedup_minhash_incremental(spark, sf_dir):
 
 
 @_q(
+    "chunk_text_windows",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), gen AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil((len(t) - 16) / 48.0) AS BIGINT), 1) AS k
+      FROM toks
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(0, k)) AS i FROM gen
+    )
+    SELECT doc_id, i AS chunk_idx,
+           md5(array_to_string(t[i*48+1 : i*48+64], ' ')) AS chunk_md5,
+           len(t[i*48+1 : i*48+64])::BIGINT AS n_chunk_tokens
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_text_windows(spark, sf_dir):
+    """Overlapping token-window chunking (sources/chunk.py
+    window_chunks): 64-token windows advancing by 48 (16-token overlap)
+    — the RAG/embedding prep shape — as a map-only stage (token array
+    materialized once per row, transform + posexplode, zero shuffles).
+    The oracle replays the identical slice arithmetic via DuckDB's
+    1-based inclusive list slicing (t[a : a+size-1+1] clip-safe)."""
+    from kgforge.sources.chunk import window_chunks
+
+    out = window_chunks(_t(spark, sf_dir, "documents"), size=64, overlap=16)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(F.encode(F.col("chunk"), "UTF-8")).alias("chunk_md5"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

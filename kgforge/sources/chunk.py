@@ -77,3 +77,52 @@ def chunk_csv(
     return chunk_rows(
         joined, "_line", order_col, rows_per_document, part_col=part_col
     )
+
+
+def window_chunks(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/embedding prep shape).
+
+    Each document's whitespace tokens are cut into windows of `size`
+    tokens advancing by ``step = size - overlap``; window i covers
+    tokens ``[i*step, i*step + size)`` so consecutive chunks share
+    `overlap` tokens. A document always yields >= 1 chunk (short docs
+    produce one partial chunk); NULL-text docs yield none. Output:
+    (id, chunk_idx, chunk, n_chunk_tokens), deterministic per document.
+
+    Scale shape: pure built-in expressions — the token array is
+    materialized ONCE per row in a projection (HOF subexpressions are
+    not CSE'd; an inline `toks` inside the lambda would re-split the
+    text per window), then one `transform` + `posexplode`. No shuffle,
+    no window function, no Python: chunking 100 TB is a map-only stage.
+    """
+    if size <= 0 or not 0 <= overlap < size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    step = size - overlap
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    k = F.greatest(
+        F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(step)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(
+            F.slice("__toks", i * step + 1, size), " "
+        ),
+    )
+    return (
+        base.select("id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .withColumn(
+            "n_chunk_tokens", F.size(F.split(F.col("chunk"), r"\s+"))
+        )
+    )

@@ -339,3 +339,31 @@ def test_funnel_zipf_perplexity_gate(spark):
     assert {(r.id, r.reason) for r in audit.collect()} == {
         (11, "perplexity")
     }
+
+
+def test_window_chunks_overlap_and_edges(spark):
+    """Windows advance by size-overlap and share exactly `overlap`
+    tokens; short docs give one partial chunk; NULL text gives none;
+    reassembling non-overlapped spans reproduces the document."""
+    import pytest as _pytest
+
+    from kgforge.sources.chunk import window_chunks
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, None)], "doc_id bigint, text string"
+    )
+    out = window_chunks(df, size=5, overlap=2)
+    rows = {(r.id, r.chunk_idx): r for r in out.collect()}
+    # n=10, size=5, step=3 -> ceil((10-2)/3)=3 chunks
+    assert {(i, j) for i, j in rows} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert rows[(1, 0)].chunk == "t0 t1 t2 t3 t4"
+    assert rows[(1, 1)].chunk == "t3 t4 t5 t6 t7"
+    assert rows[(1, 2)].chunk == "t6 t7 t8 t9"  # clipped tail
+    assert rows[(1, 2)].n_chunk_tokens == 4
+    assert rows[(2, 0)].chunk == "a b"  # short doc: one partial chunk
+    # overlap property: last `overlap` tokens of chunk i == first of i+1
+    a, b = rows[(1, 0)].chunk.split(), rows[(1, 1)].chunk.split()
+    assert a[-2:] == b[:2]
+    with _pytest.raises(ValueError):
+        window_chunks(df, size=4, overlap=4)
