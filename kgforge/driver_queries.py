@@ -1424,6 +1424,39 @@ def chunk_text_windows(spark, sf_dir):
 
 
 @_q(
+    "events_asof_join",
+    """
+    SELECT l.event_id, l.user_id,
+           r.event_id AS signup_id, r.ts AS ts_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every purchase event picks up the
+    user's latest signup AT OR BEFORE it — the point-in-time attach
+    Spark's DataFrame API lacks, realized as the linear UNION-SORT shape
+    (one Exchange on the key, per-key window carry-forward, no
+    theta-join row explosion). The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN — an independent reference implementation of the semantics."""
+    from kgforge.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts"),
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("signup_id")),
+        on="user_id",
+    )
+    return out.select(
+        "event_id", "user_id", "signup_id_r", "ts_r"
+    ).withColumnsRenamed({"signup_id_r": "signup_id"}).orderBy("event_id")
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

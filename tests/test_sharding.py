@@ -263,3 +263,56 @@ def test_pack_sequences_matches_serial_scan_any_layout(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(df, block=0)
+
+
+# ---- as-of join (operators/asof.py) ----------------------------------
+
+
+def test_asof_join_semantics(spark):
+    """Each left row gets the latest right row at-or-before its ts per
+    key; strict excludes equal-ts; no prior right -> NULLs; right rows
+    never fabricate left rows."""
+    from kgforge.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 100, "p100"),
+            (2, "u1", 205, "p205"),
+            (3, "u1", 50, "pearly"),
+            (4, "u2", 300, "lonely"),   # u2 has no right rows
+        ],
+        "event_id long, user string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 100, "r100"),
+            ("u1", 200, "r200"),
+            ("u1", 400, "rlate"),
+            ("u3", 10, "unused"),
+        ],
+        "user string, ts long, rtag string",
+    )
+    out = {
+        r.event_id: (r.ts_r, r.rtag_r)
+        for r in asof_join(left, right, on="user").collect()
+    }
+    assert out == {
+        1: (100, "r100"),   # inclusive: equal ts matches
+        2: (200, "r200"),
+        3: (None, None),    # before any right row
+        4: (None, None),    # key with no right side
+    }
+    strict = {
+        r.event_id: (r.ts_r, r.rtag_r)
+        for r in asof_join(left, right, on="user", strict=True).collect()
+    }
+    assert strict[1] == (None, None)  # equal ts excluded
+    assert strict[2] == (200, "r200")
+    # layout independence: one shuffle on the key, any input partitioning
+    relaid = {
+        r.event_id: (r.ts_r, r.rtag_r)
+        for r in asof_join(
+            left.repartition(7), right.repartition(3), on="user"
+        ).collect()
+    }
+    assert relaid == out
