@@ -1457,6 +1457,47 @@ def events_asof_join(spark, sf_dir):
 
 
 @_q(
+    "events_range_join",
+    """
+    SELECT l.event_id, l.user_id, r.event_id AS signup_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id
+     AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 7 DAY
+    ORDER BY l.event_id, signup_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Bucketized range join (operators/asof.py range_join): purchases
+    inside each signup's 7-day attribution window. The interval side
+    explodes into day-width buckets, the join is a hash equi-join on
+    (user_id, bucket) + exact re-filter — linear, vs the
+    BroadcastNestedLoopJoin a naive BETWEEN theta-join compiles to. The
+    oracle runs the exact predicate join directly."""
+    from kgforge.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("win_lo"),
+            (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("win_hi"),
+        )
+    )
+    out = range_join(
+        points, intervals, "ts", "win_lo", "win_hi", on="user_id"
+    )
+    return out.select("event_id", "user_id", "signup_id").orderBy(
+        "event_id", "signup_id"
+    )
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

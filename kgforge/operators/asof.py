@@ -87,3 +87,57 @@ def asof_join(
     out_cols.append(F.col(f"__m.{right_ts}{suffix}"))
     out_cols.extend(F.col(f"__m.{c}{suffix}") for c in right_cols)
     return matched.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | str | None = None,
+    bucket: int = 86_400_000_000,
+) -> DataFrame:
+    """Point-in-interval join via bucketization — the other join shape
+    Spark lacks a fast native plan for.
+
+    ``points.point_col BETWEEN intervals.start_col AND intervals.
+    end_col`` (inclusive both ends, plus equal optional keys) naively
+    compiles to BroadcastNestedLoopJoin / cartesian-filter — quadratic.
+    Here both sides map to integer buckets of width ``bucket`` (numeric
+    or timestamp columns; timestamps bucket on epoch micros — the
+    default width is one day): each interval EXPLODES into every bucket
+    it covers, each point lands in one, and the join becomes a hash
+    equi-join on (keys..., bucket) re-filtered by the exact predicate.
+    Linear in |points| + |interval-bucket spans|; pick ``bucket`` near
+    the typical interval length so spans stay O(1).
+
+    Returns points columns + intervals columns (inner join, one row per
+    matching pair). Intervals with end < start yield nothing. Column
+    name collisions (beyond the join keys) must be resolved by the
+    caller beforehand.
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+
+    def to_long(name: str, df: DataFrame):
+        # timestamps (LTZ and NTZ both) bucket on epoch micros; NTZ
+        # casts through LTZ with the session zone — consistent across
+        # all three columns, which is all bucketing needs
+        if str(df.schema[name].dataType).startswith("Timestamp"):
+            return F.unix_micros(F.col(name).cast("timestamp"))
+        return F.col(name).cast("long")
+
+    p_b = F.floor(to_long(point_col, points) / bucket)
+    i_lo = F.floor(to_long(start_col, intervals) / bucket)
+    i_hi = F.floor(to_long(end_col, intervals) / bucket)
+    pt = points.withColumn("__b", p_b)
+    iv = intervals.where(
+        to_long(start_col, intervals) <= to_long(end_col, intervals)
+    ).withColumn(
+        "__b", F.explode(F.sequence(i_lo, i_hi))
+    )
+    joined = pt.join(iv, on=keys + ["__b"]).where(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__b")

@@ -316,3 +316,34 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert relaid == out
+
+
+def test_range_join_bucketized(spark):
+    """Bucketized point-in-interval join == the exact predicate join:
+    inclusive bounds, keyed, intervals spanning many buckets, empty and
+    inverted intervals."""
+    from kgforge.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, "k1", 5), (2, "k1", 100), (3, "k1", 250), (4, "k2", 5)],
+        "pid long, k string, v long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("k1", 0, 10, "a"),       # catches 5
+            ("k1", 5, 5, "pt"),       # degenerate, catches exactly 5
+            ("k1", 90, 260, "wide"),  # spans many 16-buckets: 100, 250
+            ("k1", 300, 200, "inv"),  # inverted: nothing
+            ("k2", 0, 10, "b"),       # other key: catches k2's 5 only
+        ],
+        "k string, lo long, hi long, tag string",
+    )
+    out = {
+        (r.pid, r.tag)
+        for r in range_join(
+            points, intervals, "v", "lo", "hi", on="k", bucket=16
+        ).collect()
+    }
+    assert out == {
+        (1, "a"), (1, "pt"), (2, "wide"), (3, "wide"), (4, "b"),
+    }
