@@ -1498,6 +1498,35 @@ def events_range_join(spark, sf_dir):
 
 
 @_q(
+    "events_rollup_cascade",
+    """
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, event_type,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+    """,
+)
+def events_rollup_cascade(spark, sf_dir):
+    """Hypertable rollup cascade (functions/rollup.py rollup_cascade):
+    hour -> day -> month, each level re-aggregating the previous level's
+    PARTIALS (count by sum, sum by sum in DECIMAL, min/max by min/max) —
+    the oracle aggregates monthly DIRECTLY from raw events, so the gate
+    proves the three-deep cascade loses nothing."""
+    from kgforge.functions.rollup import rollup_cascade
+
+    month = rollup_cascade(_t(spark, sf_dir, "events"))["month"]
+    return month.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total_value"),
+        "vmin",
+        "vmax",
+    ).orderBy("bucket", "event_type")
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

@@ -1,0 +1,65 @@
+"""Hypertable-style rollup cascade (continuous-aggregate hierarchy).
+
+The TimescaleDB/Druid pattern: maintain hour -> day -> month aggregate
+tables where each coarser level re-aggregates the FINER level's
+partials, never the raw events. At 100 TB that is the difference between
+a monthly report scanning 30 daily partials per key and re-scanning a
+trillion raw rows; it also makes the levels mutually consistent by
+construction.
+
+Correct aggregate-of-aggregates composition (the part people get wrong):
+count re-aggregates by SUM, sum by SUM, min by MIN, max by MAX; avg is
+NOT re-aggregatable — it derives as total/n at read time. Sums run in
+DECIMAL so the cascade is bit-exact regardless of re-aggregation order
+(the repo's standing float-sum rule); the oracle gate pins the DEEPEST
+level against a direct-from-raw aggregate, proving the cascade loses
+nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_cascade(
+    events: DataFrame,
+    levels: tuple[str, ...] = ("hour", "day", "month"),
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """-> {level: DataFrame(bucket, *key_cols, n, total, vmin, vmax)}.
+
+    ``levels`` are `date_trunc` units ordered fine -> coarse; the first
+    aggregates the raw events, every later one re-aggregates its
+    predecessor's partials. Each level is one map-side-combining
+    hash aggregate over the (already tiny) previous level.
+    """
+    if not levels:
+        raise ValueError("need at least one level")
+    keys = list(key_cols)
+    cur = (
+        events.groupBy(
+            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"), *keys
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("total"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+    )
+    out = {levels[0]: cur}
+    for lvl in levels[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(lvl, F.col("bucket")).alias("bucket"), *keys
+            ).agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("total").alias("total"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+        )
+        out[lvl] = cur
+    return out

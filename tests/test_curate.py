@@ -367,3 +367,39 @@ def test_window_chunks_overlap_and_edges(spark):
     assert a[-2:] == b[:2]
     with _pytest.raises(ValueError):
         window_chunks(df, size=4, overlap=4)
+
+
+def test_rollup_cascade_levels_consistent(spark):
+    """Each cascade level equals the direct aggregate from raw at that
+    grain (count/sum/min/max compose; decimal sums are order-exact)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.rollup import rollup_cascade
+
+    rows = [
+        (i, f"2024-0{1 + i % 2}-{1 + i % 3:02d} 0{i % 9}:30:00",
+         ["a", "b"][i % 2], float(i) + 0.25)
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    cascade = rollup_cascade(ev)
+    for lvl in ("hour", "day", "month"):
+        direct = {
+            (r[0], r[1]): (r[2], float(r[3]), r[4], r[5])
+            for r in ev.groupBy(
+                F.date_trunc(lvl, "ts").alias("b"), "event_type"
+            ).agg(
+                F.count("*").cast("long"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                F.min("value"), F.max("value"),
+            ).collect()
+        }
+        got = {
+            (r["bucket"], r["event_type"]):
+            (r["n"], float(r["total"]), r["vmin"], r["vmax"])
+            for r in cascade[lvl].collect()
+        }
+        assert got == direct, lvl
