@@ -1527,6 +1527,42 @@ def events_rollup_cascade(spark, sf_dir):
 
 
 @_q(
+    "sketch_kmv_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT lang, substr(md5(text), 1, 12) AS h
+      FROM documents WHERE text IS NOT NULL
+    ), r AS (
+      SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM d
+    )
+    SELECT lang, least(count(*), 50)::BIGINT AS n_kept,
+           max(CASE WHEN rn <= 50 THEN h END) AS kth
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch (functions/sketch.py): per lang, the
+    50 smallest md5 points over document texts. The sketch STATE is a
+    pure function of the data (no engine-specific register layout, the
+    property HyperLogLog lacks) — the oracle reproduces the exact k-th
+    point, proving any engine's sketch of the same data would merge
+    cleanly with this one. Estimator + merge algebra are pytest-pinned
+    (test_curate)."""
+    from kgforge.functions.sketch import kmv_sketch
+
+    sk = kmv_sketch(
+        _t(spark, sf_dir, "documents"), "lang", "text", k=50
+    )
+    return sk.select(
+        "lang",
+        "n_kept",
+        F.element_at("kmv", F.size("kmv")).alias("kth"),
+    ).orderBy("lang")
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

@@ -403,3 +403,43 @@ def test_rollup_cascade_levels_consistent(spark):
             for r in cascade[lvl].collect()
         }
         assert got == direct, lvl
+
+
+def test_kmv_sketch_merge_and_estimate(spark):
+    """Sketch state is a pure data function; merge(sketch(A), sketch(B))
+    == sketch(A∪B); small groups are exact; estimates land within ~15%
+    at k=64 on 1000 distinct values."""
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.sketch import (
+        kmv_estimate, kmv_merge, kmv_sketch,
+    )
+
+    big = [(i, "big", f"v{i}") for i in range(1000)]
+    small = [(10_000 + i, "small", f"s{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(
+        big + small, "row_id long, grp string, val string"
+    )
+    k = 64
+    sk = kmv_sketch(df, "grp", "val", k=k)
+    est = {
+        r.grp: (r.n_kept, r.est)
+        for r in sk.withColumn("est", kmv_estimate(F.col("kmv"), k)).collect()
+    }
+    assert est["small"] == (7, 7)  # below k: exact
+    n_kept, e = est["big"]
+    assert n_kept == k and 850 <= e <= 1150  # ~15% band
+    # merge algebra: sketch(A) ++ sketch(B) == sketch(A ∪ B)
+    a = kmv_sketch(df.where(F.col("row_id") % 2 == 0), "grp", "val", k=k)
+    b = kmv_sketch(df.where(F.col("row_id") % 2 == 1), "grp", "val", k=k)
+    merged = {
+        r.grp: r.m
+        for r in a.alias("a").join(b.alias("b"), on="grp").select(
+            "grp", kmv_merge(F.col("a.kmv"), F.col("b.kmv"), k).alias("m")
+        ).collect()
+    }
+    whole = {r.grp: r.kmv for r in sk.collect()}
+    assert merged["big"] == whole["big"]
+    # determinism: re-computation bit-identical
+    again = {r.grp: r.kmv for r in kmv_sketch(df, "grp", "val", k=k).collect()}
+    assert again == whole
