@@ -111,14 +111,22 @@ def dedup_against(
     2. within-batch: keep the min-id row per surviving fingerprint
        (same canon rule as `exact_duplicates`).
 
-    Returns the surviving `new` rows (all columns). Rows with NULL text
-    normalize to a shared fingerprint like any other value — callers
-    filter empties upstream (curate_documents does).
+    Returns the surviving `new` rows (all columns). NULL text
+    fingerprints as the empty string (NULL would silently VANISH from
+    the non-null-safe joins below — neither kept nor deduped), so NULL
+    and empty docs share one group; callers filter empties upstream
+    (curate_documents does).
     """
-    fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
+    fp = F.md5(
+        F.encode(normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
+                 "UTF-8")
+    )
     new_fp = new.withColumn("__fp", fp)
     seen_fp = seen.select(fp.alias("__fp")).distinct()
-    fresh = new_fp.join(seen_fp, on="__fp", how="left_anti")
+    # persisted: the keep-first self-join consumes `fresh` on both sides
+    # (CLAUDE.md rule) — without it the normalize+md5 scan AND the
+    # snapshot anti-join run twice
+    fresh = _persist(new_fp.join(seen_fp, on="__fp", how="left_anti"))
     keep = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return fresh.join(keep, on=["__fp", id_col], how="left_semi").drop("__fp")
 

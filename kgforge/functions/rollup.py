@@ -38,6 +38,25 @@ def rollup_cascade(
     """
     if not levels:
         raise ValueError("need at least one level")
+    # only units that NEST compose: a week straddles month/quarter/year
+    # boundaries (and ISO weeks straddle years), so re-aggregating week
+    # partials into any coarser unit silently miscounts boundary events
+    # — 'week' is only legal as the LAST level
+    nesting = ["second", "minute", "hour", "day", "month", "quarter",
+               "year"]
+    for fine, coarse in zip(levels, levels[1:]):
+        if fine == "week":
+            raise ValueError(
+                "'week' does not nest into coarser units (weeks straddle "
+                "month/year boundaries) — it may only be the last level"
+            )
+        if fine in nesting and coarse in nesting and (
+            nesting.index(fine) >= nesting.index(coarse)
+        ):
+            raise ValueError(
+                f"levels must go fine -> coarse, got {fine!r} before "
+                f"{coarse!r}"
+            )
     keys = list(key_cols)
     cur = (
         events.groupBy(

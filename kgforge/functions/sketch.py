@@ -48,24 +48,30 @@ def kmv_sketch(
     Per group, the k smallest DISTINCT hash points of ``value_col``
     (NULL values excluded). ``n_kept < k`` means the group had fewer
     than k distinct values — the sketch is then EXACT (estimate ==
-    n_kept). Shape: one distinct on (group, hash) with map-side partial
-    agg, then collect_set + sort + cut; the cut bounds the OUTPUT per
-    group at k, the intermediate distinct is the same shuffle any
-    count(DISTINCT) pays.
+    n_kept). Shape: TWO-LEVEL bottom-k (the sketch's own merge algebra
+    applied inside the plan): level 1 cuts each (group, input-partition)
+    slice to its k smallest — per-task state is bounded by the
+    partition, never by the group — then the <= k-per-partition
+    survivors re-cut globally. A single collect_set over the whole group
+    would materialize every distinct hash of a hot group on one task.
+    Because bottom-k of bottom-ks == global bottom-k, the result is
+    byte-identical to the one-level form.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if k <= 1:
         raise ValueError("k must be >= 2")
-    d = (
-        df.where(F.col(value_col).isNotNull())
-        .select(*groups, kmv_hash(F.col(value_col)).alias("__h"))
-        .distinct()
+    d = df.where(F.col(value_col).isNotNull()).select(
+        *groups, kmv_hash(F.col(value_col)).alias("__h")
     )
-    return d.groupBy(*groups).agg(
-        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv"),
-        F.least(F.countDistinct("__h"), F.lit(k))
-        .cast("long")
-        .alias("n_kept"),
+    part = (
+        d.groupBy(*groups, F.spark_partition_id().alias("__pid"))
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__s"))
+        .select(*groups, F.explode("__s").alias("__h"))
+    )
+    return (
+        part.groupBy(*groups)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv"))
+        .withColumn("n_kept", F.size("kmv").cast("long"))
     )
 
 

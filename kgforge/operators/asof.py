@@ -19,8 +19,9 @@ Scale notes: the window partitions by the JOIN KEY, so a single hot key
 serializes onto one task — same bound as any per-key ordered
 computation. At web scale keep keys fine-grained (user, host) or
 pre-split by time range at the caller; do NOT salt (order must stay
-global per key). Right rows sharing (key, ts) are tie-broken by the
-payload struct's ordering, so the result stays deterministic.
+global per key). Right rows sharing (key, ts) are tie-broken by a hash
+of the payload's JSON (structs with map columns cannot be sort keys),
+so the result stays deterministic.
 """
 
 from __future__ import annotations
@@ -73,9 +74,13 @@ def asof_join(
         F.struct(*left.columns).alias("__l"),
     )
     rt = rt.withColumn("__l", F.lit(None).cast(lt.schema["__l"].dataType))
+    # tie-break among right rows sharing (key, ts): hash of the payload's
+    # JSON — the struct itself cannot be a sort key when it carries a
+    # map column (Spark rejects maps in ordering), and this repo's
+    # payloads routinely do (props maps)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side", "__p")
+        .orderBy("__ts", "__side", F.xxhash64(F.to_json("__p")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

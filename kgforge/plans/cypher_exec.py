@@ -145,7 +145,9 @@ _CLAUSE = re.compile(
     re.IGNORECASE,
 )
 _UNWIND_BODY = re.compile(r"\[(.*)\]\s+AS\s+(\w+)$", re.IGNORECASE | re.DOTALL)
-_UNION_RE = re.compile(r"\bUNION(\s+ALL)?\b", re.IGNORECASE)
+# (?<![\w.]): `n.union` is a legal property access, not a set operator —
+# a bare \b would match right after the dot and split the query
+_UNION_RE = re.compile(r"(?<![\w.])UNION(\s+ALL)?\b", re.IGNORECASE)
 # CALL algo.SPpaths({...}) YIELD items  /  CALL algo.SSpaths({...}) YIELD …
 _CALL_ALGO = re.compile(
     r"^algo\s*\.\s*(SPpaths|SSpaths)\s*\(\s*\{(.*)\}\s*\)\s*"

@@ -83,6 +83,10 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # a negative length would move `pos` BACKWARDS and loop the
+            # generator on the same record forever
+            return
         body_start = head_end + 4
         payload = data[body_start : body_start + length]
         if len(payload) < length:
@@ -96,10 +100,18 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     payload with no HTTP header block comes back (None, None, payload)."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
+    # real crawls archive RAW bytes, including non-compliant servers
+    # that emit bare-LF heads — accept both delimiters
     head_end = payload.find(_CRLF + _CRLF)
+    skip = 4
+    if head_end < 0:
+        head_end = payload.find(b"\n\n")
+        skip = 2
     if head_end < 0:
         return None, None, payload
-    lines = payload[:head_end].split(_CRLF)
+    lines = [
+        ln.rstrip(b"\r") for ln in payload[:head_end].split(b"\n")
+    ]
     try:
         status = int(lines[0].split()[1])
     except (IndexError, ValueError):
@@ -109,7 +121,7 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
         k, sep, v = line.partition(b":")
         if sep and k.strip().lower() == b"content-type":
             ctype = v.strip().decode("ascii", "replace")
-    return status, ctype, payload[head_end + 4 :]
+    return status, ctype, payload[head_end + skip :]
 
 
 def load_warc(
@@ -237,7 +249,9 @@ def warc_pages(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     )
     return pages.select(
         "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+        # WARC 1.0 dates are second-resolution; 1.1 allows fractional
+        # seconds — strip the Z and let the ISO parser take both
+        F.to_timestamp(F.regexp_replace("warc_date", "Z$", "")).alias(
             "warc_ts"
         ),
         "html",

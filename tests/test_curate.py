@@ -443,3 +443,23 @@ def test_kmv_sketch_merge_and_estimate(spark):
     # determinism: re-computation bit-identical
     again = {r.grp: r.kmv for r in kmv_sketch(df, "grp", "val", k=k).collect()}
     assert again == whole
+
+
+def test_rollup_cascade_rejects_non_nesting_levels(spark):
+    """Review fix: week straddles month/year boundaries — composing it
+    below a coarser level must raise, not silently miscount."""
+    import pytest as _pytest
+
+    from kgforge.functions.rollup import rollup_cascade
+
+    ev = spark.createDataFrame(
+        [(1, "2024-02-03 10:00:00", "a", 1.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).selectExpr("event_id", "cast(ts_s as timestamp) as ts",
+                 "event_type", "value")
+    with _pytest.raises(ValueError, match="week"):
+        rollup_cascade(ev, levels=("week", "month"))
+    with _pytest.raises(ValueError, match="fine -> coarse"):
+        rollup_cascade(ev, levels=("month", "hour"))
+    # week as the LAST level is fine
+    assert "week" in rollup_cascade(ev, levels=("day", "week"))

@@ -1906,3 +1906,14 @@ def test_math_scalars_in_return(graph):
     assert [(r.a, r.c, r.fl, r.s, r.st) for r in out] == [
         (12.0, 12, 12, 1, "12")
     ]
+
+
+def test_union_not_triggered_by_property_named_union(graph):
+    """Review fix: `n.union` is a property access, not a set operator —
+    the UNION splitter must not fire on it."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.union = 'EU' RETURN f.name AS name",
+        nodes, edges,
+    ).collect()
+    assert out == []  # no such prop: empty, but parses as ONE query

@@ -182,3 +182,18 @@ def test_minhash_index_against_snapshot(spark, tmp_path):
         (r.new_id, r.seen_id) for r in minhash_against(new, idx2).collect()
     }
     assert hits2 == {(r.new_id, r.seen_id) for r in hits}
+
+
+def test_dedup_against_null_text_survives(spark):
+    """Review fix: NULL-text rows fingerprint as empty (they previously
+    vanished through the non-null-safe joins — neither kept nor
+    deduped)."""
+    from kgforge.functions.dedup import dedup_against
+
+    seen = spark.createDataFrame([(1, "seen")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "fresh")], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in dedup_against(new, seen).collect()}
+    # NULL and "" share the empty fingerprint -> keep-first keeps 10
+    assert out == {10, 12}

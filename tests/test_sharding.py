@@ -347,3 +347,19 @@ def test_range_join_bucketized(spark):
     assert out == {
         (1, "a"), (1, "pt"), (2, "wide"), (3, "wide"), (4, "b"),
     }
+
+
+def test_asof_join_with_map_payload(spark):
+    """Review fix: right-side map columns (props) must not break the
+    window ordering (structs with maps cannot be sort keys)."""
+    from kgforge.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10)], "pid long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, {"a": "1"}), ("k", 7, {"b": "2"})],
+        "k string, ts long, props map<string,string>",
+    )
+    out = asof_join(left, right, on="k").collect()
+    assert out[0].ts_r == 7 and dict(out[0].props_r) == {"b": "2"}

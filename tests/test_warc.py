@@ -240,3 +240,48 @@ def test_warc_pages_feed_the_pipeline(spark, workdir):
 
     a, b = tri(direct), tri(via)
     assert a == b and len(a) > 0
+
+
+def test_parse_warc_negative_length_and_bare_lf_http():
+    """Review fixes: a negative Content-Length must terminate parsing
+    (not loop the generator); bare-LF HTTP heads still split."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -64\r\n\r\n"
+    )
+    assert list(parse_warc(bad)) == []
+    good_then_bad = build_warc(_sample_records()[:1]) + bad
+    assert len(list(parse_warc(good_then_bad))) == 1
+    # bare-LF head (non-compliant server, raw bytes archived)
+    status, ctype, body = split_http_payload(
+        b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nhello"
+    )
+    assert (status, ctype, body) == (200, "text/plain", b"hello")
+
+
+def test_warc_pages_fractional_second_dates(spark):
+    """WARC/1.1 fractional-second WARC-Date must parse, not NULL."""
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": "https://ex.com/frac",
+            "warc_date": "2026-01-01T12:00:00.123456Z",
+            "http_status": 200,
+            "http_content_type": "text/html",
+            "http_body": b"<p>x</p>",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://ex.com/whole",
+            "warc_date": "2026-01-01T12:00:00Z",
+            "http_status": 200,
+            "http_content_type": "text/html",
+            "http_body": b"<p>y</p>",
+        },
+    ]
+    from kgforge.sources.warc import warc_pages
+
+    p = _write(f"{WORK}/frac.warc", build_warc(recs))
+    out = {r.url: r.warc_ts for r in warc_pages(spark, [p]).collect()}
+    assert out["https://ex.com/frac"] is not None
+    assert out["https://ex.com/frac"].microsecond == 123456
+    assert out["https://ex.com/whole"] is not None
