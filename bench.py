@@ -72,6 +72,8 @@ HEADLINE = [
     # r4 session-4 additions (new rows vs BENCH_r03 — not regressions)
     "text_zipf_quality",
     "corpus_pack_sequences",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 
