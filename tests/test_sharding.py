@@ -363,3 +363,35 @@ def test_asof_join_with_map_payload(spark):
     )
     out = asof_join(left, right, on="k").collect()
     assert out[0].ts_r == 7 and dict(out[0].props_r) == {"b": "2"}
+
+
+def test_temporal_join_plan_shapes(spark):
+    """Plan pins for the scale properties: asof_join = ONE Exchange +
+    Window, ZERO joins; range_join = equi-join only (never
+    BroadcastNestedLoopJoin/CartesianProduct)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.asof import asof_join, range_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10)], "pid long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, "x")], "k string, ts long, tag string"
+    )
+    asof_plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in asof_plan  # union-sort shape: no join operator
+    assert asof_plan.count("Exchange") == 1 or (
+        # AQE may wrap; count only shuffle exchanges
+        asof_plan.count("Exchange hashpartitioning") <= 1
+    )
+    assert "Window" in asof_plan
+
+    iv = right.select("k", F.col("ts").alias("lo"),
+                      (F.col("ts") + 100).alias("hi"), "tag")
+    rng_plan = range_join(
+        left, iv, "ts", "lo", "hi", on="k", bucket=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in rng_plan
+    assert "CartesianProduct" not in rng_plan
+    assert "Join" in rng_plan and "Generate" in rng_plan
