@@ -1563,6 +1563,37 @@ def sketch_kmv_distinct(spark, sf_dir):
 
 
 @_q(
+    "cypher_unwind_with",
+    """
+    WITH g AS (
+      SELECT r.r_name AS region, count(*)::BIGINT AS n_nations
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1
+    )
+    SELECT region, n_nations, tag
+    FROM g CROSS JOIN (VALUES ('east'), ('west')) t(tag)
+    ORDER BY region, tag
+    """,
+)
+def cypher_unwind_with(spark, sf_dir):
+    """UNWIND after WITH (plans/cypher_exec.py): the aggregate-then-
+    expand-per-item shape — the WITH carries (region, count), the UNWIND
+    stage cross-joins its literal values onto the carried relation, and
+    the alias projects/sorts like any plain column."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "WITH r, count(n) AS n_nations "
+        "UNWIND ['east', 'west'] AS tag "
+        "RETURN r AS region, n_nations, tag ORDER BY region, tag",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

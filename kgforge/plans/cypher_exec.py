@@ -9,6 +9,7 @@ read subset those prompts actually produce, against the materialized
 tables:
 
     UNWIND ['x', 'y'] AS v                           -- literal batch lookup
+    WITH a, count(b) AS n UNWIND [1, 2] AS m ...     -- expand per item
     MATCH (a:L1)-[r:R1]->(b:L2)<-[:R2]-(c), (d:L3) ...
     MATCH (a)-[:R1|R2]->(b)                          -- type alternation
     MATCH (a:L1)-[:R1*1..3]->(b:L2)                  -- variable length
@@ -553,10 +554,18 @@ def run_cypher(
             # UNWIND of a LITERAL list ("movies of X and Y" batch
             # lookups): one row per element, the alias becomes a plain
             # column usable in WHERE (n.prop = x), RETURN, aggregates,
-            # and WITH. UNWIND of an expression / after WITH is out of
-            # subset.
-            if len(segments) > 1 or seg["with"] is not None:
-                raise CypherUnsupported("UNWIND after WITH is out of subset")
+            # and WITH. After a WITH boundary it opens the next stage
+            # ("top-k then per-item expansion"), cross-joining its
+            # values onto the carried relation; like any non-carried
+            # column, the alias survives a LATER boundary only if that
+            # WITH lists it. UNWIND of an expression is out of subset.
+            if seg["with"] is not None:
+                segments.append(_fresh_seg())
+                seg = segments[-1]
+            if seg["optionals"]:
+                raise CypherUnsupported(
+                    "UNWIND after OPTIONAL MATCH is out of subset"
+                )
             um = _UNWIND_BODY.fullmatch(body.strip())
             if um is None:
                 raise CypherUnsupported(
@@ -928,35 +937,40 @@ def run_cypher(
     # it into an equi-join at optimization time (Catalyst rewrites
     # Filter-over-CrossJoin into a join condition).
     unwind_cols: dict[str, str] = {}  # alias -> 'string' | 'double'
-    for body_items, uvar in segments[0].get("unwinds", []):
-        if uvar in var_specs or uvar in rel_vars or uvar in unwind_cols:
-            raise CypherUnsupported(f"duplicate variable {uvar!r}")
-        strs, nums = [], []
-        for item in _split_keyword(body_items, ","):
-            item = item.strip()
-            if not item:
+
+    def apply_unwinds(plan: DataFrame, unwinds: list) -> DataFrame:
+        for body_items, uvar in unwinds:
+            if uvar in var_specs or uvar in rel_vars or uvar in unwind_cols:
+                raise CypherUnsupported(f"duplicate variable {uvar!r}")
+            strs, nums = [], []
+            for item in _split_keyword(body_items, ","):
+                item = item.strip()
+                if not item:
+                    continue
+                if item[0] in "'\"" and item[-1:] == item[0]:
+                    strs.append(_unquote(item))
+                elif re.fullmatch(r"-?\d+(?:\.\d+)?", item):
+                    nums.append(float(item))
+                else:
+                    raise CypherUnsupported(f"bad UNWIND list item {item!r}")
+            if strs and nums:
+                raise CypherUnsupported("mixed-type UNWIND list")
+            vals = strs or nums
+            if not vals:
+                # UNWIND [] produces zero rows (openCypher)
+                plan = plan.limit(0)
+                unwind_cols[uvar] = "string"
+                plan = plan.withColumn(uvar, F.lit(None).cast("string"))
                 continue
-            if item[0] in "'\"" and item[-1:] == item[0]:
-                strs.append(_unquote(item))
-            elif re.fullmatch(r"-?\d+(?:\.\d+)?", item):
-                nums.append(float(item))
-            else:
-                raise CypherUnsupported(f"bad UNWIND list item {item!r}")
-        if strs and nums:
-            raise CypherUnsupported("mixed-type UNWIND list")
-        vals = strs or nums
-        if not vals:
-            # UNWIND [] produces zero rows (openCypher)
-            plan = plan.limit(0)
-            unwind_cols[uvar] = "string"
-            plan = plan.withColumn(uvar, F.lit(None).cast("string"))
-            continue
-        kind = "string" if strs else "double"
-        vdf = nodes.sparkSession.createDataFrame(
-            [(v,) for v in vals], f"{uvar} {kind}"
-        )
-        plan = plan.crossJoin(F.broadcast(vdf))
-        unwind_cols[uvar] = kind
+            kind = "string" if strs else "double"
+            vdf = nodes.sparkSession.createDataFrame(
+                [(v,) for v in vals], f"{uvar} {kind}"
+            )
+            plan = plan.crossJoin(F.broadcast(vdf))
+            unwind_cols[uvar] = kind
+        return plan
+
+    plan = apply_unwinds(plan, segments[0].get("unwinds", []))
 
     # ---- WHERE (var.prop namespace) -----------------------------------
     def prop_col(var: str, prop: str) -> Column:
@@ -1981,6 +1995,10 @@ def run_cypher(
                 seg_bound.add(first)
             if seg_legs or seg_groups:
                 plan = assemble(plan, seg_bound, seg_groups, seg_legs)
+            # stage-local UNWIND: values cross-join the carried relation
+            # BEFORE the stage's WHERE (which may reference the alias)
+            plan = apply_unwinds(plan, seg.get("unwinds", []))
+            extra_cols |= set(unwind_cols)
             seg_rels = {leg[4] for leg in seg_legs if leg[4] is not None}
             plan = apply_where(plan, seg["wheres"], seg_bound | seg_rels)
             plan = apply_optionals(plan, seg_bound, seg["optionals"])

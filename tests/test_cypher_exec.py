@@ -1521,9 +1521,13 @@ def test_unwind_empty_list_and_boundaries(graph):
         nodes, edges,
     ).collect()
     assert [r.n for r in out] == [0]
-    for q in (
-        # UNWIND after WITH
+    # UNWIND after WITH is SUPPORTED since r4 s4 (stage-opening)
+    out = run_cypher(
         "MATCH (f:Fighter) WITH f UNWIND ['a'] AS v RETURN v",
+        nodes, edges,
+    ).collect()
+    assert [r.v for r in out] == ["a", "a", "a"]
+    for q in (
         # expression UNWIND
         "UNWIND collect(f) AS v MATCH (f:Fighter) RETURN v",
         # mixed types
@@ -1917,3 +1921,29 @@ def test_union_not_triggered_by_property_named_union(graph):
         nodes, edges,
     ).collect()
     assert out == []  # no such prop: empty, but parses as ONE query
+
+
+def test_unwind_after_with(graph):
+    """UNWIND opens a later stage: the literal values cross-join the
+    carried (aggregated) relation — the 'top-k then per-item expansion'
+    shape; the alias works in RETURN and ORDER BY."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH f, count(x) AS n "
+        "UNWIND ['p1', 'p2'] AS phase "
+        "RETURN f, n, phase ORDER BY f, phase",
+        nodes, edges,
+    ).collect()
+    assert [(r.f, r.n, r.phase) for r in out] == [
+        ("Ana", 1, "p1"), ("Ana", 1, "p2"),
+        ("Bo", 2, "p1"), ("Bo", 2, "p2"),
+        ("Cy", 1, "p1"), ("Cy", 1, "p2"),
+    ]
+    # empty list in a later stage: zero rows (openCypher)
+    out = run_cypher(
+        "MATCH (f:Fighter) WITH f, f.wins AS w "
+        "UNWIND [] AS z RETURN f, z",
+        nodes, edges,
+    ).collect()
+    assert out == []
