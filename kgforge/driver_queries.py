@@ -1594,6 +1594,79 @@ def cypher_unwind_with(spark, sf_dir):
 
 
 @_q(
+    "cypher_percentile_cont",
+    """
+    WITH g AS (
+      SELECT n_name AS nation,
+             list_sort(list(CAST(c_custkey AS DOUBLE))) AS l
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    ), pos AS (
+      SELECT nation, l,
+             (len(l) - 1) * 0.25 AS p1, (len(l) - 1) * 0.75 AS p3
+      FROM g
+    )
+    SELECT nation,
+           l[CAST(floor(p1) AS BIGINT) + 1]
+             + (p1 - floor(p1))
+               * (coalesce(l[CAST(floor(p1) AS BIGINT) + 2],
+                           l[CAST(floor(p1) AS BIGINT) + 1])
+                  - l[CAST(floor(p1) AS BIGINT) + 1]) AS q1_key,
+           l[CAST(floor(p3) AS BIGINT) + 1]
+             + (p3 - floor(p3))
+               * (coalesce(l[CAST(floor(p3) AS BIGINT) + 2],
+                           l[CAST(floor(p3) AS BIGINT) + 1])
+                  - l[CAST(floor(p3) AS BIGINT) + 1]) AS q3_key
+    FROM pos ORDER BY nation
+    """,
+)
+def cypher_percentile_cont(spark, sf_dir):
+    """percentileCont (plans/cypher_exec.py _pct_cont): linear
+    interpolation at (n-1)*p of the sorted group. The oracle hand-writes
+    the same v_lo + frac * (v_hi - v_lo) expression; the gate runs it
+    over an INTEGER-valued property at DYADIC percentiles (0.25/0.75),
+    where every intermediate (position, fraction, product, sum) is
+    exactly representable — so the compare is immune to cross-engine FP
+    contraction (DuckDB's compiler fuses a*b+c into FMA, which costs a
+    ulp on general doubles; observed on the acctbal variant). Same
+    customer -[:FROM]-> nation graph as cypher_percentile."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("custkey"), F.col("c_custkey").cast("string"),
+        ).alias("props"),
+    ).unionByName(
+        nation.select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("key"),
+            F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+        )
+    )
+    edges = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("src_id"),
+        F.lit("FROM").alias("label"),
+        F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer)-[:FROM]->(n:Nation) "
+        "RETURN n AS nation, percentileCont(c.custkey, 0.25) AS q1_key, "
+        "percentileCont(c.custkey, 0.75) AS q3_key ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

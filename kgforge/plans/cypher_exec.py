@@ -211,7 +211,8 @@ _IN_COND = re.compile(
 _RET_ITEM = re.compile(
     r"^(?:(count|sum|avg|min|max|collect)\s*\(\s*(DISTINCT\s+)?"
     r"(\*|\w+(?:\.\w+)?)\s*\)"
-    r"|(percentileDisc)\s*\(\s*(\w+(?:\.\w+)?)\s*,\s*([\d.]+)\s*\)"
+    r"|(percentileDisc|percentileCont)\s*\(\s*(\w+(?:\.\w+)?)\s*,"
+    r"\s*([\d.]+)\s*\)"
     r"|(length)\s*\(\s*(\w+)\s*\)"
     r"|(\w+)(?:\.(\w+))?)"
     r"(?:\s+AS\s+(\w+))?$",
@@ -226,12 +227,27 @@ def _pct_disc(col: Column, p: float) -> Column:
     non-NULL values — 1-based index ceil(p * n) into the sorted values
     (p=0 -> min, p=1 -> max). collect_list skips NULLs (openCypher
     parity); an all-NULL group yields NULL via try_element_at. Exact and
-    engine-replicable (no interpolation), unlike percentileCont."""
+    engine-replicable (no interpolation)."""
     lst = F.sort_array(F.collect_list(col))
     idx = F.greatest(
         F.ceil(F.size(lst) * F.lit(float(p))).cast("int"), F.lit(1)
     )
     return F.try_element_at(lst, idx)
+
+
+def _pct_cont(col: Column, p: float) -> Column:
+    """Neo4j/FalkorDB percentileCont: linear interpolation at position
+    (n - 1) * p of the sorted non-NULL values. The oracle twin writes
+    THE SAME IEEE-double expression (v_lo + frac * (v_hi - v_lo)) rather
+    than calling the other engine's quantile function, so equality holds
+    by construction, not by hoping two interpolation internals agree."""
+    lst = F.sort_array(F.collect_list(col))
+    pos = (F.size(lst) - 1).cast("double") * F.lit(float(p))
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo
+    v_lo = F.try_element_at(lst, lo + 1)
+    v_hi = F.coalesce(F.try_element_at(lst, lo + 2), v_lo)
+    return v_lo + frac * (v_hi - v_lo)
 # scalar functions compiled to hidden columns in RETURN; args carry no
 # nested parens, so a search loop resolves nested calls innermost-first
 _SCALAR_RE = re.compile(
@@ -1312,11 +1328,10 @@ def run_cypher(
             if pct:
                 if not 0.0 <= float(pct_p) <= 1.0:
                     raise CypherUnsupported(
-                        f"percentileDisc percentile must be in [0, 1], "
-                        f"got {pct_p}"
+                        f"{pct} percentile must be in [0, 1], got {pct_p}"
                     )
                 unsafe_aggs.append(item.strip())
-                name = alias or f"percentileDisc_{pct_arg.replace('.', '_')}"
+                name = alias or f"{pct}_{pct_arg.replace('.', '_')}"
                 v, _, p = pct_arg.partition(".")
                 if columns_ns is not None:
                     if p or v not in columns_ns:
@@ -1333,8 +1348,12 @@ def run_cypher(
                         "percentileDisc() takes a property (var.prop), "
                         f"got {pct_arg!r}"
                     )
+                pct_fn = (
+                    _pct_cont if pct.lower() == "percentilecont"
+                    else _pct_disc
+                )
                 aggs.append(
-                    (name, _pct_disc(target.try_cast("double"), float(pct_p)))
+                    (name, pct_fn(target.try_cast("double"), float(pct_p)))
                 )
                 continue
             if columns_ns is not None:

@@ -1947,3 +1947,16 @@ def test_unwind_after_with(graph):
         nodes, edges,
     ).collect()
     assert out == []
+
+
+def test_percentile_cont(graph):
+    """Linear interpolation at (n-1)*p: wins [3,7,12], p=0.5 -> 7.0,
+    p=0.25 -> 3 + 0.5*(7-3) = 5.0, p=1 -> 12.0."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN percentileCont(f.wins, 0.5) AS med, "
+        "percentileCont(f.wins, 0.25) AS q1, "
+        "percentileCont(f.wins, 1) AS hi",
+        nodes, edges,
+    ).collect()
+    assert [(r.med, r.q1, r.hi) for r in out] == [(7.0, 5.0, 12.0)]
