@@ -1667,6 +1667,69 @@ def cypher_percentile_cont(spark, sf_dir):
 
 
 @_q(
+    "cypher_stdev",
+    """
+    WITH g AS (
+      SELECT n_name AS nation,
+             count(*) AS n,
+             CAST(sum(c_custkey) AS DOUBLE) AS s,
+             CAST(sum(c_custkey * c_custkey) AS DOUBLE) AS s2
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT nation,
+           CASE WHEN n <= 1 THEN 0.0
+                ELSE sqrt(greatest((s2 - s * s / n) / (n - 1), 0.0))
+           END AS sd_key
+    FROM g ORDER BY nation
+    """,
+)
+def cypher_stdev(spark, sf_dir):
+    """stDev aggregate (plans/cypher_exec.py _stdev_agg): sample stdev
+    with ORDER-FREE decimal sums — the reduction order of a shuffle can
+    never move the result — then the straight-line double expression
+    sqrt((s2 - s*s/n)/(n-1)) replayed verbatim by the oracle (no a*b+c
+    shape, so FMA contraction has nothing to fuse; cf.
+    cypher_percentile_cont's note). The gate property is integer-valued,
+    so the engine's decimal sums and the oracle's plain integer sums
+    cast to IDENTICAL doubles (DuckDB's own DECIMAL(18,6) multiply
+    overflows at this magnitude — integer sums sidestep it)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("custkey"), F.col("c_custkey").cast("string"),
+        ).alias("props"),
+    ).unionByName(
+        nation.select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("key"),
+            F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+        )
+    )
+    edges = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("src_id"),
+        F.lit("FROM").alias("label"),
+        F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer)-[:FROM]->(n:Nation) "
+        "RETURN n AS nation, stDev(c.custkey) AS sd_key ORDER BY nation",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "warc_ingest",
     """
     SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS target_uri,

