@@ -1980,3 +1980,18 @@ def test_stdev_aggregate(graph):
         nodes, edges,
     ).collect()
     assert out[0].sd == 0.0  # single value: 0 (Neo4j parity)
+
+
+def test_stats_aggregates_after_with(graph):
+    """percentileDisc and stDev also run over post-WITH plain columns
+    (the last-WITH namespace feeds RETURN)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WITH f.wins AS w "
+        "RETURN percentileDisc(w, 0.5) AS med, stDev(w) AS sd",
+        nodes, edges,
+    ).collect()
+    import math
+
+    assert out[0].med == 7.0
+    assert abs(out[0].sd - math.sqrt((202.0 - 22.0 * 22.0 / 3) / 2)) < 1e-12
