@@ -1329,10 +1329,9 @@ def cypher_percentile(spark, sf_dir):
 def cypher_math_fns(spark, sf_dir):
     """Math scalars in RETURN (plans/cypher_exec.py hidden-column
     framework): abs/ceil/floor/sign over try_cast-double props,
-    toString nested over floor. round() is deliberately out of subset —
-    Spark rounds HALF_UP, DuckDB/openCypher half-even, a silent
-    cross-engine divergence. ceil/floor/sign return BIGINT (Cypher
-    parity), exact on both engines."""
+    toString nested over floor (round() has its own tie-pinning gate,
+    cypher_round). ceil/floor/sign return BIGINT (Cypher parity), exact
+    on both engines."""
     from kgforge.plans.cypher_exec import run_cypher
 
     customer = _t(spark, sf_dir, "customer")
@@ -1356,6 +1355,63 @@ def cypher_math_fns(spark, sf_dir):
         "abs(c.acctbal) AS abs_bal, ceil(c.acctbal) AS ceil_bal, "
         "floor(c.acctbal) AS floor_bal, sign(c.acctbal) AS sign_bal, "
         "toString(floor(c.acctbal)) AS floor_str ORDER BY custkey",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "cypher_round",
+    """
+    SELECT c_custkey::VARCHAR AS custkey,
+           round((c_custkey * 2 + 1) / 2.0
+                 * (CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE -1 END)
+                 ::DOUBLE) AS round_tie,
+           round(((c_custkey * 4 + 1) / 4.0)::DOUBLE) AS round_quarter,
+           round(CAST(c_acctbal AS DOUBLE)) AS round_bal
+    FROM customer ORDER BY custkey
+    """,
+)
+def cypher_round(spark, sf_dir):
+    """round() scalar (verdict r04 #5; plans/cypher_exec.py hidden-column
+    framework). Single-arg FalkorDB round = nearest integer, half away
+    from zero. Cross-engine safety argument baked into the gate data:
+    at integer scale a double whose shortest repr ends ".5" IS the exact
+    dyadic n.5, so Spark's repr-based HALF_UP and DuckDB's binary
+    std::round make the same call even AT ties — the gate feeds exact
+    n.5 ties of both signs (round_tie), exact .25 fractions
+    (round_quarter), and 2-decimal money values (round_bal) to pin all
+    three regimes. Multi-digit round(x, d) stays out of subset (repr/
+    binary tie classes diverge there — 2.675)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    tie = (
+        (F.col("c_custkey") * 2 + 1) / F.lit(2.0)
+        * F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(-1)
+    ).cast("double")
+    quarter = ((F.col("c_custkey") * 4 + 1) / F.lit(4.0)).cast("double")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("custkey"), F.col("c_custkey").cast("string"),
+            F.lit("tie"), tie.cast("string"),
+            F.lit("quarter"), quarter.cast("string"),
+            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+        ).alias("props"),
+    )
+    edges = customer.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) RETURN c.custkey AS custkey, "
+        "round(c.tie) AS round_tie, round(c.quarter) AS round_quarter, "
+        "round(c.acctbal) AS round_bal ORDER BY custkey",
         nodes,
         edges,
     )

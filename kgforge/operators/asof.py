@@ -17,17 +17,33 @@ self-join, no row explosion.
 
 Scale notes: the window partitions by the JOIN KEY, so a single hot key
 serializes onto one task — same bound as any per-key ordered
-computation. At web scale keep keys fine-grained (user, host) or
-pre-split by time range at the caller; do NOT salt (order must stay
-global per key). Right rows sharing (key, ts) are tie-broken by a hash
-of the payload's JSON (structs with map columns cannot be sort keys),
-so the result stays deterministic.
+computation. At web scale keep keys fine-grained (user, host), or pass
+``time_split`` to bound the hot key IN CODE: the window key becomes
+(key, time-range); per-range carry-in seeds are computed from one
+summary row per (key, range) (a tiny per-key window over ranges, not
+rows), so no task ever holds more than one key-range of rows. Do NOT
+salt by hash (order must stay global per key). Right rows sharing
+(key, ts) are tie-broken by a hash of the payload's JSON (structs with
+map columns cannot be sort keys), so the result stays deterministic.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_RESERVED = ("__ts", "__side", "__p", "__l", "__m", "__r")
+
+# fixed-width range sizes in MICROSECONDS for timestamp columns; split
+# balance, not correctness, depends on the boundaries, so calendar
+# alignment is unnecessary ('month' = 30 days)
+_SPLIT_MICROS = {
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+    "month": 30 * 86_400_000_000,
+    "year": 365 * 86_400_000_000,
+}
 
 
 def asof_join(
@@ -39,6 +55,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_r",
     strict: bool = False,
+    time_split: str | int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right row at or
     before (strict: strictly before) its timestamp, per key.
@@ -47,8 +64,23 @@ def asof_join(
     non-key, non-ts columns) each renamed with ``suffix``, plus
     ``<right_ts><suffix>`` (the matched row's timestamp) — all NULL when
     no right row precedes the left row.
+
+    ``time_split`` bounds hot-key serialization: a range-width name
+    ('hour'/'day'/'week'/'month'/'year', timestamp columns only) or an
+    integer width (micros for timestamps, raw units for numeric ts).
+    The carry-forward window then partitions by (key, range); carry-in
+    state crosses range boundaries via one summary row per (key, range),
+    so results are identical to the unsplit join (tested) while a hot
+    key's rows spread over #ranges tasks instead of one.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    for side_name, df in (("left", left), ("right", right)):
+        hit = [c for c in _RESERVED if c in df.columns]
+        if hit:
+            raise ValueError(
+                f"asof_join reserves column names {hit} (present in the "
+                f"{side_name} frame) — rename them before joining"
+            )
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in keys and c != right_ts
@@ -78,16 +110,83 @@ def asof_join(
     # JSON — the struct itself cannot be a sort key when it carries a
     # map column (Spark rejects maps in ordering), and this repo's
     # payloads routinely do (props maps)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts", "__side", F.xxhash64(F.to_json("__p")))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        lt.unionByName(rt)
-        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+    tie = F.xxhash64(F.to_json("__p"))
+    u = lt.unionByName(rt)
+    if time_split is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__side", tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(
+            "__m", F.last("__p", ignorenulls=True).over(w)
+        ).filter(F.col("__side") == 1)
+    else:
+        is_ts = str(u.schema["__ts"].dataType).startswith("Timestamp")
+        if isinstance(time_split, str):
+            if time_split not in _SPLIT_MICROS:
+                raise ValueError(
+                    f"unknown time_split {time_split!r}; "
+                    f"one of {sorted(_SPLIT_MICROS)} or an integer"
+                )
+            if not is_ts:
+                raise ValueError(
+                    "named time_split widths need a timestamp ts column; "
+                    "pass an integer width for numeric timestamps"
+                )
+            width = _SPLIT_MICROS[time_split]
+        else:
+            width = int(time_split)
+        ts_long = (
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            if is_ts
+            else F.col("__ts").cast("long")
+        )
+        u = u.withColumn("__r", F.floor(ts_long / width))
+        # one summary row per (key, range): the right payload the
+        # carry-forward would hold at range end (max by the SAME
+        # (ts, side, tie) order the window uses)
+        range_last = (
+            u.filter(F.col("__side") != 1)
+            .groupBy(*keys, "__r")
+            .agg(
+                F.max_by("__p", F.struct("__ts", "__side", tie)).alias("__p")
+            )
+        )
+        # carry-in seed per (key, range): last summary from any EARLIER
+        # range — a per-key window over RANGES (≤ #ranges rows per key)
+        wr = (
+            Window.partitionBy(*keys)
+            .orderBy("__r")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seeds = (
+            u.select(*keys, "__r")
+            .distinct()
+            .join(range_last, [*keys, "__r"], "left")
+            .withColumn("__p", F.last("__p", ignorenulls=True).over(wr))
+            .filter(F.col("__p").isNotNull())
+            .select(
+                *keys,
+                "__r",
+                F.lit(None).cast(u.schema["__ts"].dataType).alias("__ts"),
+                F.lit(-1).alias("__side"),
+                "__p",
+                F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+            )
+        )
+        # seeds order first in their range: NULL ts sorts first under
+        # asc_nulls_first, and side -1 precedes every real side
+        w = (
+            Window.partitionBy(*keys, "__r")
+            .orderBy(F.col("__ts").asc_nulls_first(), "__side", tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            u.unionByName(seeds)
+            .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+            .filter(F.col("__side") == 1)
+        )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col(f"__m.{right_ts}{suffix}"))
     out_cols.extend(F.col(f"__m.{c}{suffix}") for c in right_cols)

@@ -259,19 +259,25 @@ def _pct_cont(col: Column, p: float) -> Column:
     (n - 1) * p of the sorted non-NULL values. The oracle twin writes
     THE SAME IEEE-double expression (v_lo + frac * (v_hi - v_lo)) rather
     than calling the other engine's quantile function, so equality holds
-    by construction, not by hoping two interpolation internals agree."""
+    by construction, not by hoping two interpolation internals agree.
+
+    An all-NULL group collects an EMPTY list: pos = (0-1)*p is negative,
+    so lo+1 could reach 0 and try_element_at raises INVALID_INDEX_OF_ZERO
+    (it tolerates out-of-range, NOT index 0 — PySpark 4.1.2). openCypher
+    returns NULL for percentileCont over no values, so clamp the index to
+    1 and gate the whole expression on a non-empty list (ADVICE r04)."""
     lst = F.sort_array(F.collect_list(col))
     pos = (F.size(lst) - 1).cast("double") * F.lit(float(p))
     lo = F.floor(pos).cast("int")
     frac = pos - lo
-    v_lo = F.try_element_at(lst, lo + 1)
-    v_hi = F.coalesce(F.try_element_at(lst, lo + 2), v_lo)
-    return v_lo + frac * (v_hi - v_lo)
+    v_lo = F.try_element_at(lst, F.greatest(lo + 1, F.lit(1)))
+    v_hi = F.coalesce(F.try_element_at(lst, F.greatest(lo + 2, F.lit(1))), v_lo)
+    return F.when(F.size(lst) > 0, v_lo + frac * (v_hi - v_lo))
 # scalar functions compiled to hidden columns in RETURN; args carry no
 # nested parens, so a search loop resolves nested calls innermost-first
 _SCALAR_RE = re.compile(
     r"\b(toLower|toUpper|trim|toInteger|toFloat|coalesce|substring|type"
-    r"|labels|properties|toString|abs|ceil|floor|sign)"
+    r"|labels|properties|toString|abs|ceil|floor|sign|round)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -2269,7 +2275,7 @@ def run_cypher(
                 "coalesce": (2, 99), "substring": (2, 3),
                 "labels": (1, 1), "properties": (1, 1),
                 "tostring": (1, 1), "abs": (1, 1), "ceil": (1, 1),
-                "floor": (1, 1), "sign": (1, 1),
+                "floor": (1, 1), "sign": (1, 1), "round": (1, 1),
             }[fnl]
             if not (n_args[0] <= len(args) <= n_args[1]):
                 raise CypherUnsupported(
@@ -2339,12 +2345,18 @@ def run_cypher(
                 expr = _scalar_arg(args[0]).try_cast("long")
             elif fnl == "tostring":
                 expr = _scalar_arg(args[0]).cast("string")
-            elif fnl in ("abs", "ceil", "floor", "sign"):
+            elif fnl in ("abs", "ceil", "floor", "sign", "round"):
                 # math scalars over try_cast-double props; ceil/floor
                 # return BIGINT (Cypher parity), abs keeps the input's
-                # numeric shape, sign is -1/0/1. round() is deliberately
-                # absent: Spark rounds HALF_UP, DuckDB/openCypher
-                # half-even — a silent cross-engine divergence trap.
+                # numeric shape, sign is -1/0/1. round() is the
+                # SINGLE-ARG form only (FalkorDB's round(x) -> nearest
+                # integer, half away from zero): at integer scale a
+                # double whose shortest repr is "n.5" IS exactly the
+                # dyadic n.5, so Spark's repr-based HALF_UP and DuckDB's
+                # binary std::round agree even at ties (probed on both
+                # engines this round). Multi-digit round(x, d) stays
+                # out: there the repr-vs-binary tie classifications
+                # diverge (2.675 is the classic), a silent trap.
                 arg = _scalar_arg(args[0]).try_cast("double")
                 if fnl == "abs":
                     expr = F.abs(arg)
@@ -2352,6 +2364,8 @@ def run_cypher(
                     expr = F.ceil(arg).cast("long")
                 elif fnl == "floor":
                     expr = F.floor(arg).cast("long")
+                elif fnl == "round":
+                    expr = F.round(arg).cast("double")
                 else:
                     expr = F.signum(arg).cast("long")
             else:  # tofloat

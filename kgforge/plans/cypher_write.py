@@ -57,10 +57,14 @@ def _parse_value(text: str):
     text = text.strip()
     if len(text) >= 2 and text[0] in "'\"" and text[-1] == text[0]:
         return _unescape(text)
-    if re.fullmatch(r"-?\d+", text):
+    if re.fullmatch(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", text):
+        # The reference serializer emits non-strings via str(value); Python
+        # renders small/large floats exponent-only without a decimal point
+        # (str(1e-05) == '1e-05'), so '.' OR an exponent marks a float
+        # (ADVICE r04).
+        if "." in text or "e" in text or "E" in text:
+            return float(text)
         return int(text)
-    if re.fullmatch(r"-?\d+\.\d+(?:[eE][+-]?\d+)?", text):
-        return float(text)
     if text in ("true", "false", "True", "False"):
         return text.lower() == "true"
     raise CypherUnsupported(f"unsupported property literal {text!r}")
@@ -68,10 +72,22 @@ def _parse_value(text: str):
 
 def _parse_props(raw: str, masked: str, pos: int) -> tuple[dict, int]:
     """Parse one `{k: v, ...}` block starting at masked[pos] == '{'.
-    Returns (props, index just past the closing brace)."""
+    Returns (props, index just past the closing brace).
+
+    Nested maps are rejected with a specific error rather than mis-parsed
+    at the first '}' (ADVICE r04): the reference serializer renders
+    list-valued attributes as a nested map literal ('{0: v1, 1: v2}'),
+    which is outside the replay subset — raise loudly so the batch abort
+    names the actual cause."""
     end = masked.find("}", pos)
     if end < 0:
         raise CypherUnsupported("unterminated property map")
+    nested = masked.find("{", pos + 1)
+    if 0 <= nested < end:
+        raise CypherUnsupported(
+            "nested property map (list-valued attribute?) is outside the "
+            f"write-replay subset: {raw[pos:end + 1]!r}"
+        )
     inner_raw, inner_masked = raw[pos + 1:end], masked[pos + 1:end]
     props: dict = {}
     if inner_masked.strip():

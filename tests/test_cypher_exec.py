@@ -1912,6 +1912,54 @@ def test_math_scalars_in_return(graph):
     ]
 
 
+def test_round_scalar(spark):
+    """Single-arg round(): nearest integer, half away from zero
+    (FalkorDB/C round parity — Spark's HALF_UP matches on exact dyadic
+    ties), NULL through non-numeric, works inside aggregates."""
+    nodes = spark.createDataFrame(
+        [
+            (1, "V", "a", {"x": "2.5", "y": "0.25"}),
+            (2, "V", "b", {"x": "-2.5", "y": "1.75"}),
+            (3, "V", "c", {"x": "0.49", "y": "not-a-number"}),
+        ],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [], "src_id bigint, label string, dst_id bigint, props map<string,string>"
+    )
+    out = run_cypher(
+        "MATCH (v:V) RETURN v AS k, round(v.x) AS rx, round(v.y) AS ry "
+        "ORDER BY k",
+        nodes, edges,
+    ).collect()
+    assert [(r.k, r.rx, r.ry) for r in out] == [
+        ("a", 3.0, 0.0), ("b", -3.0, 2.0), ("c", 0.0, None),
+    ]
+    agg = run_cypher(
+        "MATCH (v:V) RETURN sum(round(v.x)) AS s", nodes, edges
+    ).collect()
+    assert agg[0].s == 0.0  # 3 + (-3) + 0
+
+
+def test_percentile_cont_empty_group_is_null(graph):
+    """ADVICE r04: percentileCont over a group with zero non-NULL values
+    must yield NULL (openCypher), not abort with INVALID_INDEX_OF_ZERO —
+    try_element_at tolerates out-of-range but raises at index 0."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN percentileCont(f.nosuch, 0.5) AS p, "
+        "percentileCont(f.name, 0.5) AS q",  # non-numeric: all-NULL casts
+        nodes, edges,
+    ).collect()
+    assert [(r.p, r.q) for r in out] == [(None, None)]
+    # grouped: Events carry no 'wins' prop — every group must be NULL
+    out = run_cypher(
+        "MATCH (e:Event) RETURN e AS k, percentileCont(e.wins, 0.25) AS p",
+        nodes, edges,
+    ).collect()
+    assert [(r.k, r.p) for r in out] == [("Open 1", None)]
+
+
 def test_union_not_triggered_by_property_named_union(graph):
     """Review fix: `n.union` is a property access, not a set operator —
     the UNION splitter must not fire on it."""

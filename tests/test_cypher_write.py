@@ -66,6 +66,35 @@ def test_parse_value_types():
     assert props == {"name": "x", "age": 34, "score": -1.5, "ok": True}
 
 
+def test_parse_value_exponent_floats():
+    """ADVICE r04: the reference serializer emits non-strings via
+    str(value), and Python renders small/large floats exponent-only
+    (str(1e-05) == '1e-05') — those must parse as floats, not abort the
+    batch. Integer stays int; exponent-int literals become float."""
+    _, _, props = parse_write(
+        "MERGE (n:Person {name: 'x', tiny: 1e-05, big: -1.5e+20, "
+        "sci: 2E3, plain: 7})"
+    )
+    assert props == {
+        "name": "x", "tiny": 1e-05, "big": -1.5e20, "sci": 2000.0,
+        "plain": 7,
+    }
+    assert isinstance(props["plain"], int)
+    assert all(
+        isinstance(props[k], float) for k in ("tiny", "big", "sci")
+    )
+
+
+def test_parse_rejects_nested_property_map():
+    """ADVICE r04: a nested map literal (the reference's list-valued
+    attribute rendering) must raise a SPECIFIC error, not mis-parse at
+    the first '}'."""
+    with pytest.raises(CypherUnsupported, match="nested property map"):
+        parse_write(
+            "MERGE (n:Person {name: 'x', langs: {0: 'en', 1: 'pt'}})"
+        )
+
+
 def test_parse_rejects_out_of_surface_shapes():
     for bad in [
         "CREATE (n:Person {name: 'x'})",       # reference never emits CREATE

@@ -395,3 +395,95 @@ def test_temporal_join_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in rng_plan
     assert "CartesianProduct" not in rng_plan
     assert "Join" in rng_plan and "Generate" in rng_plan
+
+
+def test_asof_join_time_split_matches_unsplit(spark):
+    """time_split (verdict r04 #9) must be RESULT-IDENTICAL to the
+    unsplit join while re-keying the carry-forward window on
+    (key, range): one synthetic hot key whose rows span many ranges,
+    matches crossing range boundaries (left ranges with no right rows
+    draw from the carried seed), ties at equal ts, and a strict leg."""
+    from kgforge.operators.asof import asof_join
+
+    # hot key "hot": rights only in early ranges, lefts spread across
+    # ranges 0..9 (width=100); key "cold" exercises the per-key seed
+    # isolation; equal-ts duplicate rights exercise the tie-break
+    left_rows = [(i, "hot", 37 + 100 * i) for i in range(10)]
+    left_rows += [(100, "cold", 505), (101, "cold", 5)]
+    right_rows = [("hot", 20, "r20"), ("hot", 120, "r120"),
+                  ("hot", 137, "tie_a"), ("hot", 137, "tie_b"),
+                  ("cold", 400, "c400")]
+    left = spark.createDataFrame(left_rows, "eid long, k string, ts long")
+    right = spark.createDataFrame(right_rows, "k string, ts long, tag string")
+
+    def snap(**kw):
+        return {
+            r.eid: (r.ts_r, r.tag_r)
+            for r in asof_join(left, right, on="k", **kw).collect()
+        }
+
+    base = snap()
+    assert snap(time_split=100) == base
+    assert snap(time_split=1) == base          # every row its own range
+    assert snap(time_split=10_000) == base     # one range = unsplit
+    assert snap(time_split=100, strict=True) == snap(strict=True)
+    # sanity on the fixture itself: eid 5 (ts 537) matches the carried
+    # tie-winner from range 1, four ranges earlier
+    assert base[5][0] == 137
+    assert base[100] == (400, "c400") and base[101] == (None, None)
+
+    # plan pin: the carry-forward window partitions by (key, range) —
+    # the hot key's rows hash to #ranges tasks, not one
+    plan = (
+        asof_join(left, right, on="k", time_split=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(k#" in plan and "__r#" in plan
+
+
+def test_asof_join_guards(spark):
+    """Reserved internal names collide loudly (ADVICE r04); bad
+    time_split values name the problem."""
+    import pytest
+
+    from kgforge.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10)], "pid long, k string, ts long")
+    right = spark.createDataFrame([("k", 5, "x")], "k string, ts long, tag string")
+    with pytest.raises(ValueError, match="__p"):
+        asof_join(left.withColumn("__p", left.ts), right, on="k")
+    with pytest.raises(ValueError, match="__side"):
+        asof_join(left, right.withColumn("__side", right.ts), on="k")
+    with pytest.raises(ValueError, match="unknown time_split"):
+        asof_join(left, right, on="k", time_split="fortnight")
+    with pytest.raises(ValueError, match="timestamp"):
+        # named widths are micros-based; numeric ts needs an int width
+        asof_join(left, right, on="k", time_split="day")
+
+
+def test_asof_join_time_split_timestamps(spark):
+    """Named widths on real timestamps: 'day' splitting matches the
+    unsplit result on a month of events."""
+    import datetime as dt
+
+    from kgforge.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "u", t0 + dt.timedelta(hours=7 * i)) for i in range(40)],
+        "eid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t0 + dt.timedelta(days=3 * j), f"snap{j}") for j in range(4)],
+        "k string, ts timestamp, tag string",
+    )
+
+    def snap(**kw):
+        return {
+            r.eid: (r.ts_r, r.tag_r)
+            for r in asof_join(left, right, on="k", **kw).collect()
+        }
+
+    base = snap()
+    assert snap(time_split="day") == base
+    assert snap(time_split="week") == base
