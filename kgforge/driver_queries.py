@@ -4361,9 +4361,107 @@ def media_decode_real(spark, sf_dir):
     )
 
 
+# =====================================================================
+# driver-verification rotation (verdict r04 #1)
+# =====================================================================
+#
+# The driver's CORRECTNESS artifact records 50 rows per round, in
+# queries() emission order. This map freezes, per gate, the LATEST round
+# whose artifact carries a green row for it (oracle rows count hash/
+# schema/rows matches; declared rows-only gates count their rows check).
+# queries() emits never-verified gates first, then stalest-first, so
+# every gate reaches a driver artifact within two rounds. Regenerate
+# with tools/verified_map.py after each round lands; VERIFIED.md is the
+# human-readable twin.
+
+_VERIFIED_ROUND: dict[str, int] = {
+    "p1_filter_nonempty": 4,
+    "p2_truncate": 4,
+    "p3p5_sanitize": 4,
+    "s5_chunk_docs": 4,
+    "j1_resolve_3way": 4,
+    "j4_anti_customers_no_orders": 4,
+    "j5_semi_parts_in_lineitem": 4,
+    "a1_last_event_per_user": 4,
+    "a2_distinct_user_event": 4,
+    "a3_langs_per_source": 4,
+    "w1_top3_orders_per_segment": 4,
+    "w2_sessionize_events": 4,
+    "w3_session_agg": 4,
+    "u1_union_nations": 4,
+    "j9_connected_components": 4,
+    "dedup_exact": 4,
+    "dedup_jaccard": 4,
+    "dedup_minhash": 4,
+    "dedup_simhash": 4,
+    "ann_cosine_topk": 4,
+    "ann_lsh_topk": 4,
+    "ann_ivf_topk": 4,
+    "text_token_counts": 4,
+    "text_quality": 4,
+    "text_lang_id": 4,
+    "text_fingerprint": 4,
+    "text_repetition": 4,
+    "text_zipf_quality": 4,
+    "url_canonical_dedup": 4,
+    "pii_scrub": 4,
+    "corpus_hash_split": 4,
+    "corpus_token_shards": 4,
+    "corpus_stratified_sample": 4,
+    "corpus_pack_sequences": 4,
+    "dedup_incremental": 4,
+    "cypher_union": 4,
+    "cypher_node_props": 4,
+    "cypher_percentile": 4,
+    "cypher_math_fns": 4,
+    "dedup_minhash_incremental": 4,
+    "chunk_text_windows": 4,
+    "events_asof_join": 4,
+    "events_range_join": 4,
+    "events_rollup_cascade": 4,
+    "sketch_kmv_distinct": 4,
+    "cypher_unwind_with": 4,
+    "cypher_percentile_cont": 4,
+    "cypher_stdev": 4,
+    "warc_ingest": 4,
+    "graph_kcore": 4,
+    "q1_pricing_summary": 3,
+    "q3_shipping_priority": 3,
+    "q5_region_revenue": 3,
+    "events_hourly_rollup": 3,
+    "codec_extract_json": 3,
+    "codec_normalize_date": 3,
+    "skew_salted_agg": 3,
+    "skew_replicated_join": 3,
+    "bucketed_cocolated_join": 3,
+    "graph_bfs_distances": 3,
+    "graph_pagerank": 3,
+    "graph_triangles": 3,
+    "graph_weighted_sssp": 3,
+    "graph_closeness": 3,
+    "graph_lpa": 3,
+    "graph_match_pattern": 3,
+    "kg_triples_e2e": 3,
+    "kg_entity_link": 3,
+    "cypher_validate": 3,
+    "dedup_embedding": 3,
+    "curate_docs_audit": 3,
+    "cypher_exec_agg": 3,
+    "cypher_num_agg": 3,
+    "cypher_var_length": 3,
+    "kg_fixture_pr": 2,
+    "media_features": 2,
+}
+
+
+def _rotation_order() -> list[str]:
+    reg = list(QUERIES)
+    return sorted(reg, key=lambda n: (_VERIFIED_ROUND.get(n, 0), reg.index(n)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _rotation_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _rotation_order() if n in ORACLES}
