@@ -124,10 +124,17 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, payload[head_end + skip :]
 
 
+# Spark's binaryFile source loads each file as ONE row and hard-caps the
+# content column at Int.MaxValue bytes (the JVM array bound) — a larger
+# file fails the scan at runtime, deep in a task. Guard up front instead.
+_BINARYFILE_CAP = 2_147_483_647
+
+
 def load_warc(
     spark: SparkSession,
     paths: list[str] | str,
     record_types: tuple[str, ...] = ("response",),
+    max_file_bytes: int = _BINARYFILE_CAP,
 ) -> DataFrame:
     """Distributed WARC scan -> one row per record of the wanted types.
 
@@ -137,6 +144,15 @@ def load_warc(
     record payload otherwise). Filter/prune happens inside the Arrow
     batch, so unwanted record types (request/metadata/warcinfo) never
     leave the parser.
+
+    Files larger than ``max_file_bytes`` (default: Spark's 2 GB
+    binaryFile content cap) raise ValueError up front — naming the
+    files — instead of failing mid-scan inside a task; the check reads
+    only file-status metadata (path/length), never content. Oversized
+    archives split losslessly at record boundaries with
+    `split_warc_file` (standard Common Crawl files are ~1 GB and fit).
+    ``max_file_bytes`` also serves as a per-task memory bound: each task
+    materializes one file's bytes, so lowering it caps task memory.
     """
     wanted = {t.lower() for t in record_types} if record_types else None
 
@@ -172,7 +188,139 @@ def load_warc(
             )
 
     df = spark.read.format("binaryFile").load(paths)
+    cap = min(int(max_file_bytes), _BINARYFILE_CAP)
+    oversized = (
+        df.filter(F.col("length") > cap)
+        .select("path", "length")
+        .limit(5)
+        .collect()
+    )
+    if oversized:
+        names = ", ".join(f"{r.path} ({r.length} B)" for r in oversized)
+        raise ValueError(
+            f"WARC file(s) exceed the {cap}-byte per-file bound "
+            f"(Spark binaryFile caps content at {_BINARYFILE_CAP} B and "
+            f"each file is one task's memory): {names}. Split them at "
+            "record boundaries first — kgforge.sources.warc."
+            "split_warc_file(src, out_dir, target_bytes) is lossless."
+        )
     return df.select("path", "content").mapInPandas(parse_files, WARC_SCHEMA)
+
+
+def _iter_members(fh, gz: bool, chunk_size: int = 1 << 20) -> Iterator[bytes]:
+    """Stream a WARC file's atomic units — gzip members (gz=True, the
+    Common Crawl member-per-record layout) or raw records (gz=False) —
+    as byte blocks. Memory is bounded by ONE unit (a unit cannot be
+    split further), never the file."""
+    if gz:
+        import zlib
+
+        d = zlib.decompressobj(wbits=31)
+        parts: list[bytes] = []
+        while True:
+            chunk = fh.read(chunk_size)
+            if not chunk:
+                if parts:
+                    yield b"".join(parts)
+                return
+            buf = chunk
+            while buf:
+                d.decompress(buf)
+                if d.eof:
+                    used = len(buf) - len(d.unused_data)
+                    parts.append(buf[:used])
+                    yield b"".join(parts)
+                    parts, buf = [], d.unused_data
+                    d = zlib.decompressobj(wbits=31)
+                else:
+                    parts.append(buf)
+                    buf = b""
+    else:
+        buf = b""
+        while True:
+            head_end = buf.find(b"\r\n\r\n")
+            while head_end < 0:
+                chunk = fh.read(chunk_size)
+                if not chunk:
+                    if buf.strip():
+                        raise ValueError("truncated WARC record header")
+                    return
+                buf += chunk
+                head_end = buf.find(b"\r\n\r\n")
+            head = buf[:head_end]
+            length = None
+            for line in head.split(_CRLF):
+                k, sep, v = line.partition(b":")
+                if sep and k.strip().lower() == b"content-length":
+                    length = int(v.strip())
+            if length is None or length < 0:
+                raise ValueError("WARC record without a valid Content-Length")
+            total = head_end + 4 + length  # version+headers+sep+payload
+            while len(buf) < total:
+                chunk = fh.read(chunk_size)
+                if not chunk:
+                    break  # truncation-tolerant, like parse_warc
+                buf += chunk
+            # absorb inter-record blank lines into this unit (parse_warc
+            # skips ANY number of them, so framing must not assume one)
+            end = min(total, len(buf))
+            while True:
+                if buf[end : end + 2] == _CRLF:
+                    end += 2
+                    continue
+                if end + 2 > len(buf):
+                    chunk = fh.read(chunk_size)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    continue
+                break
+            yield buf[:end]
+            buf = buf[end:]
+
+
+def split_warc_file(
+    src_path: str, out_dir: str, target_bytes: int
+) -> list[str]:
+    """Split one oversized WARC file into shards ≤ ``target_bytes``
+    each, LOSSLESSLY: shard boundaries fall only on record boundaries
+    (gzip-member boundaries for .warc.gz — Common Crawl gzips each
+    record as its own member, so members never split records), so the
+    union of `load_warc` over the shards equals the original. Streaming
+    and driver-side (this is a pre-ingest repair tool for files past the
+    2 GB binaryFile cap): memory is bounded by one record, not the file.
+    A single record larger than ``target_bytes`` becomes its own
+    oversize shard (it cannot be split) — the caller sees it in the
+    returned sizes. Returns the shard paths in order."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    gz = src_path.endswith(".gz")
+    base = os.path.basename(src_path)
+    stem, ext = (base[:-8], ".warc.gz") if gz else (base[:-5], ".warc")
+    shards: list[str] = []
+    cur: list[bytes] = []
+    cur_bytes = 0
+
+    def flush():
+        nonlocal cur, cur_bytes
+        if not cur:
+            return
+        path = os.path.join(out_dir, f"{stem}-{len(shards):05d}{ext}")
+        with open(path, "wb") as out:
+            for block in cur:
+                out.write(block)
+        shards.append(path)
+        cur, cur_bytes = [], 0
+
+    with open(src_path, "rb") as fh:
+        for member in _iter_members(fh, gz):
+            if cur and cur_bytes + len(member) > target_bytes:
+                flush()
+            cur.append(member)
+            cur_bytes += len(member)
+    flush()
+    return shards
 
 
 def warc_text_documents(
