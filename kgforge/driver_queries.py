@@ -4343,22 +4343,95 @@ def media_features(spark, sf_dir):
     )
 
 
-@_q("media_decode_real")
+@_q(
+    "media_decode_real",
+    """
+    SELECT * FROM (VALUES
+        (0, 'image', 'da14c25f0a71e5766ec84d97450a9eb4'),
+        (1, 'image', '53df184290a8d600daa4138e98e9fd47'),
+        (2, 'image', 'fbc9ec0cbc2b2fd1c5e0b7f0f6167214'),
+        (3, 'audio', '43c2ec0fb1c8e4979a2682b8eafccc87'),
+        (4, 'image', 'b7b95d1854cc4d885e8cdc0b0a28e5d6'),
+        (5, 'image', '8086d31a874a7c378143872e05887160'),
+        (6, 'image', '3565ca99c90a314c272e59cc3eec5c06'),
+        (7, 'audio', '95c627c516ac2c626190a5e27c34585b'),
+        (8, 'image', '6992a2c8b9644394637f646405ed403d'),
+        (9, 'image', '4977ba1da7c5ced0f946be3b89f8177d'),
+        (10, 'image', 'd2d02223dc425f6c2adce5f34bbc0cc6'),
+        (11, 'audio', 'c660958ad9e9684b7ee42a842e6b5c2c'),
+        (12, 'image', 'ba91a0ad6d7b1be5a149f45a4a5fa242'),
+        (13, 'image', '27881e35a0ebbe2ece1cbf50b20be537'),
+        (14, 'image', 'f0a7262996e67aa34debbeadeb42353a'),
+        (15, 'audio', 'b5928c4b164f1b7ddd7f90946e655853'),
+        (16, 'image', '05fa4ab0b8918440f50cb02974288b35'),
+        (17, 'image', '5e4103ba9147305349e4a5c2697f7972'),
+        (18, 'image', '7e96b78d8f54e0954f69440965189c1d'),
+        (19, 'audio', '70dc708b51f1ffc8906e7680d40e1c25'),
+        (20, 'image', '187d389bd2824d8adec1326322d72684'),
+        (21, 'image', '13d7e644226da2df3e9544cfd0cdda18'),
+        (22, 'image', 'ca6ffa7626f8d9ad86c67dad6328c59e'),
+        (23, 'audio', 'ddf861972497920256ea5277d0f75ef1'),
+        (24, 'image', 'eba0ad876e25b57ebda09fbd68188e2a'),
+        (25, 'image', 'c20afac7cc4c7dbc4b81e97d8d6d1746'),
+        (26, 'image', '01b3a04da35a1266e0b09f64501e6ea5'),
+        (27, 'audio', 'bd1ecb00371b7a906beee98b51eda95b'),
+        (28, 'image', '0f44de31caf58e3937b4fb88a3219295'),
+        (29, 'image', '75c4effea255285bf7b78d7f0ab9bca4'),
+        (30, 'image', '73d66a9a6b9d5d30eba2d0ab169f4c21'),
+        (31, 'audio', 'a6b308ea7c91269f1cab63cb7af5015e'),
+        (32, 'image', '4a6c8c688751676aea3a1375d6014888'),
+        (33, 'image', 'bf995e718ca461284b3d0c3cffcbc059'),
+        (34, 'image', '09587e5c3747f9c6b66ba7a5621efc4c'),
+        (35, 'audio', '113b1c9abfc8037293cabc807e1ccbb4'),
+        (36, 'image', '05edf1354cd765a4c8f7c095bee7263f'),
+        (37, 'image', '5b9451ad035adb5a6460a32d7972e4c6'),
+        (38, 'image', '353795d061ee7c4cb0fbc310d3c23466'),
+        (39, 'audio', '274bb7a15254c3ca2800ea7496ed28ab'),
+        (40, 'image', 'f3125aa9686a7b2307e9630c595952f4'),
+        (41, 'image', '2cafb0e0733b84de0002f91aec7fa78e'),
+        (42, 'image', 'b83d65ecfd02e591a03f304537344526'),
+        (43, 'audio', 'fcabb9540b883139ac7e918b01598636'),
+        (44, 'image', '8b60adaac644e2f9f900e46a7d4e7006'),
+        (45, 'image', '5ef4a1854e75bf7a2ec957e0915ab403'),
+        (46, 'image', '6daf8286448bceb39a86cda1d90eb205'),
+        (47, 'audio', 'f25b8636b84ae96f6b22327d15d72470')
+    ) AS t(media_id, media_type, digest) ORDER BY media_id
+    """,
+)
 def media_decode_real(spark, sf_dir):
-    """REAL stdlib media decode on the executors (r4): deterministic PNG
-    (all five scanline filters, gray/RGB/RGBA) / PPM / 16-bit-PCM WAV
-    payloads decoded by `decode_media` (zlib + struct + wave, no native
-    libraries) into content features. Float features are not
-    SQL-expressible, so the driver check is rows-only; pytest
-    (test_multimodal) pins executor-vs-driver feature equality and pixel
-    exactness of every decoder."""
-    from kgforge.functions.multimodal import (
-        decode_media, extract_features, synth_real_media)
+    """REAL pure-numpy/stdlib media decode on the executors, now
+    value-hash ORACLED (verdict r04 #6): deterministic PNG (all five
+    scanline filters, gray/RGB/RGBA), baseline JPEG (4:4:4/4:2:0/gray,
+    quality + restart-interval varied, functions/jpeg.py), PPM, and
+    16-bit-PCM WAV payloads decoded by the `decode_media` decoders;
+    each row returns md5(canonical decoded bytes) via `decode_digest`.
+    The oracle is a FROZEN literal table derived driver-side by
+    tools/derive_media_gold.py (same freeze discipline as the fixture
+    gold: regenerate only after re-reviewing the decoders) — the gate
+    certifies the full executor-side decode path bit-for-bit. pytest
+    (test_jpeg, test_multimodal) additionally pins decoder exactness
+    against independent spatial references."""
+    import pandas as pd
+
+    from kgforge.functions.multimodal import decode_digest, synth_real_media
 
     media = synth_real_media(spark, n=48, seed=42)
-    return extract_features(media, kernel=decode_media).select(
-        "media_id", "media_type", "n_bytes"
-    )
+
+    def digest(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "digest": [
+                        decode_digest(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        digest, "media_id long, media_type string, digest string"
+    ).orderBy("media_id")
 
 
 # =====================================================================

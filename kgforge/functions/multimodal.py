@@ -4,15 +4,16 @@ Image/audio/video payloads ride as `binary` columns with a typed metadata
 struct; decode / feature-extract run as Arrow-batched `mapInPandas` stages so
 the bytes never round-trip through per-row Python pickling.
 
-Decode kernels (r4): REAL pure-stdlib decoders for the formats the standard
-library can express — PNG (zlib inflate + full scanline unfiltering,
-color types 0/2/3/4/6 at bit depth 8), PPM/PGM (P5/P6), and WAV PCM
-(8/16-bit) — dispatched by magic bytes in `decode_media`. Codecs that
-genuinely need native libraries (JPEG, MP4/H.264, MP3) raise
-NotImplementedError at the same seam: `extract_features(df, kernel=...)`
-swaps in PIL/ffmpeg unchanged (the contract test pins the seam). The
-legacy `decode_image(fake=True)` hash-vector stand-in remains for
-format-agnostic plumbing tests.
+Decode kernels (r4, JPEG added r5): REAL pure-numpy/stdlib decoders —
+PNG (zlib inflate + skewed-wavefront scanline unfiltering, color types
+0/2/3/4/6 at bit depth 8), baseline JPEG (SOF0 Huffman + vectorized
+IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, see functions/jpeg.py), PPM/PGM
+(P5/P6), and WAV PCM (8/16-bit) — dispatched by magic bytes in
+`decode_media`. Codecs that genuinely need native libraries (progressive
+JPEG, MP4/H.264, MP3) raise NotImplementedError at the same seam:
+`extract_features(df, kernel=...)` swaps in PIL/ffmpeg unchanged (the
+contract test pins the seam). The legacy `decode_image(fake=True)`
+hash-vector stand-in remains for format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -429,22 +430,56 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 def decode_media(payload: bytes, meta: dict | None = None) -> np.ndarray:
     """The REAL kernel: magic-byte dispatch -> FEATURE_DIM feature vector.
 
-    PNG / PPM / PGM -> decode pixels -> image_features; WAV -> decode PCM
-    -> audio_features. Anything else (JPEG, MP4, ...) raises
-    NotImplementedError at the seam — swap in PIL/ffmpeg via
-    ``extract_features(df, kernel=...)`` when the environment has them.
+    PNG / JPEG / PPM / PGM -> decode pixels -> image_features; WAV ->
+    decode PCM -> audio_features. Anything else (MP4, MP3, progressive
+    JPEG, ...) raises NotImplementedError at the seam — swap in
+    PIL/ffmpeg via ``extract_features(df, kernel=...)`` when the
+    environment has them.
     """
-    if payload[:8] == _PNG_SIG:
-        return image_features(decode_png(payload))
-    if payload[:2] in (b"P5", b"P6"):
-        return image_features(decode_ppm(payload))
+    px = _decode_pixels(payload)
+    if px is not None:
+        return image_features(px)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload))
     mt = (meta or {}).get("mime", "unknown")
     raise NotImplementedError(
-        f"no stdlib decoder for {mt!r} (PNG/PPM/PGM/WAV supported; "
+        f"no stdlib decoder for {mt!r} (PNG/JPEG/PPM/PGM/WAV supported; "
         "plug a PIL/ffmpeg kernel through extract_features(kernel=...))"
     )
+
+
+def _decode_pixels(payload: bytes) -> np.ndarray | None:
+    """Image magic-byte dispatch -> (H, W, C) uint8, or None if the
+    payload is not a supported image format."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from kgforge.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    return None
+
+
+def decode_digest(payload: bytes, meta: dict | None = None) -> str:
+    """md5 hex of the CANONICAL decoded representation — the
+    cross-engine value hash the `media_decode_real` oracle pins
+    (VERDICT r04 #6): images hash `shape-prefix + (H, W, C) uint8
+    bytes`, WAV hashes `rate/shape prefix + float32 sample bytes`
+    (IEEE-deterministic: the sample math is elementwise, no
+    order-dependent reductions). Same decoders as `decode_media`, so a
+    digest match certifies the full decode path bit-for-bit."""
+    px = _decode_pixels(payload)
+    if px is not None:
+        head = f"img:{px.shape[0]}x{px.shape[1]}x{px.shape[2]}:".encode()
+        return hashlib.md5(head + px.tobytes()).hexdigest()
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = decode_wav(payload)
+        head = f"wav:{rate}:{samples.shape[0]}x{samples.shape[1]}:".encode()
+        return hashlib.md5(head + samples.astype("<f4").tobytes()).hexdigest()
+    mt = (meta or {}).get("mime", "unknown")
+    raise NotImplementedError(f"no stdlib decoder for {mt!r}")
 
 
 def extract_features(
@@ -506,19 +541,47 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synth_real_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
     """Deterministic REAL media table: PNG (cycling all five scanline
-    filters and gray/RGB/RGBA), binary PPM, and 16-bit PCM WAV payloads —
-    decodable by `decode_media` with no native libraries."""
+    filters and gray/RGB/RGBA), baseline JPEG (4:4:4 / 4:2:0 / grayscale,
+    quality + restart-interval varied), binary PPM, and 16-bit PCM WAV
+    payloads — decodable by `decode_media` with no native libraries."""
+    from kgforge.functions.jpeg import encode_jpeg
+
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        kind = i % 3
+        kind = i % 4
         if kind == 0:  # PNG
-            ch = [1, 3, 4][(i // 3) % 3]
+            ch = [1, 3, 4][(i // 4) % 3]
             h, w = 8 + int(rng.randint(0, 9)), 8 + int(rng.randint(0, 9))
             px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
-            payload = encode_png(px, filter_type=(i // 3) % 5)
+            payload = encode_png(px, filter_type=(i // 4) % 5)
             meta = ("image", "image/png", w, h, 0)
-        elif kind == 1:  # PPM
+        elif kind == 1:  # JPEG: smooth low-frequency fields compress sanely
+            h, w = 16 + int(rng.randint(0, 17)), 16 + int(rng.randint(0, 17))
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (
+                128.0
+                + 96.0 * np.sin(yy / (2.0 + (i % 5)))
+                + 64.0 * np.cos(xx / (1.5 + (i % 3)))
+            )
+            if (i // 4) % 3 == 0:  # grayscale
+                px = np.clip(base, 0, 255).astype(np.uint8)
+            else:
+                px = np.clip(
+                    np.stack(
+                        [base, np.roll(base, 3, 0), np.roll(base, 5, 1)],
+                        axis=2,
+                    ),
+                    0, 255,
+                ).astype(np.uint8)
+            payload = encode_jpeg(
+                px,
+                quality=60 + 10 * ((i // 4) % 4),
+                subsample=(i // 4) % 3 == 2,
+                restart_interval=(i // 4) % 3,
+            )
+            meta = ("image", "image/jpeg", w, h, 0)
+        elif kind == 2:  # PPM
             h, w = 6 + int(rng.randint(0, 7)), 6 + int(rng.randint(0, 7))
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = (f"P6\n{w} {h}\n255\n".encode() + px.tobytes())

@@ -159,9 +159,12 @@ def test_ppm_wav_resize_and_dispatch():
     assert rs.shape == (2, 3, 1)
     assert (rs[:, :, 0] == [[0, 2, 4], [12, 14, 16]]).all()
 
-    # dispatch: JPEG magic raises at the seam instead of decoding wrong
-    with pytest.raises(NotImplementedError, match="image/jpeg"):
+    # dispatch: JPEG decodes for real since r5; a TRUNCATED JPEG fails
+    # loudly, and genuinely unsupported codecs raise at the seam
+    with pytest.raises(ValueError, match="SOS"):
         decode_media(b"\xff\xd8\xff\xe0", {"mime": "image/jpeg"})
+    with pytest.raises(NotImplementedError, match="video/mp4"):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", {"mime": "video/mp4"})
 
 
 def test_real_decode_on_executors_matches_driver(spark):
