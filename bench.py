@@ -292,12 +292,16 @@ def main():
     time.sleep(10)
     kg_out = run_stage("kg", KG_CPUS)
     # like-for-like cross-round comparison (VERDICT r02 #8): also run the
-    # KG stage at the full CPUS width (the round-1 configuration), one
-    # steady pass — so r1<->r2<->r3 kg tables need no footnote
+    # KG stage at the full CPUS width (the round-1 configuration).
+    # Best-of-2 steady like the KG_CPUS stage since r5: the r4 driver
+    # artifact read steady 95 s > cold 62 s at width 32 — a single
+    # steady pass at full width has no second chance against a co-tenant
+    # burst on this oversubscribed host (VERDICT r04 #2; same-code quiet
+    # measurements: 26.8-28.3 s).
     kg_full = None
     if CPUS != KG_CPUS:
         time.sleep(10)
-        kg_full = run_stage("kg1", CPUS)
+        kg_full = run_stage("kg", CPUS)
 
     total = round(time.time() - t_start, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
