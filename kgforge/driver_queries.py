@@ -3769,6 +3769,48 @@ def cypher_sp_paths(spark, sf_dir):
 
 
 @_q(
+    "cypher_sp_path_route",
+    f"""
+    WITH RECURSIVE {_CHAIN_PAIRS_SQL}, walk(origin, id, d, h, p) AS (
+      SELECT n_name, n_name, 0::DOUBLE, 0, n_name FROM nation
+      UNION
+      SELECT w.origin, pr.dst, w.d + pr.w, w.h + 1,
+             w.p || '->' || pr.dst
+      FROM walk w JOIN pairs pr ON pr.src = w.id WHERE w.h < 4
+    ), best AS (
+      SELECT origin, id, min(d) AS d FROM walk GROUP BY origin, id
+    )
+    SELECT w.origin AS src, w.id AS dst, b.d::DOUBLE AS w,
+           min(w.p) AS path
+    FROM walk w JOIN best b ON b.origin = w.origin AND b.id = w.id
+                           AND b.d = w.d
+    GROUP BY w.origin, w.id, b.d ORDER BY src, dst
+    """,
+)
+def cypher_sp_path_route(spark, sf_dir):
+    """CALL algo.SPpaths(...) YIELD path, pathWeight (r5, verdict r04
+    missing #4): the ROUTE observable — the textual node-key walk
+    'k1->k2->…' reconstructed from the Bellman-Ford argmin state. On
+    the per-region nation chain the cheapest walk per pair is UNIQUE
+    (positive weights on a path graph: any detour strictly adds), so
+    the oracle's exhaustive walk CTE carries the same '->' string and
+    min(p) over min-d rows is tie-free — the value compare certifies
+    the reconstructed route node-for-node, both engines."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_chain_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (a:Nation), (b:Nation) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "relTypes: ['NEAR'], weightProp: 'w', maxLen: 4}) "
+        "YIELD path, pathWeight AS w "
+        "RETURN a AS src, b AS dst, w, path ORDER BY src, dst",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_ss_paths",
     f"""
     WITH RECURSIVE {_CHAIN_PAIRS_SQL}, walk(origin, id, d, h) AS (

@@ -86,15 +86,18 @@ Semantics and scope:
   true distance is below the bound, ADVICE r03). A named plain path
   ``p = (a)-[:R*m..n]->(b)`` binds one row per (pair, walk length);
   like allShortestPaths it requires a multiplicity-blind projection.
-- ``CALL algo.SPpaths({...}) YIELD pathWeight`` / ``algo.SSpaths`` run
-  the reference prompt's minimal-weight-path procedures (ref
+- ``CALL algo.SPpaths({...}) YIELD path, pathWeight`` / ``algo.SSpaths``
+  run the reference prompt's minimal-weight-path procedures (ref
   fixtures/prompts.py:394-398) against the bound MATCH rows: SPpaths
-  yields the cheapest walk weight per (sourceNode, targetNode) binding,
+  yields the cheapest walk per (sourceNode, targetNode) binding,
   SSpaths one row per destination reachable from sourceNode. All
   bindings share one origin-keyed Bellman-Ford
-  (graph_query.weighted_paths); the yielded column joins the
+  (graph_query.weighted_paths); the yielded columns join the
   plain-column namespace (usable in RETURN, aggregates, WITH, and a
-  WHERE directly after the YIELD). YIELD path itself is out of subset;
+  WHERE directly after the YIELD). ``YIELD path`` (r5) returns the
+  textual node-key route ``'k1->k2->…'`` of ONE cheapest walk
+  (deviation: FalkorDB returns a structured Path object; key-text is
+  this engine's canonical rendering) with a deterministic tie-break.
   pathCount, if given, must be 1 (see apply_calls for the full
   parameter contract).
 - `RETURN var` projects the node's key (the unique-attribute value — node
@@ -1619,11 +1622,17 @@ def run_cypher(
           'incoming' / 'both'. maxLen bounds the walk length (default
           `max_hops`); pathWeight is the min total weight over walks of
           <= maxLen edges.
-        - ``YIELD pathWeight [AS alias]`` is the one observable (`path`
-          itself is a structured object, out of subset). Unreachable
+        - ``YIELD`` takes ``pathWeight`` and/or ``path`` (any order,
+          each optionally aliased). ``path`` is the textual node-key
+          route of ONE cheapest walk — reconstructed from the
+          Bellman-Ford's per-node argmin state, converted id->key with
+          a single posexplode + join + re-collect (no per-hop joins).
+          Among equal-weight walks the struct(d, path) min keeps the
+          lexicographically-smallest id sequence seen, so the choice
+          is deterministic for a given graph and maxLen. Unreachable
           pairs yield no row (CALL row semantics). A WHERE directly
-          after the YIELD filters on the yielded column. The yielded
-          column joins the plain-column namespace, so it rides WITH
+          after the YIELD filters on the yielded columns. The yielded
+          columns join the plain-column namespace, so they ride WITH
           boundaries and aggregates like any WITH output.
 
         All MATCH bindings share ONE origin-keyed Bellman-Ford
@@ -1752,28 +1761,80 @@ def run_cypher(
                 max_len = int(params["maxLen"])
                 if max_len < 1:
                     raise CypherUnsupported("maxLen must be >= 1")
-            ym = re.fullmatch(
-                r"pathWeight(?:\s+AS\s+(\w+))?",
-                yield_text.strip(),
-                re.IGNORECASE,
-            )
-            if ym is None:
-                raise CypherUnsupported(
-                    "only YIELD pathWeight [AS alias] is executed "
-                    "(`path` is a structured object, out of subset)"
+            # YIELD list: pathWeight and/or path, each optionally
+            # aliased, any order (FalkorDB: YIELD path, pathWeight).
+            # `path` yields the TEXTUAL node-key route 'k1->k2->…' of
+            # ONE cheapest walk (documented deviation: FalkorDB returns
+            # a structured Path object; node-key text is this engine's
+            # canonical rendering, like properties(n) -> JSON).
+            yields: dict[str, str] = {}
+            for item in _split_top_commas(yield_text.strip()):
+                ym = re.fullmatch(
+                    r"(pathWeight|path)(?:\s+AS\s+(\w+))?",
+                    item.strip(),
+                    re.IGNORECASE,
                 )
-            name = ym.group(1) or "pathWeight"
-            if name in plan.columns or name in extra_out:
-                raise CypherUnsupported(f"duplicate column {name!r}")
+                if ym is None:
+                    raise CypherUnsupported(
+                        "only YIELD path / pathWeight [AS alias] is "
+                        f"executed, not {item.strip()!r}"
+                    )
+                obs = (
+                    "path" if ym.group(1).lower() == "path" else
+                    "pathWeight"
+                )
+                if obs in yields:
+                    raise CypherUnsupported(f"duplicate YIELD {obs}")
+                yields[obs] = ym.group(2) or obs
+            for name in yields.values():
+                if name in plan.columns or name in extra_out:
+                    raise CypherUnsupported(f"duplicate column {name!r}")
+            want_path = "path" in yields
             origins = plan.select(
                 F.col(f"{src_var}__id").alias("origin")
             ).dropDuplicates()
-            dist = weighted_paths(e, origins, max_hops=max_len)
+            dist = weighted_paths(
+                e, origins, max_hops=max_len, with_path=want_path
+            )
+            if want_path:
+                # id array -> '->'-joined key route: ONE posexplode +
+                # key join + re-collect, all vectorized (no per-hop
+                # joins; path length is bounded by maxLen)
+                id2key = nodes.select(
+                    F.col("node_id").alias("__pid"),
+                    F.col("key").alias("__pkey"),
+                )
+                routes = (
+                    dist.select(
+                        "origin", "id",
+                        F.posexplode("path").alias("__pos", "__pid"),
+                    )
+                    .join(id2key, on="__pid")
+                    .groupBy("origin", "id")
+                    .agg(
+                        F.array_sort(
+                            F.collect_list(F.struct("__pos", "__pkey"))
+                        ).alias("__ps")
+                    )
+                    .select(
+                        "origin", "id",
+                        F.concat_ws(
+                            "->",
+                            F.transform("__ps", lambda s: s["__pkey"]),
+                        ).alias("__route"),
+                    )
+                )
+                dist = dist.drop("path").join(routes, on=["origin", "id"])
+            out_cols = []
+            if "pathWeight" in yields:
+                out_cols.append(F.col("d").alias(yields["pathWeight"]))
+            if want_path:
+                out_cols.append(F.col("__route").alias(yields["path"]))
             if proc == "sppaths":
                 rel_df = dist.select(
                     F.col("origin").alias(f"{src_var}__id"),
                     F.col("id").alias(f"{dst_var}__id"),
-                    F.col("d").alias(name),
+                    *out_cols,
                 )
                 plan = plan.join(
                     rel_df, on=[f"{src_var}__id", f"{dst_var}__id"]
@@ -1783,11 +1844,11 @@ def run_cypher(
                     F.col("id") != F.col("origin")
                 ).select(
                     F.col("origin").alias(f"{src_var}__id"),
-                    F.col("d").alias(name),
+                    *out_cols,
                 )
                 plan = plan.join(rel_df, on=f"{src_var}__id")
-            extra_out.add(name)
-            plan = apply_having(plan, call_wheres, {name})
+            extra_out.update(yields.values())
+            plan = apply_having(plan, call_wheres, set(yields.values()))
         return plan
 
     def apply_with_order(

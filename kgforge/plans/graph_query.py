@@ -157,7 +157,10 @@ def weighted_sssp(
 
 
 def weighted_paths(
-    edges: DataFrame, origins: DataFrame, max_hops: int = 8
+    edges: DataFrame,
+    origins: DataFrame,
+    max_hops: int = 8,
+    with_path: bool = False,
 ) -> DataFrame:
     """Multi-ORIGIN minimal-weight walk distances: (origin, id, d).
 
@@ -175,30 +178,59 @@ def weighted_paths(
     per round, not K — the shuffle key (origin, id) also spreads hot
     destination nodes across K reducer keys. `localCheckpoint` truncates
     lineage per round; early exit when a round improves nothing.
+
+    ``with_path=True`` additionally returns ``path``: the node-id
+    ARRAY of one cheapest walk (origin first). The per-round aggregate
+    becomes min over STRUCT(d, path) — Spark orders structs
+    field-by-field and arrays lexicographically, so among equal-weight
+    walks discovered in the same round set the lexicographically
+    smallest id-sequence wins, keeping the result deterministic for a
+    given input and max_hops. State grows by one id per hop (bounded by
+    max_hops), the price of the FalkorDB ``YIELD path`` surface —
+    leave it off when only weights are needed.
     """
+    if with_path:
+        state = F.struct(
+            F.lit(0.0).alias("d"),
+            F.array(F.col("origin")).alias("path"),
+        ).alias("s")
+    else:
+        state = F.struct(F.lit(0.0).alias("d")).alias("s")
     dist = origins.select(
-        "origin",
-        F.col("origin").alias("id"),
-        F.lit(0.0).alias("d"),
+        "origin", F.col("origin").alias("id"), state
     ).localCheckpoint()
     e = edges.select("src", "dst", "w")
     for _ in range(max_hops):
+        relax = [(F.col("s.d") + F.col("w")).alias("d")]
+        if with_path:
+            relax.append(
+                F.concat(F.col("s.path"), F.array(F.col("dst"))).alias(
+                    "path"
+                )
+            )
         cand = dist.join(e, dist.id == e.src).select(
             "origin",
             F.col("dst").alias("id"),
-            (F.col("d") + F.col("w")).alias("d"),
+            F.struct(*relax).alias("s"),
         )
         new = (
             dist.unionByName(cand)
             .groupBy("origin", "id")
-            .agg(F.min("d").alias("d"))
+            .agg(F.min("s").alias("s"))
             .localCheckpoint()
         )
-        if new.join(dist, on=["origin", "id", "d"], how="left_anti").isEmpty():
-            dist = new
-            break
+        done = new.select("origin", "id", F.col("s.d").alias("d")).join(
+            dist.select("origin", "id", F.col("s.d").alias("d")),
+            on=["origin", "id", "d"],
+            how="left_anti",
+        ).isEmpty()
         dist = new
-    return dist
+        if done:
+            break
+    out = ["origin", "id", F.col("s.d").alias("d")]
+    if with_path:
+        out.append(F.col("s.path").alias("path"))
+    return dist.select(*out)
 
 
 def shortest_path_pair(

@@ -1244,13 +1244,85 @@ def test_call_yield_rides_with_boundary_and_later_stage(road_graph):
     assert [(r.s, r.u, r.pathWeight) for r in out2] == [("C0", "C1", 2.0)]
 
 
+def test_sppaths_yield_path_route(road_graph):
+    """YIELD path (r5): the textual node-key route of ONE cheapest walk
+    — C0->C1->C2->C3 (weight 6) beats the direct weight-10 edge; both
+    observables together, either order, aliased."""
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C0'}), (b:City {name: 'C3'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "relTypes: ['ROAD'], weightProp: 'dist', maxLen: 4}) "
+        "YIELD path, pathWeight AS w "
+        "RETURN path, w",
+        nodes, edges,
+    ).collect()
+    assert [(r.path, r.w) for r in out] == [("C0->C1->C2->C3", 6.0)]
+    # path alone, maxLen too small for the chain: the direct edge wins
+    out = run_cypher(
+        "MATCH (a:City {name: 'C0'}), (b:City {name: 'C3'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "weightProp: 'dist', maxLen: 1}) YIELD path AS p RETURN p",
+        nodes, edges,
+    ).collect()
+    assert [r.p for r in out] == [["C0->C3"][0]]
+
+
+def test_sspaths_yield_path_per_destination(road_graph):
+    """SSpaths YIELD path: one route per reachable destination; the
+    yielded column filters in a post-YIELD WHERE and rides RETURN
+    ORDER BY."""
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C0'}) "
+        "CALL algo.SSpaths({sourceNode: a, weightProp: 'dist', "
+        "maxLen: 4}) YIELD path, pathWeight "
+        "WHERE pathWeight < 7 "
+        "RETURN path, pathWeight ORDER BY pathWeight",
+        nodes, edges,
+    ).collect()
+    assert [(r.path, r.pathWeight) for r in out] == [
+        ("C0->C1", 1.0),
+        ("C0->C1->C2", 3.0),
+        ("C0->C1->C2->C3", 6.0),
+    ]
+
+
+def test_sppaths_path_tie_break_deterministic(spark):
+    """Two equal-weight routes: the struct(d, path) min keeps the
+    lexicographically smaller id-sequence — stable across runs."""
+    nodes = spark.createDataFrame(
+        [(i, "V", f"N{i}", {"name": f"N{i}"}) for i in range(4)],
+        "node_id bigint, label string, key string, props map<string,string>",
+    )
+    # 0->1->3 and 0->2->3, both weight 2: ids [0,1,3] < [0,2,3]
+    edges = spark.createDataFrame(
+        [(0, "E", 1, {"w": "1"}), (1, "E", 3, {"w": "1"}),
+         (0, "E", 2, {"w": "1"}), (2, "E", 3, {"w": "1"})],
+        "src_id bigint, label string, dst_id bigint, props map<string,string>",
+    )
+    for _ in range(3):
+        out = run_cypher(
+            "MATCH (a:V {name: 'N0'}), (b:V {name: 'N3'}) "
+            "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+            "weightProp: 'w', maxLen: 3}) YIELD path, pathWeight "
+            "RETURN path, pathWeight",
+            nodes, edges,
+        ).collect()
+        assert [(r.path, r.pathWeight) for r in out] == [("N0->N1->N3", 2.0)]
+
+
 def test_call_subset_boundaries_raise(road_graph):
     nodes, edges = road_graph
     cases = [
-        # YIELD path (structured object)
+        # unknown YIELD item
         "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
         "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
-        "weightProp: 'dist'}) YIELD path, pathWeight RETURN pathWeight",
+        "weightProp: 'dist'}) YIELD pathCost RETURN pathCost",
+        # duplicate YIELD item
+        "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "weightProp: 'dist'}) YIELD path, path AS p RETURN p",
         # pathCount > 1
         "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
         "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
