@@ -3769,6 +3769,38 @@ def cypher_sp_paths(spark, sf_dir):
 
 
 @_q(
+    "cypher_var_rel_size",
+    f"""
+    WITH RECURSIVE {_CHAIN_PAIRS_SQL}, walk(origin, id, h) AS (
+      SELECT src, dst, 1 FROM pairs
+      UNION
+      SELECT w.origin, p.dst, w.h + 1
+      FROM walk w JOIN pairs p ON p.src = w.id WHERE w.h < 3
+    )
+    SELECT DISTINCT origin AS src, id AS dst, h::BIGINT AS hops
+    FROM walk ORDER BY src, dst, hops
+    """,
+)
+def cypher_var_rel_size(spark, sf_dir):
+    """-[r:NEAR*1..3]-> with a bound rel var (r5, verdict r04 missing
+    #4): openCypher binds r to a relationship LIST; the executed subset
+    exposes it as an implicit walk binding whose one observable is
+    size(r)/length(r) = hop count, one row per (pair, hop count) with
+    DISTINCT-guarded multiplicity. Oracle = exhaustive recursive-CTE
+    walk enumeration over the same chain, DISTINCT (src, dst, h)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_chain_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (a:Nation)-[r:NEAR*1..3]->(b:Nation) "
+        "RETURN DISTINCT a AS src, b AS dst, size(r) AS hops "
+        "ORDER BY src, dst, hops",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_sp_path_route",
     f"""
     WITH RECURSIVE {_CHAIN_PAIRS_SQL}, walk(origin, id, d, h, p) AS (

@@ -44,7 +44,12 @@ Semantics and scope:
   else raises rather than silently returning different counts.
 - a relationship variable ``-[r:R]->`` binds the edge; ``r.prop`` reads
   its props map in WHERE / RETURN, ``count(r)`` counts matched edges.
-  Rel vars on variable-length legs raise (they'd bind a rel LIST).
+  A rel var on a variable-length leg ``-[r:R*m..n]->`` (openCypher: a
+  relationship LIST) is an implicit WALK binding (r5): one row per
+  (pair, hop count), observable only via ``size(r)`` / ``length(r)``
+  (the hop count); touching the list's elements (``r.prop``, ``RETURN
+  r``) raises, and multiplicity-sensitive projections are guarded like
+  named walk paths.
 - ``OPTIONAL MATCH`` compiles to a LEFT OUTER join of the optional
   pattern onto the bound plan (shared variables are the join keys; at
   least one is required). A ``WHERE`` directly following an OPTIONAL
@@ -216,7 +221,7 @@ _RET_ITEM = re.compile(
     r"(\*|\w+(?:\.\w+)?)\s*\)"
     r"|(percentileDisc|percentileCont)\s*\(\s*(\w+(?:\.\w+)?)\s*,"
     r"\s*([\d.]+)\s*\)"
-    r"|(length)\s*\(\s*(\w+)\s*\)"
+    r"|(length|size)\s*\(\s*(\w+)\s*\)"
     r"|(\w+)(?:\.(\w+))?)"
     r"(?:\s+AS\s+(\w+))?$",
     re.IGNORECASE,
@@ -703,6 +708,9 @@ def run_cypher(
     # path vars whose openCypher row multiplicity (one row per PATH) is
     # not reproduced: allShortestPaths and named walk paths
     multi_path_vars: set[str] = set()
+    # rel vars bound on variable-length legs (implicit walk bindings;
+    # observable only via size()/length() = hop count)
+    walk_rel_vars: set[str] = set()
 
     def parse_patterns(text: str, allow_shortest: bool = True):
         """-> (vars per comma-pattern, legs as 6-tuples
@@ -774,10 +782,44 @@ def run_cypher(
             for src, rel, dst, hops, rel_var, undirected in plegs:
                 if rel_var is not None:
                     if hops is not None:
-                        raise CypherUnsupported(
-                            "a variable on a variable-length leg would bind "
-                            "a relationship LIST; out of subset"
+                        # -[r:R*m..n]-> binds a relationship LIST in
+                        # openCypher; the executed subset exposes it as
+                        # an implicit WALK binding — one row per (pair,
+                        # hop count), observable ONLY via size(r) /
+                        # length(r) (the hop count). Anything touching
+                        # the list's elements (r.prop, type(r), RETURN
+                        # r) raises; multiplicity-sensitive projections
+                        # are guarded like named walk paths.
+                        if path_var is not None:
+                            raise CypherUnsupported(
+                                "bind either the path or the "
+                                "relationship, not both"
+                            )
+                        if not allow_shortest:
+                            raise CypherUnsupported(
+                                "a relationship variable on a "
+                                "variable-length leg is only allowed in "
+                                "a plain MATCH (not OPTIONAL MATCH / "
+                                "MATCH after WITH)"
+                            )
+                        if (
+                            rel_var in var_specs
+                            or rel_var in rel_vars
+                            or rel_var in path_vars
+                        ):
+                            raise CypherUnsupported(
+                                f"duplicate variable {rel_var!r}"
+                            )
+                        path_vars[rel_var] = (
+                            src, rel, dst, hops, None, undirected
                         )
+                        path_modes[rel_var] = "walk"
+                        multi_path_vars.add(rel_var)
+                        walk_rel_vars.add(rel_var)
+                        legs.append(
+                            (src, rel, dst, hops, None, rel_var, undirected)
+                        )
+                        continue
                     if rel_var in var_specs or rel_var in rel_vars:
                         raise CypherUnsupported(
                             f"duplicate variable {rel_var!r}"
@@ -1440,10 +1482,19 @@ def run_cypher(
             elif length_fn:
                 if length_arg not in path_vars:
                     raise CypherUnsupported(
-                        "length() takes a shortestPath variable, "
-                        f"got {length_arg!r}"
+                        f"{length_fn}() takes a path variable or a "
+                        "variable-length relationship variable, got "
+                        f"{length_arg!r}"
                     )
-                name = alias or f"length_{length_arg}"
+                if (
+                    length_fn.lower() == "size"
+                    and length_arg not in walk_rel_vars
+                ):
+                    raise CypherUnsupported(
+                        "size() counts a variable-length relationship "
+                        f"list; {length_arg!r} is a path — use length()"
+                    )
+                name = alias or f"{length_fn.lower()}_{length_arg}"
                 keys.append((name, F.col(f"{length_arg}__len")))
             elif cnt:
                 fnl = cnt.lower()

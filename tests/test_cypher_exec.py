@@ -1244,6 +1244,52 @@ def test_call_yield_rides_with_boundary_and_later_stage(road_graph):
     assert [(r.s, r.u, r.pathWeight) for r in out2] == [("C0", "C1", 2.0)]
 
 
+def test_var_length_rel_var_size(road_graph):
+    """-[r:R*m..n]-> (r5): implicit walk binding — size(r)/length(r) =
+    hop count, one row per (pair, hop count), DISTINCT required for
+    multiplicity-sensitive shapes; element access raises."""
+    nodes, edges = road_graph
+    out = run_cypher(
+        "MATCH (a:City {name: 'C0'})-[r:ROAD*1..3]->(b:City) "
+        "RETURN DISTINCT b, size(r) AS hops ORDER BY b, hops",
+        nodes, edges,
+    ).collect()
+    # chain 0->1->2->3 plus shortcut 0->3 and 3->0/3->4 beyond
+    assert [(r.b, r.hops) for r in out] == [
+        ("C0", 2), ("C1", 1), ("C1", 3), ("C2", 2),
+        ("C3", 1), ("C3", 3), ("C4", 2),
+    ]
+    # length(r) is the deprecated-but-accepted spelling
+    out2 = run_cypher(
+        "MATCH (a:City {name: 'C0'})-[r:ROAD*2..2]->(b:City) "
+        "RETURN DISTINCT b, length(r) AS hops ORDER BY b",
+        nodes, edges,
+    ).collect()
+    assert [(r.b, r.hops) for r in out2] == [("C0", 2), ("C2", 2), ("C4", 2)]
+
+
+def test_var_length_rel_var_guards(road_graph):
+    nodes, edges = road_graph
+    for bad, why in [
+        ("MATCH (a:City)-[r:ROAD*1..2]->(b:City) RETURN r",
+         "the list itself"),
+        ("MATCH (a:City)-[r:ROAD*1..2]->(b:City) RETURN b, r.name",
+         "element props"),
+        ("MATCH (a:City)-[r:ROAD*1..2]->(b:City) RETURN count(b) AS n",
+         "multiplicity-sensitive count over collapsed walk rows"),
+        ("MATCH p = (a:City)-[r:ROAD*1..2]->(b:City) RETURN length(p)",
+         "path and rel bound together"),
+        ("MATCH (a:City)-[r:ROAD*1..2]->(b:City) "
+         "MATCH (b)-[q:ROAD*1..2]->(c:City) RETURN DISTINCT size(r), r",
+         "RETURN of the walk var"),
+        ("MATCH (a:City {name: 'C0'})-[:ROAD]->(b:City) "
+         "RETURN size(b) AS s", "size() of a node var"),
+    ]:
+        assert why  # documents the rejected shape
+        with pytest.raises(CypherUnsupported):
+            run_cypher(bad, nodes, edges).collect()
+
+
 def test_sppaths_yield_path_route(road_graph):
     """YIELD path (r5): the textual node-key route of ONE cheapest walk
     — C0->C1->C2->C3 (weight 6) beats the direct weight-10 edge; both
