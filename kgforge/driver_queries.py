@@ -4166,6 +4166,55 @@ def cypher_order_by_prop(spark, sf_dir):
 
 
 @_q(
+    "cypher_string_id_fns",
+    """
+    SELECT n_nationkey::BIGINT AS nid,
+           replace(n_name, '_', '-') AS dashed,
+           substr(n_name, 1, 3) AS l3,
+           substr(n_name, greatest(length(n_name) - 2, 1)) AS r3,
+           CASE n_nationkey % 3 WHEN 0 THEN true
+                WHEN 1 THEN false END AS tb
+    FROM nation ORDER BY nid
+    """,
+)
+def cypher_string_id_fns(spark, sf_dir):
+    """r5 scalars replace / left / right / toBoolean / id in RETURN.
+    Node ids are the NATURAL nationkey (not xxhash64) so id(n) is
+    engine-comparable; the flag prop cycles ' True '/'false'/name by
+    nationkey so toBoolean exercises case-folding, trimming, AND the
+    not-a-boolean -> NULL arm; replace is literal (non-regex)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nation = _t(spark, sf_dir, "nation")
+    nodes = nation.select(
+        F.col("n_nationkey").cast("long").alias("node_id"),
+        F.lit("Nation").alias("label"),
+        F.col("n_name").alias("key"),
+        F.create_map(
+            F.lit("name"), F.col("n_name"),
+            F.lit("flag"),
+            F.when(F.col("n_nationkey") % 3 == 0, F.lit(" True "))
+            .when(F.col("n_nationkey") % 3 == 1, F.lit("false"))
+            .otherwise(F.col("n_name")),
+        ).alias("props"),
+    )
+    edges = nation.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (n:Nation) RETURN id(n) AS nid, "
+        "replace(n.name, '_', '-') AS dashed, "
+        "left(n.name, 3) AS l3, right(n.name, 3) AS r3, "
+        "toBoolean(n.flag) AS tb ORDER BY nid",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_scalar_fns",
     """
     SELECT lower(n_name) AS nation,

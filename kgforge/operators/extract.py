@@ -58,13 +58,19 @@ def _split_series(seg: str) -> list[str]:
 
 
 def _clean_key(key: str) -> str:
-    """Trim whitespace and a sentence-final period (kept on initials: 'J.')."""
-    key = key.strip()
-    if key.endswith("."):
-        last = key.rsplit(" ", 1)[-1]
-        if len(last) > 2:
-            key = key[:-1]
-    return key
+    """Trim whitespace and a sentence-final period (kept on initials:
+    'J.'). Loops until stable: dropping the period can expose interior
+    trailing whitespace ('0\\r.' -> '0\\r' -> '0'), which a single pass
+    would leave behind — idempotence is property-tested."""
+    while True:
+        prev = key
+        key = key.strip()
+        if key.endswith("."):
+            last = key.rsplit(" ", 1)[-1]
+            if len(last) > 2:
+                key = key[:-1]
+        if key == prev:
+            return key
 
 
 def _abbrev_compatible(short: str, full: str) -> bool:

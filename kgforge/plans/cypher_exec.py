@@ -285,7 +285,8 @@ def _pct_cont(col: Column, p: float) -> Column:
 # nested parens, so a search loop resolves nested calls innermost-first
 _SCALAR_RE = re.compile(
     r"\b(toLower|toUpper|trim|toInteger|toFloat|coalesce|substring|type"
-    r"|labels|properties|toString|abs|ceil|floor|sign|round)"
+    r"|labels|properties|toString|abs|ceil|floor|sign|round"
+    r"|toBoolean|replace|left|right|id)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -2365,7 +2366,7 @@ def run_cypher(
         def _int_lit(text: str, what: str) -> int:
             if not re.fullmatch(r"\d+", text.strip()):
                 raise CypherUnsupported(
-                    f"substring {what} must be a non-negative integer "
+                    f"{what} must be a non-negative integer "
                     f"literal, got {text.strip()!r}"
                 )
             return int(text)
@@ -2388,6 +2389,8 @@ def run_cypher(
                 "labels": (1, 1), "properties": (1, 1),
                 "tostring": (1, 1), "abs": (1, 1), "ceil": (1, 1),
                 "floor": (1, 1), "sign": (1, 1), "round": (1, 1),
+                "toboolean": (1, 1), "replace": (3, 3),
+                "left": (2, 2), "right": (2, 2), "id": (1, 1),
             }[fnl]
             if not (n_args[0] <= len(args) <= n_args[1]):
                 raise CypherUnsupported(
@@ -2434,14 +2437,44 @@ def run_cypher(
                         F.array_sort(F.map_entries(F.col(f"{a}__props")))
                     )
                 )
+            elif fnl == "id":
+                # the node's internal graph id (BIGINT) — stable within
+                # one graph build, like FalkorDB's internal entity id
+                a = args[0].strip()
+                if a not in var_specs:
+                    raise CypherUnsupported(
+                        f"id() takes a bound node variable, got {a!r}"
+                    )
+                expr = F.col(f"{a}__id")
+            elif fnl == "toboolean":
+                # openCypher: 'true'/'false' (case-insensitive, trimmed)
+                # -> boolean, anything else -> NULL
+                low = F.lower(F.trim(_scalar_arg(args[0]).cast("string")))
+                expr = F.when(low == "true", F.lit(True)).when(
+                    low == "false", F.lit(False)
+                )
+            elif fnl == "replace":
+                # literal (non-regex) replacement, Cypher parity
+                expr = F.replace(
+                    _scalar_arg(args[0]).cast("string"),
+                    _scalar_arg(args[1]).cast("string"),
+                    _scalar_arg(args[2]).cast("string"),
+                )
+            elif fnl in ("left", "right"):
+                n_lit = _int_lit(args[1], f"{fnl}() length")
+                s = _scalar_arg(args[0]).cast("string")
+                expr = (
+                    F.left(s, F.lit(n_lit)) if fnl == "left"
+                    else F.right(s, F.lit(n_lit))
+                )
             elif fnl == "coalesce":
                 expr = F.coalesce(*[_scalar_arg(a) for a in args])
             elif fnl == "substring":
-                start = _int_lit(args[1], "start")
+                start = _int_lit(args[1], "substring start")
                 if len(args) == 3:
                     expr = F.substring(
                         _scalar_arg(args[0]), start + 1,
-                        _int_lit(args[2], "length"),
+                        _int_lit(args[2], "substring length"),
                     )
                 else:
                     expr = F.substring(

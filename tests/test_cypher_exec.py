@@ -2161,3 +2161,36 @@ def test_stats_aggregates_after_with(graph):
 
     assert out[0].med == 7.0
     assert abs(out[0].sd - math.sqrt((202.0 - 22.0 * 22.0 / 3) / 2)) < 1e-12
+
+
+def test_string_and_id_scalars(graph):
+    """r5 scalars: toBoolean / replace / left / right / id — hidden
+    columns, nestable, NULL-through on non-matching toBoolean."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter {name: 'Ana'}) "
+        "RETURN replace(f.name, 'na', 'NA') AS rep, "
+        "left(f.name, 2) AS l2, right(f.name, 2) AS r2, "
+        "toBoolean(f.name) AS tb, id(f) AS nid",
+        nodes, edges,
+    ).collect()
+    assert [(r.rep, r.l2, r.r2, r.tb, r.nid) for r in out] == [
+        ("ANA", "An", "na", None, 1)
+    ]
+    out2 = run_cypher(
+        "MATCH (f:Fighter) WHERE f.name = 'Bo' "
+        "RETURN toBoolean('TRUE') AS t, toBoolean(' false ') AS f2, "
+        "replace(toUpper(f.name), 'O', '0') AS nested",
+        nodes, edges,
+    ).collect()
+    assert [(r.t, r.f2, r.nested) for r in out2] == [(True, False, "B0")]
+    with pytest.raises(CypherUnsupported, match="left"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN left(f.name, f.wins) AS x",
+            nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported, match="id"):
+        run_cypher(
+            "MATCH (f:Fighter)-[r:FOUGHT_IN]->(x:Fight) "
+            "RETURN id(zz) AS i", nodes, edges,
+        )
