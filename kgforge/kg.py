@@ -752,6 +752,75 @@ class KnowledgeGraph:
             "label", "key", F.col("d").alias("dist")
         )
 
+    def shortest_path_route(
+        self,
+        source: tuple[str, str],
+        weight_prop: str | None = None,
+        relation: str | None = None,
+        max_hops: int = 8,
+    ) -> DataFrame:
+        """Cheapest ROUTE from a source entity to every reachable node:
+        (label, key, dist, route) where route is the textual node-key
+        walk 'k1->k2->…' — the facade twin of Cypher's ``CALL
+        algo.SSpaths(...) YIELD path, pathWeight`` (r5). One origin, so
+        the Bellman-Ford carries its per-node argmin path array
+        (graph_query.weighted_paths with_path=True); among equal-weight
+        walks the lexicographically smallest id-sequence wins
+        (deterministic). Weight semantics as in
+        `shortest_path_weights`."""
+        from kgforge.plans.graph_query import weighted_paths
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        w = (
+            F.coalesce(
+                F.col("props")[weight_prop].try_cast("double"), F.lit(1.0)
+            )
+            if weight_prop is not None
+            else F.lit(1.0)
+        )
+        edges = e.select(
+            F.col("src_id").alias("src"),
+            F.col("dst_id").alias("dst"),
+            w.alias("w"),
+        )
+        n = self.nodes()
+        label, key = source
+        origin = n.filter(
+            (F.col("label") == label) & (F.col("key") == key)
+        ).select(F.col("node_id").alias("origin"))
+        dist = weighted_paths(
+            edges, origin, max_hops=max_hops, with_path=True
+        )
+        id2key = n.select(
+            F.col("node_id").alias("__pid"), F.col("key").alias("__pkey")
+        )
+        routes = (
+            dist.select(
+                "origin", "id", F.posexplode("path").alias("__pos", "__pid")
+            )
+            .join(id2key, on="__pid")
+            .groupBy("origin", "id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__pkey"))
+                ).alias("__ps")
+            )
+            .select(
+                "origin", "id",
+                F.concat_ws(
+                    "->", F.transform("__ps", lambda s: s["__pkey"])
+                ).alias("route"),
+            )
+        )
+        out = dist.drop("path").join(routes, on=["origin", "id"])
+        return (
+            n.select(F.col("node_id").alias("id"), "label", "key")
+            .join(out, on="id")
+            .select("label", "key", F.col("d").alias("dist"), "route")
+        )
+
     def register_views(self, prefix: str | None = None) -> None:
         """Expose the graph to Spark SQL: <name>_nodes / <name>_edges."""
         p = prefix or self.name

@@ -274,3 +274,26 @@ def test_facade_k_core(kg):
     all_nodes = {(r.label, r.key) for r in kg.k_core(k=1).collect()}
     assert ("Movie", "M") in all_nodes and len(all_nodes) == 4
     assert kg.k_core(k=2).count() == 0
+
+
+def test_facade_shortest_path_route(kg):
+    """kg.shortest_path_route (r5): textual cheapest routes from one
+    source, facade twin of CALL algo.SSpaths YIELD path."""
+    kg.add_nodes(
+        [("Actor", {"name": n}) for n in ("A", "B")]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "B"}, {"title": "M"}, {}),
+        ]
+    )
+    out = {
+        (r.label, r.key): (r.dist, r.route)
+        for r in kg.shortest_path_route(("Actor", "A")).collect()
+    }
+    assert out == {
+        ("Actor", "A"): (0.0, "A"),
+        ("Movie", "M"): (1.0, "A->M"),
+    }
