@@ -490,14 +490,16 @@ def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def encode_jpeg(
     px: np.ndarray,
     quality: int = 85,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """(H, W[, C]) uint8 -> baseline JPEG bytes. C = 1 (grayscale) or 3
-    (RGB). ``subsample`` emits 4:2:0 (2x2 box-averaged chroma), else
-    4:4:4. Annex K tables at libjpeg ``quality`` scaling.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (predictors reset, bitstream byte-realigned)."""
+    (RGB). ``subsample``: False/'444' = no subsampling, True/'420' =
+    2x2 box-averaged chroma, '422' = horizontal-only 2x1 (exercises the
+    decoder's asymmetric-factor path). Annex K tables at libjpeg
+    ``quality`` scaling. ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (predictors reset, bitstream
+    byte-realigned)."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -509,17 +511,24 @@ def encode_jpeg(
         qsel = [0]
     elif ch == 3:
         y, cb, cr = _rgb_to_ycbcr(px)
-        if subsample:
-            def box2(p):
-                p = _pad_to(p, 2, 2).astype(np.float64)
-                q = (
-                    p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
-                    .mean(axis=(1, 3))
-                )
-                return np.clip(np.round(q), 0, 255).astype(np.uint8)
+        mode = {False: "444", True: "420"}.get(subsample, subsample)
+        if mode not in ("444", "420", "422"):
+            raise ValueError(f"unknown subsample mode {subsample!r}")
 
-            planes = [y, box2(cb), box2(cr)]
+        def box(p, fy, fx):
+            p = _pad_to(p, fy, fx).astype(np.float64)
+            q = (
+                p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx)
+                .mean(axis=(1, 3))
+            )
+            return np.clip(np.round(q), 0, 255).astype(np.uint8)
+
+        if mode == "420":
+            planes = [y, box(cb, 2, 2), box(cr, 2, 2)]
             factors = [(2, 2), (1, 1), (1, 1)]
+        elif mode == "422":  # horizontal-only chroma decimation
+            planes = [y, box(cb, 1, 2), box(cr, 1, 2)]
+            factors = [(2, 1), (1, 1), (1, 1)]
         else:
             planes = [y, cb, cr]
             factors = [(1, 1), (1, 1), (1, 1)]

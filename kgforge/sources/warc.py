@@ -297,7 +297,12 @@ def split_warc_file(
     os.makedirs(out_dir, exist_ok=True)
     gz = src_path.endswith(".gz")
     base = os.path.basename(src_path)
-    stem, ext = (base[:-8], ".warc.gz") if gz else (base[:-5], ".warc")
+    if gz:
+        stem = base[:-8] if base.endswith(".warc.gz") else base[:-3]
+        ext = ".warc.gz"
+    else:
+        stem = base[:-5] if base.endswith(".warc") else base
+        ext = ".warc"
     shards: list[str] = []
     cur: list[bytes] = []
     cur_bytes = 0

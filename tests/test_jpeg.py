@@ -33,16 +33,21 @@ def _expected(px, quality, subsample):
         planes, factors, qs = [px[:, :, 0]], [(1, 1)], [ql]
     else:
         y, cb, cr = _rgb_to_ycbcr(px)
-        if subsample:
-            def box2(p):
-                p = _pad_to(p, 2, 2).astype(np.float64)
-                q = p.reshape(
-                    p.shape[0] // 2, 2, p.shape[1] // 2, 2
-                ).mean(axis=(1, 3))
-                return np.clip(np.round(q), 0, 255).astype(np.uint8)
+        mode = {False: "444", True: "420"}.get(subsample, subsample)
 
-            planes = [y, box2(cb), box2(cr)]
+        def box(p, fy, fx):
+            p = _pad_to(p, fy, fx).astype(np.float64)
+            q = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+            return np.clip(np.round(q), 0, 255).astype(np.uint8)
+
+        if mode == "420":
+            planes = [y, box(cb, 2, 2), box(cr, 2, 2)]
             factors = [(2, 2), (1, 1), (1, 1)]
+        elif mode == "422":
+            planes = [y, box(cb, 1, 2), box(cr, 1, 2)]
+            factors = [(2, 1), (1, 1), (1, 1)]
         else:
             planes = [y, cb, cr]
             factors = [(1, 1), (1, 1), (1, 1)]
@@ -86,6 +91,8 @@ def _expected(px, quality, subsample):
         ((64, 64, 3), 95, False),        # near-lossless tables
         ((8, 8, 3), 10, True),           # brutal quantization
         ((9, 7), 75, False),             # tiny gray, both dims odd
+        ((19, 21, 3), 70, "422"),        # horizontal-only chroma (2,1)
+        ((32, 24, 3), 85, "422"),        # aligned 4:2:2
     ],
 )
 def test_round_trip_bit_exact(shape, quality, subsample):
