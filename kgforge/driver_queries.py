@@ -3711,6 +3711,126 @@ def _nation_chain_graph(spark, sf_dir):
     return nodes, edges
 
 
+def _nation_ring_graph(spark, sf_dir):
+    """_nation_chain_graph plus a CLOSURE edge per region (last
+    nationkey back to first), turning each per-region chain into a
+    RING — between any two nations of a region there are exactly TWO
+    simple paths (clockwise / counterclockwise), the fixture the
+    pathCount > 1 gate needs. Regions with <= 2 nations get no closure
+    (it would duplicate the chain edge)."""
+    n = _t(spark, sf_dir, "nation")
+    nodes, edges = _nation_chain_graph(spark, sf_dir)
+    ends = (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.min_by("n_name", "n_nationkey").alias("a"),
+            F.min("n_nationkey").alias("ak"),
+            F.max_by("n_name", "n_nationkey").alias("b"),
+            F.max("n_nationkey").alias("bk"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 2)
+    )
+    closure = ends.select(
+        F.col("b").alias("src"), F.col("a").alias("dst"),
+        F.abs(F.col("bk") - F.col("ak")).cast("string").alias("w"),
+    ).unionByName(
+        ends.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            F.abs(F.col("bk") - F.col("ak")).cast("string").alias("w"),
+        )
+    )
+    closure_edges = closure.select(
+        F.xxhash64(F.lit("Nation"), "src").alias("src_id"),
+        F.lit("NEAR").alias("label"),
+        F.xxhash64(F.lit("Nation"), "dst").alias("dst_id"),
+        F.create_map(F.lit("w"), F.col("w")).alias("props"),
+    )
+    return nodes, edges.unionByName(closure_edges)
+
+
+_RING_PAIRS_SQL = """
+    chain AS (
+      SELECT n_name AS src, n_nationkey AS sk,
+             lead(n_name) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dst,
+             lead(n_nationkey) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dk
+      FROM nation
+    ), closure AS (
+      SELECT arg_min(n_name, n_nationkey) AS a, min(n_nationkey) AS ak,
+             arg_max(n_name, n_nationkey) AS b, max(n_nationkey) AS bk
+      FROM nation GROUP BY n_regionkey HAVING count(*) > 2
+    ), pairs AS (
+      SELECT src, dst, abs(sk - dk)::DOUBLE AS w
+      FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst, src, abs(sk - dk)::DOUBLE
+      FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT b, a, abs(bk - ak)::DOUBLE FROM closure
+      UNION ALL
+      SELECT a, b, abs(bk - ak)::DOUBLE FROM closure
+    )"""
+
+
+@_q(
+    "cypher_sp_paths_topk",
+    f"""
+    WITH RECURSIVE {_RING_PAIRS_SQL}, walk(origin, id, d, h, p) AS (
+      SELECT n_name, n_name, 0::DOUBLE, 0, '|' || n_name || '|'
+      FROM nation
+      UNION
+      SELECT w.origin, pr.dst, w.d + pr.w, w.h + 1,
+             w.p || pr.dst || '|'
+      FROM walk w JOIN pairs pr ON pr.src = w.id
+      WHERE w.h < 4 AND w.p NOT LIKE '%|' || pr.dst || '|%'
+    ), ranked AS (
+      SELECT origin, id, d,
+             row_number() OVER (
+               PARTITION BY origin, id ORDER BY d, p
+             ) AS rnk
+      FROM walk
+    )
+    SELECT origin AS src, id AS dst, d AS "pathWeight"
+    FROM ranked WHERE rnk <= 2
+    ORDER BY src, dst, "pathWeight"
+    """,
+)
+def cypher_sp_paths_topk(spark, sf_dir):
+    """CALL algo.SPpaths({..., pathCount: 2}) — the k-cheapest-paths
+    surface (r5; closes the last documented CALL raise). The ring
+    fixture gives every intra-region pair exactly two simple paths
+    (clockwise/counterclockwise), so pathCount 2 is load-bearing on
+    every row. Engine = graph_query.weighted_paths_topk, the EXACT
+    bounded simple-path enumeration (mid-loop top-k pruning is wrong
+    for simple paths — a prefix outside the current top-k can be the
+    only one avoiding a blocked node — so state is the full simple-walk
+    set within maxLen, pruned to k only at the final window). Oracle =
+    exhaustive recursive-CTE simple-walk enumeration over the same
+    ring ('|'-delimited path string blocks node reuse), top 2 per
+    ordered pair. Tie handling: the top-k WEIGHT multiset is unique
+    even when equal-weight paths straddle the cut, so yielding only
+    pathWeight keeps the compare engine-independent of tie-break
+    order."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_ring_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (a:Nation), (b:Nation) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "relTypes: ['NEAR'], weightProp: 'w', maxLen: 4, "
+        "pathCount: 2}) "
+        "YIELD pathWeight "
+        "RETURN a AS src, b AS dst, pathWeight "
+        "ORDER BY src, dst, pathWeight",
+        nodes,
+        edges,
+    )
+
+
 _CHAIN_PAIRS_SQL = """
     chain AS (
       SELECT n_name AS src, n_nationkey AS sk,
@@ -4555,6 +4675,126 @@ def media_decode_real(spark, sf_dir):
     return media.mapInPandas(
         digest, "media_id long, media_type string, digest string"
     ).orderBy("media_id")
+
+
+@_q(
+    "cypher_string_fns",
+    """
+    SELECT c_custkey::VARCHAR AS custkey,
+           ltrim('  ' || c_name || '  ') AS lt,
+           rtrim('  ' || c_name || '  ') AS rt,
+           reverse(c_name) AS rev,
+           length(c_name)::BIGINT AS name_len,
+           sqrt(c_custkey::DOUBLE) AS root,
+           '["custkey","name","pad"]' AS ks
+    FROM customer ORDER BY custkey
+    """,
+)
+def cypher_string_fns(spark, sf_dir):
+    """String/metadata scalars in RETURN (plans/cypher_exec.py hidden-
+    column framework, r5 batch): lTrim/rTrim over padded names, reverse,
+    size(string) = char count (BIGINT, its own guarded regex so the
+    size(r) hop-count and size(pattern) degree forms keep their own
+    compilers), sqrt (IEEE correctly-rounded, so bit-identical
+    cross-engine — unlike exp/log/pow, which stay out), and keys(n) as
+    canonical sorted-JSON (same determinism contract as properties())."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("custkey"), F.col("c_custkey").cast("string"),
+            F.lit("name"), F.col("c_name"),
+            F.lit("pad"), F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")),
+        ).alias("props"),
+    )
+    edges = customer.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) RETURN c.custkey AS custkey, "
+        "lTrim(c.pad) AS lt, rTrim(c.pad) AS rt, "
+        "reverse(c.name) AS rev, size(c.name) AS name_len, "
+        "sqrt(c.custkey) AS root, keys(c) AS ks ORDER BY custkey",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "cypher_db_procs",
+    """
+    SELECT kind, value FROM (
+        SELECT DISTINCT 'label' AS kind, p_brand AS value FROM part
+        UNION
+        SELECT DISTINCT 'relationshipType', o_orderpriority FROM orders
+        UNION
+        SELECT DISTINCT 'propertyKey',
+               lower(split_part(p_type, ' ', 1)) FROM part
+        UNION
+        SELECT DISTINCT 'propertyKey', o_orderstatus FROM orders
+    ) ORDER BY kind, value
+    """,
+)
+def cypher_db_procs(spark, sf_dir):
+    """FalkorDB's schema-introspection procedures (the surface GRAPH
+    .QUERY clients call before generating queries): standalone
+    CALL db.labels() / db.relationshipTypes() / db.propertyKeys(),
+    each a distributed DISTINCT over the graph tables (propertyKeys
+    explodes BOTH props maps). The gate graph is DATA-DRIVEN so the
+    oracle checks real computation: node labels = p_brand, edge labels
+    = o_orderpriority, node prop keys = first word of p_type lowered,
+    edge prop keys = o_orderstatus."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    nodes = part.select(
+        F.xxhash64(F.lit("P"), "p_partkey").alias("node_id"),
+        F.col("p_brand").alias("label"),
+        F.col("p_partkey").cast("string").alias("key"),
+        F.create_map(
+            F.lower(F.split(F.col("p_type"), " ").getItem(0)),
+            F.col("p_type"),
+        ).alias("props"),
+    )
+    edges = orders.select(
+        F.xxhash64(F.lit("P"), "o_orderkey").alias("src_id"),
+        F.col("o_orderpriority").alias("label"),
+        F.xxhash64(F.lit("P"), "o_custkey").alias("dst_id"),
+        F.create_map(
+            F.col("o_orderstatus"), F.col("o_orderkey").cast("string")
+        ).alias("props"),
+    )
+    out = None
+    for q, col, kind in [
+        ("CALL db.labels()", "label", "label"),
+        (
+            "CALL db.relationshipTypes() YIELD relationshipType",
+            "relationshipType",
+            "relationshipType",
+        ),
+        (
+            "CALL db.propertyKeys() YIELD propertyKey "
+            "RETURN propertyKey ORDER BY propertyKey",
+            "propertyKey",
+            "propertyKey",
+        ),
+    ]:
+        part_df = (
+            run_cypher(q, nodes, edges)
+            .select(
+                F.lit(kind).alias("kind"), F.col(col).alias("value")
+            )
+        )
+        out = part_df if out is None else out.unionByName(part_df)
+    return out.orderBy("kind", "value")
 
 
 # =====================================================================

@@ -103,8 +103,21 @@ Semantics and scope:
   textual node-key route ``'k1->k2->…'`` of ONE cheapest walk
   (deviation: FalkorDB returns a structured Path object; key-text is
   this engine's canonical rendering) with a deterministic tie-break.
-  pathCount, if given, must be 1 (see apply_calls for the full
+  ``pathCount: k`` (r5) yields the k cheapest SIMPLE paths per pair —
+  k rows per binding, exact bounded enumeration
+  (graph_query.weighted_paths_topk; see apply_calls for the full
   parameter contract).
+- standalone ``CALL db.labels()`` / ``db.relationshipTypes()`` /
+  ``db.propertyKeys()`` (FalkorDB's schema-introspection procedures)
+  compile to distributed DISTINCTs over the graph tables; optional
+  ``YIELD``/``RETURN [AS]``/``ORDER BY``/``SKIP``/``LIMIT``.
+- scalar functions in RETURN compile to hidden columns (nestable,
+  usable inside aggregates and ORDER BY): toLower/toUpper, trim/lTrim/
+  rTrim, reverse, size(string), substring, left/right, replace,
+  toInteger/toFloat/toString/toBoolean, coalesce, abs/ceil/floor/sign/
+  round/sqrt (sqrt is IEEE correctly-rounded, so cross-engine exact;
+  exp/log/pow stay out), type(r), labels(n)/properties(n)/keys(n)
+  (canonical sorted JSON), id(n).
 - `RETURN var` projects the node's key (the unique-attribute value — node
   identity in this engine and in the reference's MERGE). `var.prop` reads
   the props map. `count(var)` / `count(*)` / `count(DISTINCT var)` and the
@@ -157,6 +170,17 @@ _UNWIND_BODY = re.compile(r"\[(.*)\]\s+AS\s+(\w+)$", re.IGNORECASE | re.DOTALL)
 # (?<![\w.]): `n.union` is a legal property access, not a set operator —
 # a bare \b would match right after the dot and split the query
 _UNION_RE = re.compile(r"(?<![\w.])UNION(\s+ALL)?\b", re.IGNORECASE)
+# standalone CALL db.labels() / db.relationshipTypes() / db.propertyKeys()
+_DB_PROC = re.compile(
+    r"CALL\s+db\.(labels|relationshipTypes|propertyKeys)\s*\(\s*\)"
+    r"(?:\s+YIELD\s+(\w+))?"
+    r"(?:\s+RETURN\s+(\w+)(?:\s+AS\s+(\w+))?)?"
+    r"(?:\s+ORDER\s+BY\s+(\w+)(\s+DESC)?(?:\s+ASC)?)?"
+    r"(?:\s+SKIP\s+(\d+))?"
+    r"(?:\s+LIMIT\s+(\d+))?"
+    r"\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # CALL algo.SPpaths({...}) YIELD items  /  CALL algo.SSpaths({...}) YIELD …
 _CALL_ALGO = re.compile(
     r"^algo\s*\.\s*(SPpaths|SSpaths)\s*\(\s*\{(.*)\}\s*\)\s*"
@@ -284,10 +308,22 @@ def _pct_cont(col: Column, p: float) -> Column:
 # scalar functions compiled to hidden columns in RETURN; args carry no
 # nested parens, so a search loop resolves nested calls innermost-first
 _SCALAR_RE = re.compile(
-    r"\b(toLower|toUpper|trim|toInteger|toFloat|coalesce|substring|type"
-    r"|labels|properties|toString|abs|ceil|floor|sign|round"
+    r"\b(toLower|toUpper|trim|lTrim|rTrim|reverse|toInteger|toFloat"
+    r"|coalesce|substring|type"
+    r"|labels|properties|keys|toString|abs|ceil|floor|sign|round|sqrt"
     r"|toBoolean|replace|left|right|id)"
     r"\s*\(([^()]*)\)",
+    re.IGNORECASE,
+)
+# size(<prop or string literal>) is the STRING-length scalar; bare-name
+# args stay untouched so size(r) (var-length hop count, projection
+# grammar) and size((n)-[:R]->()) (degree idiom, nested parens — the
+# generic scalar regex can't match it anyway) keep their own compilers.
+# __-prefixed names are this compiler's own hidden columns (nested
+# calls: size(toUpper(n.x)) sees size(__fnK)); user vars can't start
+# with __ (reserved, same contract as operators/asof.py).
+_SIZE_SCALAR_RE = re.compile(
+    r"\bsize\s*\(\s*(\w+\.\w+|__\w+|'[^']*'|\"[^\"]*\")\s*\)",
     re.IGNORECASE,
 )
 
@@ -554,6 +590,70 @@ def run_cypher(
                 )
             out = out.unionByName(nxt)
         return out if alls.pop() else out.dropDuplicates()
+    # ---- standalone CALL db.* introspection procedures ----------------
+    # FalkorDB's schema-discovery surface (db.labels /
+    # db.relationshipTypes / db.propertyKeys — the procedures its GRAPH
+    # .QUERY clients call before generating queries). Each compiles to a
+    # distributed DISTINCT over the graph tables (propertyKeys explodes
+    # the props maps of BOTH tables); optional YIELD must name the
+    # procedure's canonical column, optional RETURN may alias it, and
+    # ORDER BY / SKIP / LIMIT apply as usual.
+    dbm = _DB_PROC.match(text)
+    if dbm is not None:
+        proc, yld, ret, alias, ob, desc, skip_n, lim_n = dbm.groups()
+        proc = {
+            "labels": "labels",
+            "relationshiptypes": "relationshipTypes",
+            "propertykeys": "propertyKeys",
+        }[proc.lower()]
+        canon = {
+            "labels": "label",
+            "relationshipTypes": "relationshipType",
+            "propertyKeys": "propertyKey",
+        }[proc]
+        if yld is not None and yld != canon:
+            raise CypherUnsupported(
+                f"db.{proc}() yields {canon!r}, got {yld!r}"
+            )
+        if proc == "labels":
+            out = nodes.select(F.col("label").alias(canon)).distinct()
+        elif proc == "relationshipTypes":
+            out = edges.select(F.col("label").alias(canon)).distinct()
+        else:
+            out = (
+                nodes.select(
+                    F.explode(F.map_keys(F.col("props"))).alias(canon)
+                )
+                .unionByName(
+                    edges.select(
+                        F.explode(F.map_keys(F.col("props"))).alias(canon)
+                    )
+                )
+                .distinct()
+            )
+        name = canon
+        if ret is not None:
+            if ret != canon:
+                raise CypherUnsupported(
+                    f"RETURN after CALL db.{proc}() YIELD must project "
+                    f"{canon!r}, got {ret!r}"
+                )
+            if alias is not None:
+                out = out.withColumnRenamed(canon, alias)
+                name = alias
+        if ob is not None:
+            if ob not in (canon, name):
+                raise CypherUnsupported(
+                    f"ORDER BY after CALL db.{proc}() must use the "
+                    f"yielded column, got {ob!r}"
+                )
+            col = F.col(name)
+            out = out.orderBy(col.desc() if desc else col.asc())
+        if skip_n is not None:
+            out = out.offset(int(skip_n))
+        if lim_n is not None:
+            out = out.limit(int(lim_n))
+        return out
     # ---- ordered clause scan: WHERE binds to the clause it follows ----
     # The query is a PIPELINE of segments separated by WITH boundaries:
     # each segment holds its MATCH/WHERE/OPTIONAL-MATCH clauses and ends
@@ -1663,10 +1763,12 @@ def run_cypher(
         - SPpaths needs sourceNode + targetNode (bound node vars; a
           src = dst self-pair yields pathWeight 0, the empty walk);
           SSpaths takes sourceNode only and yields one row per REACHABLE
-          destination (the source itself excluded) — FalkorDB's
-          pathCount-cheapest-paths enumeration is collapsed to the single
-          cheapest path per destination, so pathCount, if given, must
-          be 1.
+          destination (the source itself excluded). pathCount (default
+          1) asks for the k cheapest SIMPLE paths per pair/destination:
+          k = 1 runs the shared origin-keyed Bellman-Ford min
+          (weighted_paths); k > 1 runs the exact bounded simple-path
+          enumeration (weighted_paths_topk) and yields k rows per
+          (binding, destination), ranked by (weight, lex id-sequence).
         - relTypes filters edge labels (omitted = any); weightProp reads
           the edge props map (try_cast double — edges with a missing or
           non-numeric weight are not traversable); omitted = hop count
@@ -1743,11 +1845,13 @@ def run_cypher(
                     raise CypherUnsupported(
                         f"{v!r} is not a bound node variable"
                     )
-            if params.get("pathCount", "1").strip() != "1":
+            pc_text = params.get("pathCount", "1").strip()
+            if not re.fullmatch(r"[1-9]\d*", pc_text):
                 raise CypherUnsupported(
-                    "pathCount > 1 is out of subset (one cheapest path "
-                    "per pair is yielded)"
+                    "pathCount must be a positive integer literal, got "
+                    f"{pc_text!r}"
                 )
+            path_count = int(pc_text)
             rel = None
             if "relTypes" in params:
                 lv = params["relTypes"].strip()
@@ -1845,8 +1949,27 @@ def run_cypher(
             origins = plan.select(
                 F.col(f"{src_var}__id").alias("origin")
             ).dropDuplicates()
-            dist = weighted_paths(
-                e, origins, max_hops=max_len, with_path=want_path
+            if path_count == 1:
+                dist = weighted_paths(
+                    e, origins, max_hops=max_len, with_path=want_path
+                )
+            else:
+                # pathCount k > 1: k-cheapest SIMPLE paths per pair —
+                # k rows per (binding, destination), ranked by
+                # (weight, lex id-sequence). Exact bounded enumeration
+                # (see weighted_paths_topk: mid-loop top-k pruning is
+                # wrong for simple paths, so state is the full
+                # simple-walk set within maxLen).
+                from kgforge.plans.graph_query import weighted_paths_topk
+
+                dist = weighted_paths_topk(
+                    e, origins, k=path_count, max_hops=max_len
+                )
+                if not want_path:
+                    dist = dist.drop("path")
+            route_keys = (
+                ["origin", "id", "rank"] if path_count > 1
+                else ["origin", "id"]
             )
             if want_path:
                 # id array -> '->'-joined key route: ONE posexplode +
@@ -1858,25 +1981,25 @@ def run_cypher(
                 )
                 routes = (
                     dist.select(
-                        "origin", "id",
+                        *route_keys,
                         F.posexplode("path").alias("__pos", "__pid"),
                     )
                     .join(id2key, on="__pid")
-                    .groupBy("origin", "id")
+                    .groupBy(*route_keys)
                     .agg(
                         F.array_sort(
                             F.collect_list(F.struct("__pos", "__pkey"))
                         ).alias("__ps")
                     )
                     .select(
-                        "origin", "id",
+                        *route_keys,
                         F.concat_ws(
                             "->",
                             F.transform("__ps", lambda s: s["__pkey"]),
                         ).alias("__route"),
                     )
                 )
-                dist = dist.drop("path").join(routes, on=["origin", "id"])
+                dist = dist.drop("path").join(routes, on=route_keys)
             out_cols = []
             if "pathWeight" in yields:
                 out_cols.append(F.col("d").alias(yields["pathWeight"]))
@@ -2384,11 +2507,13 @@ def run_cypher(
                 args = []
             n_args = {
                 "tolower": (1, 1), "toupper": (1, 1), "trim": (1, 1),
+                "ltrim": (1, 1), "rtrim": (1, 1), "reverse": (1, 1),
                 "tointeger": (1, 1), "tofloat": (1, 1), "type": (1, 1),
                 "coalesce": (2, 99), "substring": (2, 3),
-                "labels": (1, 1), "properties": (1, 1),
+                "labels": (1, 1), "properties": (1, 1), "keys": (1, 1),
                 "tostring": (1, 1), "abs": (1, 1), "ceil": (1, 1),
                 "floor": (1, 1), "sign": (1, 1), "round": (1, 1),
+                "sqrt": (1, 1), "size": (1, 1),
                 "toboolean": (1, 1), "replace": (3, 3),
                 "left": (2, 2), "right": (2, 2), "id": (1, 1),
             }[fnl]
@@ -2436,6 +2561,17 @@ def run_cypher(
                     F.map_from_entries(
                         F.array_sort(F.map_entries(F.col(f"{a}__props")))
                     )
+                )
+            elif fnl == "keys":
+                # property-key list as CANONICAL JSON (sorted array) —
+                # same determinism contract as properties()
+                a = args[0].strip()
+                if a not in var_specs:
+                    raise CypherUnsupported(
+                        f"keys() takes a bound node variable, got {a!r}"
+                    )
+                expr = F.to_json(
+                    F.array_sort(F.map_keys(F.col(f"{a}__props")))
                 )
             elif fnl == "id":
                 # the node's internal graph id (BIGINT) — stable within
@@ -2486,6 +2622,23 @@ def run_cypher(
                 expr = F.upper(_scalar_arg(args[0]))
             elif fnl == "trim":
                 expr = F.trim(_scalar_arg(args[0]))
+            elif fnl == "ltrim":
+                expr = F.ltrim(_scalar_arg(args[0]).cast("string"))
+            elif fnl == "rtrim":
+                expr = F.rtrim(_scalar_arg(args[0]).cast("string"))
+            elif fnl == "reverse":
+                expr = F.reverse(_scalar_arg(args[0]).cast("string"))
+            elif fnl == "size":
+                # size(string) -> character count (BIGINT); list/pattern
+                # forms have their own compilers upstream
+                expr = F.length(
+                    _scalar_arg(args[0]).cast("string")
+                ).cast("long")
+            elif fnl == "sqrt":
+                # IEEE-754 sqrt is correctly rounded on every platform,
+                # so the result is bit-identical cross-engine (unlike
+                # exp/log/pow, which stay out of subset)
+                expr = F.sqrt(_scalar_arg(args[0]).try_cast("double"))
             elif fnl == "tointeger":
                 expr = _scalar_arg(args[0]).try_cast("long")
             elif fnl == "tostring":
@@ -2522,13 +2675,21 @@ def run_cypher(
 
         while True:
             masked_ret = _mask_quotes(ret_text)
-            sm = _SCALAR_RE.search(masked_ret)
-            if sm is None:
-                break
+            # size(<prop|string literal>) first: its own regex, so the
+            # projection-grammar size(r) / degree size((n)-[:R]->())
+            # forms are never consumed here
+            sm = _SIZE_SCALAR_RE.search(masked_ret)
+            if sm is not None:
+                fn, arg_span = "size", 1
+            else:
+                sm = _SCALAR_RE.search(masked_ret)
+                if sm is None:
+                    break
+                fn, arg_span = sm.group(1), 2
             name = _compile_scalar(
-                sm.group(1),
-                ret_text[sm.start(2):sm.end(2)],
-                sm.group(2),
+                fn,
+                ret_text[sm.start(arg_span):sm.end(arg_span)],
+                sm.group(arg_span),
             )
             ret_text = ret_text[:sm.start()] + name + ret_text[sm.end():]
 

@@ -233,6 +233,100 @@ def weighted_paths(
     return dist.select(*out)
 
 
+def weighted_paths_topk(
+    edges: DataFrame,
+    origins: DataFrame,
+    k: int,
+    max_hops: int = 8,
+    beam: int | None = None,
+) -> DataFrame:
+    """k-cheapest SIMPLE paths per (origin, destination): (origin, id,
+    d, path, rank).
+
+    The pathCount > 1 generalization of `weighted_paths`, backing the
+    Cypher executor's ``CALL algo.SPpaths({..., pathCount: k})``
+    surface. edges(src, dst, w) with non-negative numeric w;
+    origins(origin). Yields up to ``k`` rows per (origin, id), ranked
+    1..k by (total weight, lexicographic id-sequence) — the same
+    deterministic tie-break as ``weighted_paths(with_path=True)``.
+
+    Paths are SIMPLE (no repeated node): without that restriction the
+    k-cheapest set degenerates into back-and-forth padding of the one
+    cheapest walk on any graph with a cheap reciprocal edge. The
+    origin row itself appears as the empty walk (d = 0, rank 1).
+
+    EXACT by default: each round extends every surviving simple path by
+    one edge (frontier equi-join + vectorized array_contains filter),
+    folds re-derivations with dropDuplicates (a path is re-created from
+    its prefix every round the prefix survives), and only the FINAL
+    window takes the top k. Pruning to k per (origin, id) mid-loop
+    would be WRONG for simple paths — a prefix outside the current
+    top-k can be the only one whose extension avoids a blocked node —
+    so intermediate state is the full set of simple walks within
+    max_hops, the same count a recursive-CTE enumeration pays. That is
+    fine for the bounded maxLen this surface contracts (default 8) on
+    sparse graphs; for dense graphs pass ``beam`` to keep only the
+    cheapest `beam` paths per (origin, id) per round — a documented
+    APPROXIMATION (beam search) that bounds state at the cost of
+    exactness, never silently applied. All shuffles key on
+    (origin, id), spreading hot destinations across origins exactly
+    like `weighted_paths`; `localCheckpoint` truncates lineage per
+    round; early exit when a round discovers nothing new.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if beam is not None and beam < k:
+        raise ValueError("beam must be >= k")
+    state = F.struct(
+        F.lit(0.0).alias("d"),
+        F.array(F.col("origin")).alias("path"),
+    ).alias("s")
+    dist = origins.select(
+        "origin", F.col("origin").alias("id"), state
+    ).localCheckpoint()
+    e = edges.select("src", "dst", "w")
+    win = Window.partitionBy("origin", "id").orderBy("s")
+    for _ in range(max_hops):
+        cand = (
+            dist.join(e, dist.id == e.src)
+            .filter(~F.array_contains(F.col("s.path"), F.col("dst")))
+            .select(
+                "origin",
+                F.col("dst").alias("id"),
+                F.struct(
+                    (F.col("s.d") + F.col("w")).alias("d"),
+                    F.concat(
+                        F.col("s.path"), F.array(F.col("dst"))
+                    ).alias("path"),
+                ).alias("s"),
+            )
+        )
+        new = dist.unionByName(cand).dropDuplicates(
+            ["origin", "id", "s"]
+        )
+        if beam is not None:
+            new = (
+                new.withColumn("__rn", F.row_number().over(win))
+                .filter(F.col("__rn") <= beam)
+                .drop("__rn")
+            )
+        new = new.localCheckpoint()
+        done = new.exceptAll(dist).isEmpty()
+        dist = new
+        if done:
+            break
+    return (
+        dist.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "origin", "id", F.col("s.d").alias("d"),
+            F.col("s.path").alias("path"), "rank",
+        )
+    )
+
+
 def shortest_path_pair(
     edges: DataFrame,
     sources: DataFrame,

@@ -2194,3 +2194,138 @@ def test_string_and_id_scalars(graph):
             "MATCH (f:Fighter)-[r:FOUGHT_IN]->(x:Fight) "
             "RETURN id(zz) AS i", nodes, edges,
         )
+
+
+def test_string_size_sqrt_keys_scalars(graph):
+    """r5 batch 2: lTrim/rTrim/reverse/size(string)/sqrt/keys. size()
+    with a property arg is the STRING-length scalar; the size(r)
+    hop-count and size(pattern) degree forms keep their own compilers
+    (guarded by _SIZE_SCALAR_RE's argument shape)."""
+    import math
+
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter {name: 'Ana'}) "
+        "RETURN lTrim('  x ') AS lt, rTrim('  x ') AS rt, "
+        "reverse(f.name) AS rev, size(f.name) AS n, "
+        "sqrt(f.wins) AS root, keys(f) AS ks",
+        nodes, edges,
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        ("x ", "  x", "anA", 3, math.sqrt(12.0), '["name","wins"]')
+    ]
+    # nested: size over a scalar result's source prop, sqrt of literal
+    out2 = run_cypher(
+        "MATCH (f:Fighter {name: 'Bo'}) "
+        "RETURN size(toUpper(f.name)) AS n2, sqrt(4) AS two",
+        nodes, edges,
+    ).collect()
+    assert [tuple(r) for r in out2] == [(2, 2.0)]
+    # the degree form still compiles (not consumed by the string scalar)
+    out3 = run_cypher(
+        "MATCH (f:Fighter) RETURN f.name AS nm, "
+        "size((f)-[:FOUGHT_IN]->()) AS deg ORDER BY nm",
+        nodes, edges,
+    ).collect()
+    assert [(r.nm, r.deg) for r in out3] == [("Ana", 1), ("Bo", 2), ("Cy", 1)]
+    with pytest.raises(CypherUnsupported, match="keys"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN keys(zz) AS k", nodes, edges
+        )
+
+
+def test_call_db_introspection(graph):
+    """Standalone CALL db.labels() / db.relationshipTypes() /
+    db.propertyKeys(): distributed DISTINCTs over the graph tables,
+    optional YIELD (must name the canonical column), optional RETURN
+    alias, ORDER BY / SKIP / LIMIT."""
+    nodes, edges = graph
+    labels = run_cypher(
+        "CALL db.labels() YIELD label RETURN label ORDER BY label",
+        nodes, edges,
+    ).collect()
+    assert [r.label for r in labels] == ["Event", "Fight", "Fighter"]
+    rels = run_cypher("CALL db.relationshipTypes()", nodes, edges).collect()
+    assert sorted(r.relationshipType for r in rels) == [
+        "FOUGHT_IN", "PART_OF"
+    ]
+    pk = run_cypher(
+        "CALL db.propertyKeys() YIELD propertyKey "
+        "RETURN propertyKey AS pk ORDER BY pk DESC LIMIT 3",
+        nodes, edges,
+    ).collect()
+    assert [r.pk for r in pk] == ["wins", "title", "rounds"]
+    skipped = run_cypher(
+        "CALL db.labels() YIELD label RETURN label "
+        "ORDER BY label SKIP 1 LIMIT 1",
+        nodes, edges,
+    ).collect()
+    assert [r.label for r in skipped] == ["Fight"]
+    with pytest.raises(CypherUnsupported, match="yields"):
+        run_cypher("CALL db.labels() YIELD name", nodes, edges)
+    with pytest.raises(CypherUnsupported, match="ORDER BY"):
+        run_cypher(
+            "CALL db.labels() YIELD label RETURN label ORDER BY zz",
+            nodes, edges,
+        )
+
+
+@pytest.fixture(scope="module")
+def ring_graph(spark):
+    """4-ring A-B-C-D-A, weight-1 edges both directions (two simple
+    paths per ordered pair)."""
+    names = ["A", "B", "C", "D"]
+    ids = {n: i + 1 for i, n in enumerate(names)}
+    nodes = spark.createDataFrame(
+        [(ids[n], "N", n, {"name": n}) for n in names],
+        "node_id long, label string, key string, props map<string,string>",
+    )
+    ring = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")]
+    rows = []
+    for s, d in ring:
+        rows.append((ids[s], "R", ids[d], {"w": "1"}))
+        rows.append((ids[d], "R", ids[s], {"w": "1"}))
+    edges = spark.createDataFrame(
+        rows, "src_id long, label string, dst_id long, props map<string,string>"
+    )
+    return nodes.cache(), edges.cache()
+
+
+def test_call_sppaths_pathcount_topk(ring_graph):
+    """pathCount: 2 yields the two cheapest simple paths per pair with
+    deterministic routes; self-pairs have only the empty walk."""
+    nodes, edges = ring_graph
+    out = run_cypher(
+        "MATCH (a:N {name: 'A'}), (b:N) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "relTypes: ['R'], weightProp: 'w', maxLen: 3, pathCount: 2}) "
+        "YIELD pathWeight, path "
+        "RETURN b AS dst, pathWeight, path "
+        "ORDER BY dst, pathWeight, path",
+        nodes, edges,
+    ).collect()
+    assert [(r.dst, r.pathWeight, r.path) for r in out] == [
+        ("A", 0.0, "A"),
+        ("B", 1.0, "A->B"),
+        ("B", 3.0, "A->D->C->B"),
+        ("C", 2.0, "A->B->C"),
+        ("C", 2.0, "A->D->C"),
+        ("D", 1.0, "A->D"),
+        ("D", 3.0, "A->B->C->D"),
+    ]
+    # SSpaths with pathCount, weights only (k rows per destination)
+    ss = run_cypher(
+        "MATCH (a:N {name: 'A'}) "
+        "CALL algo.SSpaths({sourceNode: a, relTypes: ['R'], "
+        "weightProp: 'w', maxLen: 3, pathCount: 2}) YIELD pathWeight "
+        "RETURN count(*) AS n, sum(pathWeight) AS tot",
+        nodes, edges,
+    ).collect()
+    assert (ss[0].n, ss[0].tot) == (6, 12.0)
+    with pytest.raises(CypherUnsupported, match="pathCount"):
+        run_cypher(
+            "MATCH (a:N {name: 'A'}), (b:N) "
+            "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+            "pathCount: 0}) YIELD pathWeight RETURN pathWeight",
+            nodes, edges,
+        )

@@ -306,3 +306,68 @@ def test_kcore_fixed_rounds_idempotent_after_convergence(spark):
     a = {r.id for r in k_core(edges, k=3).collect()}
     b = {r.id for r in k_core(edges, k=3, rounds=30).collect()}
     assert a == b == {0, 1, 2, 3, 4}
+
+
+def test_weighted_paths_topk_exact_on_ring(spark):
+    """k = 2 on a 4-ring: every ordered pair has exactly two simple
+    paths (clockwise/counterclockwise); ranks follow (weight, lex)."""
+    from kgforge.plans.graph_query import weighted_paths_topk
+
+    # ring 1-2-3-4-1, weight 1 per edge, both directions
+    ring = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in ring] + [(b, a, 1.0) for a, b in ring],
+        "src long, dst long, w double",
+    )
+    origins = spark.createDataFrame([(1,)], "origin long")
+    rows = weighted_paths_topk(edges, origins, k=2, max_hops=3).collect()
+    got = {(r.id, r.rank): (r.d, tuple(r.path)) for r in rows}
+    assert got[(1, 1)] == (0.0, (1,))          # empty walk, no 2nd path
+    assert (1, 2) not in got
+    assert got[(2, 1)] == (1.0, (1, 2))
+    assert got[(2, 2)] == (3.0, (1, 4, 3, 2))
+    assert got[(3, 1)] == (2.0, (1, 2, 3))     # tie: lex-smaller array
+    assert got[(3, 2)] == (2.0, (1, 4, 3))
+    assert got[(4, 1)] == (1.0, (1, 4))
+    assert got[(4, 2)] == (3.0, (1, 2, 3, 4))
+
+
+def test_weighted_paths_topk_exact_beats_beam(spark):
+    """The reason mid-loop top-k pruning is NOT applied by default: the
+    two cheapest prefixes at an intermediate node can both pass through
+    the target (blocking their extension), while the only viable prefix
+    ranks below the beam. Exact mode finds the true 2nd path; beam=k
+    provably misses it on this graph (approximation documented in the
+    weighted_paths_topk docstring)."""
+    from kgforge.plans.graph_query import weighted_paths_topk
+
+    # O=0, T=1, M=2, M1=3, X1=4, X2=5. Three simple paths reach M, all
+    # within 3 hops: O-T-M (0), O-T-M1-M (0), O-X1-X2-M (5). The two
+    # cheapest contain T, so only the costly one can extend M->T — but
+    # it arrives in the same round as the second cheap one, so beam=2
+    # prunes it before it ever extends.
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 0.0),  # O->T
+            (1, 2, 0.0),  # T->M
+            (1, 3, 0.0),  # T->M1
+            (3, 2, 0.0),  # M1->M
+            (0, 4, 2.0),  # O->X1
+            (4, 5, 2.0),  # X1->X2
+            (5, 2, 1.0),  # X2->M
+            (2, 1, 1.0),  # M->T
+        ],
+        "src long, dst long, w double",
+    )
+    origins = spark.createDataFrame([(0,)], "origin long")
+    exact = {
+        (r.rank): (r.d, tuple(r.path))
+        for r in weighted_paths_topk(
+            edges, origins, k=2, max_hops=4
+        ).filter(F.col("id") == 1).collect()
+    }
+    assert exact == {1: (0.0, (0, 1)), 2: (6.0, (0, 4, 5, 2, 1))}
+    beamed = weighted_paths_topk(
+        edges, origins, k=2, max_hops=4, beam=2
+    ).filter(F.col("id") == 1).collect()
+    assert len(beamed) == 1  # beam search loses the 2nd path here
