@@ -3711,6 +3711,148 @@ def _nation_chain_graph(spark, sf_dir):
     return nodes, edges
 
 
+@_q(
+    "cypher_start_end_node",
+    """
+    SELECT c_custkey::VARCHAR AS ck, n_name AS nname
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY ck
+    """,
+)
+def cypher_start_end_node(spark, sf_dir):
+    """startNode(r)/endNode(r) scalars (r5): the endpoint node's KEY
+    (consistent with RETURN n rendering; FalkorDB returns the node
+    entity — documented deviation). Directed single-hop rel vars only;
+    leg_df records rel var -> endpoint vars (rel_endpoints)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    ).unionByName(
+        nation.select(
+            F.xxhash64(F.lit("Nation"), "n_name").alias("node_id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("key"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+    )
+    edges = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("src_id"),
+        F.lit("FROM").alias("label"),
+        F.xxhash64(F.lit("Nation"), "n_name").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer)-[r:FROM]->(n:Nation) "
+        "RETURN startNode(r) AS ck, endNode(r) AS nname ORDER BY ck",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "graph_betweenness",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.n_name AS src, b.n_name AS dst
+      FROM nation a JOIN nation b
+        ON b.n_nationkey - a.n_nationkey IN (1, 2)
+      UNION ALL
+      SELECT b.n_name, a.n_name
+      FROM nation a JOIN nation b
+        ON b.n_nationkey - a.n_nationkey IN (1, 2)
+    ), walks(s, v, h, p) AS (
+      SELECT n_name, n_name, 0, '|' || n_name || '|' FROM nation
+      UNION
+      SELECT w.s, pr.dst, w.h + 1, w.p || pr.dst || '|'
+      FROM walks w JOIN pairs pr ON pr.src = w.v
+      WHERE w.h < 4 AND w.p NOT LIKE '%|' || pr.dst || '|%'
+    ), mind AS (
+      SELECT s, v AS t, min(h) AS d FROM walks WHERE s <> v
+      GROUP BY s, v
+    ), sp AS (
+      SELECT w.s, w.v AS t, w.p
+      FROM walks w JOIN mind m ON m.s = w.s AND m.t = w.v AND w.h = m.d
+    ), sig AS (
+      SELECT s, t, count(*) AS sigma FROM sp GROUP BY s, t
+    ), thru AS (
+      SELECT n.n_name AS v, sp.s, sp.t, count(*) AS through
+      FROM sp JOIN nation n
+        ON sp.p LIKE '%|' || n.n_name || '|%'
+       AND n.n_name <> sp.s AND n.n_name <> sp.t
+      GROUP BY 1, 2, 3
+    )
+    SELECT th.v AS v, th.s AS s, th.t AS t,
+           th.through::BIGINT AS through, sig.sigma::BIGINT AS sigma
+    FROM thru th JOIN sig ON sig.s = th.s AND sig.t = th.t
+    ORDER BY th.v, th.s, th.t
+    """,
+)
+def graph_betweenness(spark, sf_dir):
+    """Bounded-depth betweenness via the COUNTING formulation
+    (plans/graph_query.py::betweenness_counts, r5): landmark-parallel
+    BFS computes (dist, sigma) for every pair within max_depth, then
+    one middle-node self-join emits the all-integer decomposition
+    (v, s, t, sigma_st(v), sigma_st) — chosen over Brandes' backward
+    dependency sweep precisely so a cross-engine gate can hash-compare
+    the hard part bit-exactly (no float accumulation order). The skip
+    graph (nationkey i -> i±1, i±2) makes sigma > 1 load-bearing:
+    consecutive-skip pairs have multiple shortest routes. Oracle =
+    exhaustive recursive-CTE simple-walk enumeration (depth <= 4),
+    min-length filter, path-string membership counting. The float sum
+    through/sigma lives in betweenness_centrality and is pytest-pinned
+    on closed-form graphs (test_graph_analytics)."""
+    from kgforge.plans.graph_query import betweenness_counts
+
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    fwd = a.join(
+        b,
+        (F.col("b.n_nationkey") - F.col("a.n_nationkey")).isin(1, 2),
+    ).select(
+        F.col("a.n_name").alias("src_name"),
+        F.col("b.n_name").alias("dst_name"),
+    )
+    both = fwd.unionByName(
+        fwd.select(
+            F.col("dst_name").alias("src_name"),
+            F.col("src_name").alias("dst_name"),
+        )
+    )
+    edges = both.select(
+        F.xxhash64(F.lit("N"), "src_name").alias("src"),
+        F.xxhash64(F.lit("N"), "dst_name").alias("dst"),
+    )
+    counts = betweenness_counts(edges, max_depth=4)
+    id2name = n.select(
+        F.xxhash64(F.lit("N"), "n_name").alias("nid"),
+        F.col("n_name").alias("name"),
+    )
+
+    def names_for(col):
+        return id2name.select(
+            F.col("nid").alias(col), F.col("name").alias(f"{col}_name")
+        )
+
+    return (
+        counts.join(names_for("v"), on="v")
+        .join(names_for("s"), on="s")
+        .join(names_for("t"), on="t")
+        .select(
+            F.col("v_name").alias("v"), F.col("s_name").alias("s"),
+            F.col("t_name").alias("t"), "through", "sigma",
+        )
+        .orderBy("v", "s", "t")
+    )
+
+
 def _nation_ring_graph(spark, sf_dir):
     """_nation_chain_graph plus a CLOSURE edge per region (last
     nationkey back to first), turning each per-region chain into a

@@ -589,6 +589,37 @@ class KnowledgeGraph:
             "label", "key", "n_reached", "total_dist", "closeness"
         )
 
+    def betweenness(
+        self,
+        relation: str | None = None,
+        max_depth: int = 4,
+    ) -> DataFrame:
+        """Bounded-depth (k-)betweenness centrality over the undirected
+        projection of the edge table: (label, key, bc). Each unordered
+        pair within max_depth counts twice (directed convention on the
+        symmetrized graph); see
+        plans/graph_query.py::betweenness_counts for the exact
+        integer decomposition and scale notes."""
+        from kgforge.plans.graph_query import betweenness_centrality
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = self.nodes()
+        out = betweenness_centrality(
+            edges, max_depth=max_depth,
+            nodes=n.select(F.col("node_id").alias("id")),
+        )
+        return n.select(
+            F.col("node_id").alias("id"), "label", "key"
+        ).join(out, on="id").select("label", "key", "bc")
+
     def communities(
         self, relation: str | None = None, n_iter: int = 5
     ) -> DataFrame:
@@ -819,6 +850,79 @@ class KnowledgeGraph:
             n.select(F.col("node_id").alias("id"), "label", "key")
             .join(out, on="id")
             .select("label", "key", F.col("d").alias("dist"), "route")
+        )
+
+    def k_cheapest_routes(
+        self,
+        source: tuple[str, str],
+        k: int,
+        weight_prop: str | None = None,
+        relation: str | None = None,
+        max_hops: int = 8,
+        beam: int | None = None,
+    ) -> DataFrame:
+        """The k cheapest SIMPLE routes from a source entity to every
+        reachable node: (label, key, rank, dist, route) — the facade
+        twin of Cypher's ``CALL algo.SSpaths({..., pathCount: k})``
+        (r5). EXACT bounded enumeration by default; pass ``beam`` for
+        the documented beam-search approximation on dense graphs (see
+        graph_query.weighted_paths_topk). Ranks are 1..k by (weight,
+        lexicographic id-sequence). Weight semantics as in
+        `shortest_path_weights`."""
+        from kgforge.plans.graph_query import weighted_paths_topk
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        w = (
+            F.coalesce(
+                F.col("props")[weight_prop].try_cast("double"), F.lit(1.0)
+            )
+            if weight_prop is not None
+            else F.lit(1.0)
+        )
+        edges = e.select(
+            F.col("src_id").alias("src"),
+            F.col("dst_id").alias("dst"),
+            w.alias("w"),
+        )
+        n = self.nodes()
+        label, key = source
+        origin = n.filter(
+            (F.col("label") == label) & (F.col("key") == key)
+        ).select(F.col("node_id").alias("origin"))
+        dist = weighted_paths_topk(
+            edges, origin, k=k, max_hops=max_hops, beam=beam
+        )
+        id2key = n.select(
+            F.col("node_id").alias("__pid"), F.col("key").alias("__pkey")
+        )
+        routes = (
+            dist.select(
+                "origin", "id", "rank",
+                F.posexplode("path").alias("__pos", "__pid"),
+            )
+            .join(id2key, on="__pid")
+            .groupBy("origin", "id", "rank")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__pkey"))
+                ).alias("__ps")
+            )
+            .select(
+                "origin", "id", "rank",
+                F.concat_ws(
+                    "->", F.transform("__ps", lambda s: s["__pkey"])
+                ).alias("route"),
+            )
+        )
+        out = dist.drop("path").join(routes, on=["origin", "id", "rank"])
+        return (
+            n.select(F.col("node_id").alias("id"), "label", "key")
+            .join(out, on="id")
+            .select(
+                "label", "key", "rank", F.col("d").alias("dist"), "route"
+            )
         )
 
     def register_views(self, prefix: str | None = None) -> None:

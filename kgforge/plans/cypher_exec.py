@@ -116,8 +116,9 @@ Semantics and scope:
   rTrim, reverse, size(string), substring, left/right, replace,
   toInteger/toFloat/toString/toBoolean, coalesce, abs/ceil/floor/sign/
   round/sqrt (sqrt is IEEE correctly-rounded, so cross-engine exact;
-  exp/log/pow stay out), type(r), labels(n)/properties(n)/keys(n)
-  (canonical sorted JSON), id(n).
+  exp/log/pow stay out), type(r), startNode(r)/endNode(r) (the endpoint
+  node's key; directed single-hop legs only), labels(n)/properties(n)/
+  keys(n) (canonical sorted JSON), id(n).
 - `RETURN var` projects the node's key (the unique-attribute value — node
   identity in this engine and in the reference's MERGE). `var.prop` reads
   the props map. `count(var)` / `count(*)` / `count(DISTINCT var)` and the
@@ -311,7 +312,7 @@ _SCALAR_RE = re.compile(
     r"\b(toLower|toUpper|trim|lTrim|rTrim|reverse|toInteger|toFloat"
     r"|coalesce|substring|type"
     r"|labels|properties|keys|toString|abs|ceil|floor|sign|round|sqrt"
-    r"|toBoolean|replace|left|right|id)"
+    r"|toBoolean|replace|left|right|id|startNode|endNode)"
     r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
@@ -812,6 +813,9 @@ def run_cypher(
     # rel vars bound on variable-length legs (implicit walk bindings;
     # observable only via size()/length() = hop count)
     walk_rel_vars: set[str] = set()
+    # single-hop rel var -> (src var, dst var, undirected), recorded by
+    # leg_df for startNode()/endNode()
+    rel_endpoints: dict[str, tuple[str, str, bool]] = {}
 
     def parse_patterns(text: str, allow_shortest: bool = True):
         """-> (vars per comma-pattern, legs as 6-tuples
@@ -1055,6 +1059,8 @@ def run_cypher(
         if rel_var is not None:
             cols.append(F.col("props").alias(f"{rel_var}__props"))
             cols.append(F.col("label").alias(f"{rel_var}__type"))
+            # endpoint vars per bound rel var, for startNode()/endNode()
+            rel_endpoints[rel_var] = (src, dst, undirected)
         fwd = e.select(*cols)
         if not undirected:
             return fwd
@@ -2516,6 +2522,7 @@ def run_cypher(
                 "sqrt": (1, 1), "size": (1, 1),
                 "toboolean": (1, 1), "replace": (3, 3),
                 "left": (2, 2), "right": (2, 2), "id": (1, 1),
+                "startnode": (1, 1), "endnode": (1, 1),
             }[fnl]
             if not (n_args[0] <= len(args) <= n_args[1]):
                 raise CypherUnsupported(
@@ -2531,6 +2538,31 @@ def run_cypher(
                         f"variable, got {a!r}"
                     )
                 expr = F.col(f"{a}__type")
+            elif fnl in ("startnode", "endnode"):
+                # the endpoint node's KEY — consistent with how
+                # ``RETURN n`` renders a node in this engine (FalkorDB
+                # returns the node entity). Directed legs only: an
+                # undirected leg matches once per orientation and the
+                # stored direction is not tracked per row.
+                a = args[0].strip()
+                if a not in rel_vars or a not in rel_endpoints:
+                    raise CypherUnsupported(
+                        f"{fn}() takes a bound single-hop relationship "
+                        f"variable, got {a!r}"
+                    )
+                src_v, dst_v, undirected = rel_endpoints[a]
+                if undirected:
+                    raise CypherUnsupported(
+                        f"{fn}() on an undirected leg is out of subset "
+                        "(the stored direction is not tracked per row)"
+                    )
+                v = src_v if fnl == "startnode" else dst_v
+                if f"{v}__key" not in plan.columns:
+                    raise CypherUnsupported(
+                        f"{fn}({a}): endpoint {v!r} is not projectable "
+                        "in this stage"
+                    )
+                expr = F.col(f"{v}__key")
             elif fnl == "labels":
                 # single-label data model (like the reference's MERGE
                 # surface): labels(n) is the pattern's label STRING, a

@@ -450,6 +450,135 @@ def closeness_centrality(
     )
 
 
+def bfs_sigma(
+    edges: DataFrame, origins: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Per-origin BFS distances AND shortest-path counts:
+    (origin, id, dist, sigma), self included at (0, 1).
+
+    `landmark_distances` extended with the σ recurrence: a node first
+    reached at depth d has σ = Σ σ(predecessors at depth d-1) — the
+    frontier IS the depth-(d-1) set, so the per-level aggregate switches
+    from min(dist) to sum(sigma); everything else (one equi-join per
+    level, visited anti-join, localCheckpoint, early exit) is identical.
+    σ values are exact BIGINTs. edges(src, dst) directed — symmetrize
+    first for undirected. origins(origin)."""
+    state = origins.select(
+        "origin",
+        F.col("origin").alias("id"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    e = edges.select("src", "dst")
+    frontier = state
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy("origin", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(d).cast("long"))
+            .join(state, on=["origin", "id"], how="left_anti")
+            .select("origin", "id", "dist", "sigma")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        state = state.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return state
+
+
+def betweenness_counts(
+    edges: DataFrame, max_depth: int = 4, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Shortest-path through-counts per (middle, source, target) within
+    max_depth: (v, s, t, through, sigma) — all-integer rows, the exact
+    decomposition betweenness sums.
+
+    ``through`` = σ(s,v)·σ(v,t) where dist(s,v) + dist(v,t) = dist(s,t)
+    (the standard counting identity), ``sigma`` = σ(s,t); the pair
+    (s,t) contributes through/sigma to v's betweenness. Keeping the
+    rows integer (and summing the ratio only in
+    `betweenness_centrality`) is what lets a cross-engine gate compare
+    the hard part — the all-pairs (dist, σ) computation and the
+    middle-node join — bit-exactly, with no float-accumulation-order
+    sensitivity (the reason this uses the counting formulation rather
+    than Brandes' backward dependency sweep, whose recursive float
+    accumulation is not reproducible across engines).
+
+    BOUNDED-DEPTH (k-)betweenness: only pairs within max_depth count —
+    the published k-betweenness variant, and the thing that makes the
+    plan scale: state is one row per (origin, node) pair within the
+    depth-k ball (NOT n² — bounded by ball sizes), every join/aggregate
+    keys on those pair columns, and `bfs_sigma`'s per-level frontier is
+    shared by all origins. The middle join is (s,v)⋈(v,t) on v plus a
+    (s,t) σ lookup — three reads of the SAME localCheckpointed
+    all-pairs relation, computed once. edges(src, dst) directed;
+    symmetrize first for undirected semantics (each unordered pair then
+    contributes twice, the usual /2 convention applies downstream).
+    """
+    e = edges.select("src", "dst")
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    ap = bfs_sigma(
+        e, nodes.select(F.col("id").alias("origin")), max_hops=max_depth
+    )
+    left = ap.filter(F.col("origin") != F.col("id")).select(
+        F.col("origin").alias("s"), F.col("id").alias("v"),
+        F.col("dist").alias("d_sv"), F.col("sigma").alias("sig_sv"),
+    )
+    right = ap.filter(F.col("origin") != F.col("id")).select(
+        F.col("origin").alias("v"), F.col("id").alias("t"),
+        F.col("dist").alias("d_vt"), F.col("sigma").alias("sig_vt"),
+    )
+    st = ap.select(
+        F.col("origin").alias("s"), F.col("id").alias("t"),
+        F.col("dist").alias("d_st"), F.col("sigma").alias("sigma"),
+    )
+    return (
+        left.join(right, on="v")
+        .filter(F.col("s") != F.col("t"))
+        .join(st, on=["s", "t"])
+        .filter(F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+        .select(
+            "v", "s", "t",
+            (F.col("sig_sv") * F.col("sig_vt")).alias("through"),
+            "sigma",
+        )
+    )
+
+
+def betweenness_centrality(
+    edges: DataFrame, max_depth: int = 4, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Bounded-depth (k-)betweenness centrality: (id, bc).
+
+    bc(v) = Σ over ordered pairs (s, t) within max_depth of
+    σ_st(v)/σ_st — directed convention; on a symmetrized graph each
+    unordered pair counts twice (halve downstream if the undirected
+    normalization is wanted). Nodes on no shortest path get 0.0. The
+    integer decomposition this sums is `betweenness_counts` (see there
+    for exactness and scale notes)."""
+    e = edges.select("src", "dst")
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    c = betweenness_counts(e, max_depth=max_depth, nodes=nodes)
+    agg = c.groupBy(F.col("v").alias("id")).agg(
+        F.sum(F.col("through") / F.col("sigma")).alias("bc")
+    )
+    return nodes.join(agg, on="id", how="left").select(
+        "id", F.coalesce("bc", F.lit(0.0)).alias("bc")
+    )
+
+
 def label_propagation(
     edges: DataFrame, nodes: DataFrame, n_iter: int = 5
 ) -> DataFrame:

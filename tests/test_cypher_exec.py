@@ -1369,10 +1369,15 @@ def test_call_subset_boundaries_raise(road_graph):
         "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
         "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
         "weightProp: 'dist'}) YIELD path, path AS p RETURN p",
-        # pathCount > 1
+        # pathCount must be a positive integer literal (k > 1 is
+        # SUPPORTED since r5 — see test_call_sppaths_pathcount_topk)
         "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
         "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
-        "weightProp: 'dist', pathCount: 3}) YIELD pathWeight "
+        "weightProp: 'dist', pathCount: 0}) YIELD pathWeight "
+        "RETURN pathWeight",
+        "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
+        "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
+        "weightProp: 'dist', pathCount: 'two'}) YIELD pathWeight "
         "RETURN pathWeight",
         # SSpaths with a targetNode
         "MATCH (a:City {name: 'C0'}), (b:City {name: 'C1'}) "
@@ -2328,4 +2333,32 @@ def test_call_sppaths_pathcount_topk(ring_graph):
             "CALL algo.SPpaths({sourceNode: a, targetNode: b, "
             "pathCount: 0}) YIELD pathWeight RETURN pathWeight",
             nodes, edges,
+        )
+
+
+def test_start_end_node_scalars(movie_graph):
+    """startNode(r)/endNode(r) (r5): the endpoint node's key, directed
+    single-hop rel vars only."""
+    nodes, edges = movie_graph
+    out = run_cypher(
+        "MATCH (a:Person)-[r:ACTED_IN]->(m:Movie) "
+        "RETURN startNode(r) AS s, endNode(r) AS e, type(r) AS t "
+        "ORDER BY s, e",
+        nodes, edges,
+    ).collect()
+    assert all(r.t == "ACTED_IN" for r in out)
+    pairs = run_cypher(
+        "MATCH (a:Person)-[r:ACTED_IN]->(m:Movie) "
+        "RETURN a AS s2, m AS e2 ORDER BY s2, e2",
+        nodes, edges,
+    ).collect()
+    assert [(r.s, r.e) for r in out] == [(p.s2, p.e2) for p in pairs]
+    with pytest.raises(CypherUnsupported, match="undirected"):
+        run_cypher(
+            "MATCH (a:Person)-[r:ACTED_IN]-(m:Movie) "
+            "RETURN startNode(r) AS s", nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported, match="startNode"):
+        run_cypher(
+            "MATCH (a:Person) RETURN startNode(zz) AS s", nodes, edges
         )

@@ -371,3 +371,59 @@ def test_weighted_paths_topk_exact_beats_beam(spark):
         edges, origins, k=2, max_hops=4, beam=2
     ).filter(F.col("id") == 1).collect()
     assert len(beamed) == 1  # beam search loses the 2nd path here
+
+
+def test_bfs_sigma_diamond(spark):
+    """σ recurrence: the diamond 0->{1,2}->3 has two shortest 0->3
+    paths."""
+    from kgforge.plans.graph_query import bfs_sigma
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    origins = spark.createDataFrame([(0,)], "origin long")
+    got = {
+        r.id: (r.dist, r.sigma)
+        for r in bfs_sigma(edges, origins, max_hops=4).collect()
+    }
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (2, 2)}
+
+
+def test_betweenness_diamond_and_path(spark):
+    """Counting-formulation betweenness: diamond middles split the
+    (0,3) pair 50/50; a path's interior node carries its full pair."""
+    from kgforge.plans.graph_query import (
+        betweenness_centrality,
+        betweenness_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    rows = betweenness_counts(edges, max_depth=4).collect()
+    assert {(r.v, r.s, r.t, r.through, r.sigma) for r in rows} == {
+        (1, 0, 3, 1, 2),
+        (2, 0, 3, 1, 2),
+    }
+    bc = {r.id: r.bc for r in betweenness_centrality(edges).collect()}
+    assert bc == {0: 0.0, 1: 0.5, 2: 0.5, 3: 0.0}
+
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    bc2 = {r.id: r.bc for r in betweenness_centrality(chain).collect()}
+    assert bc2 == {0: 0.0, 1: 1.0, 2: 0.0}
+
+
+def test_betweenness_depth_bound_bites(spark):
+    """max_depth excludes pairs beyond the bound (k-betweenness)."""
+    from kgforge.plans.graph_query import betweenness_centrality
+
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    bc = {
+        r.id: r.bc
+        for r in betweenness_centrality(chain, max_depth=2).collect()
+    }
+    # pair (0,3) at distance 3 is out of the k=2 ball: nodes 1 and 2
+    # each carry only their two distance-2 pairs' single middle role
+    assert bc == {0: 0.0, 1: 1.0, 2: 1.0, 3: 0.0}

@@ -297,3 +297,62 @@ def test_facade_shortest_path_route(kg):
         ("Actor", "A"): (0.0, "A"),
         ("Movie", "M"): (1.0, "A->M"),
     }
+
+
+def test_facade_k_cheapest_routes(kg, spark):
+    """kg.k_cheapest_routes (r5): the k cheapest simple routes per
+    destination, facade twin of CALL algo.SSpaths({pathCount: k})."""
+    onto = Ontology(
+        entities=[
+            Entity("Actor", [Attribute("name", "string", True, True)]),
+            Entity("Movie", [Attribute("title", "string", True, True)]),
+        ],
+        relations=[
+            Relation("ACTED_IN", "Actor", "Movie", []),
+            Relation("SEQUEL_OF", "Movie", "Movie", []),
+        ],
+    )
+    kg2 = KnowledgeGraph(spark, onto, kg.out_dir + "_kroutes")
+    kg2.add_nodes(
+        [("Actor", {"name": "A"})]
+        + [("Movie", {"title": t}) for t in ("M1", "M2")]
+    )
+    kg2.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M1"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M2"}, {}),
+            ("SEQUEL_OF", "Movie", "Movie", {"title": "M1"}, {"title": "M2"}, {}),
+        ]
+    )
+    out = {
+        (r.key, r.rank): (r.dist, r.route)
+        for r in kg2.k_cheapest_routes(("Actor", "A"), k=2).collect()
+    }
+    assert out == {
+        ("A", 1): (0.0, "A"),
+        ("M1", 1): (1.0, "A->M1"),
+        ("M2", 1): (1.0, "A->M2"),
+        ("M2", 2): (2.0, "A->M1->M2"),
+    }
+
+
+def test_facade_betweenness(kg):
+    """kg.betweenness (r5): path A -ACTED_IN-> M <-ACTED_IN- B on the
+    undirected projection makes M the only interior node (bc = 2: the
+    A<->B unordered pair counts twice, directed convention)."""
+    kg.add_nodes(
+        [("Actor", {"name": n}) for n in ("A", "B")]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "B"}, {"title": "M"}, {}),
+        ]
+    )
+    out = {(r.label, r.key): r.bc for r in kg.betweenness().collect()}
+    assert out == {
+        ("Actor", "A"): 0.0,
+        ("Actor", "B"): 0.0,
+        ("Movie", "M"): 2.0,
+    }
