@@ -3853,6 +3853,61 @@ def graph_betweenness(spark, sf_dir):
     )
 
 
+@_q(
+    "text_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT w AS word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ), pairs AS (
+      SELECT substr(word, i, 1) AS lft, substr(word, i + 1, 1) AS rgt,
+             freq
+      FROM words, unnest(range(1, length(word))) AS t(i)
+    )
+    SELECT lft, rgt, sum(freq)::BIGINT AS cnt
+    FROM pairs GROUP BY lft, rgt ORDER BY cnt DESC, lft, rgt LIMIT 50
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """First round of distributed BPE training (functions/bpe.py, r5):
+    corpus -> distinct-word frequency table (the ONE corpus-sized agg)
+    -> expression-only adjacent-pair explode + weighted count. Top 50
+    by the training tie-break (count DESC, then pair ASC — unique, so
+    LIMIT is deterministic). The iterative merge LOOP is gated by
+    text_bpe_merges (rows-only: argmax-per-round is not
+    SQL-expressible) and pinned exactly against an independent
+    pure-Python reference in test_bpe."""
+    from kgforge.functions.bpe import bpe_pair_counts, word_freqs
+
+    docs = _t(spark, sf_dir, "documents")
+    words = word_freqs(docs).selectExpr(
+        "freq", "split(word, '') AS syms"
+    )
+    return (
+        bpe_pair_counts(words)
+        .orderBy(F.col("cnt").desc(), "lft", "rgt")
+        .limit(50)
+    )
+
+
+@_q("text_bpe_merges")
+def text_bpe_merges(spark, sf_dir):
+    """Full distributed BPE merge learning (rank, lft, rgt, cnt) —
+    8 merges over the documents corpus. Rows-only by declaration: the
+    per-round argmax + state rewrite is iterative (driver sees ONE row
+    per round; the word table and all counting stay distributed — see
+    functions/bpe.py module docstring for the scale shape). Exactness
+    vs an independent reference implementation incl. tie rounds and
+    min_freq early-stop is pinned in test_bpe; round 1 is
+    oracle-checked by text_bpe_pair_counts."""
+    from kgforge.functions.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8).orderBy("rank")
+
+
 def _nation_ring_graph(spark, sf_dir):
     """_nation_chain_graph plus a CLOSURE edge per region (last
     nationkey back to first), turning each per-region chain into a
