@@ -74,6 +74,9 @@ HEADLINE = [
     "corpus_pack_sequences",
     "events_asof_join",
     "events_range_join",
+    # r5 additions (new rows vs BENCH_r04 — not regressions)
+    "graph_betweenness",
+    "text_bpe_pair_counts",
 ]
 
 

@@ -3854,6 +3854,33 @@ def graph_betweenness(spark, sf_dir):
 
 
 @_q(
+    "corpus_sample_exact_k",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5('kgforge' || doc_id::VARCHAR), doc_id
+      ) AS rn FROM documents
+    ) WHERE rn <= 25 ORDER BY lang, doc_id
+    """,
+)
+def corpus_sample_exact_k(spark, sf_dir):
+    """Exact-size deterministic per-stratum sampling (sharding.py::
+    sample_exact_k, r5): the k smallest-md5 rows per stratum — the
+    COUNT-budget companion to the rate-based corpus_stratified_sample
+    (eval-set carving, per-domain caps). One window keyed on the
+    stratum; hash order is a pure function of (salt, key), so the
+    sample is layout-independent and nested in k. Oracle replays the
+    identical row_number-over-md5 rule."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SH.sample_exact_k(docs, 25, strata_col="lang", key_col="doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@_q(
     "text_bpe_pair_counts",
     """
     WITH words AS (

@@ -334,3 +334,49 @@ def stratified_sample(
             F.col(strata_col) == F.lit(stratum), keep_for(num, den)
         ).otherwise(cond)
     return df.filter(cond)
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "kgforge",
+) -> DataFrame:
+    """EXACT-size deterministic per-stratum sample: the k rows of each
+    stratum with the smallest md5(salt || key).
+
+    The companion to `stratified_sample` when the budget is a COUNT,
+    not a rate (eval-set carving, per-domain caps, fixed-size ablation
+    slices). Hash order is a uniform random permutation of each stratum
+    that is a pure function of (salt, key): exact-reproducible on any
+    cluster layout, stable under re-runs, and monotone in k (the k=100
+    sample contains the k=50 sample — nested like the rate path).
+    Larger k just widens the same window; changing `salt` draws an
+    independent sample.
+
+    Plan shape: ONE hash-partitioned window (row_number over the
+    stratum, ordered by the hash — a shuffle on strata_col) + a filter.
+    No global sort, no driver-side state. Skew note: every row of a
+    stratum flows through that stratum's window partition, so a single
+    gigantic stratum serializes — at that point cap per (stratum,
+    hash-prefix bucket) first or use `stratified_sample`'s scan-side
+    rate filter, which never shuffles.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    h = F.md5(
+        F.encode(
+            F.concat(F.lit(salt), F.col(key_col).cast("string")), "UTF-8"
+        )
+    )
+    # secondary key order makes row_number deterministic when keys
+    # collide (duplicate key_col values share a hash)
+    win = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -144,3 +144,13 @@ def test_bpe_encode_keeps_doc_columns(spark, docs):
     out = bpe_encode(docs, merges)
     assert set(out.columns) == {"doc_id", "text", "tokens"}
     assert out.count() == len(CORPUS)
+
+
+def test_bpe_pair_counts_plan_shape(spark, docs):
+    """Pair counting is the per-round hot loop: it must stay entirely
+    JVM-side (no Python eval) with ONE shuffle (partial agg -> exchange
+    -> final agg)."""
+    words = word_freqs(docs).selectExpr("freq", "split(word, '') AS syms")
+    plan = bpe_pair_counts(words)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") >= 1

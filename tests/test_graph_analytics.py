@@ -427,3 +427,19 @@ def test_betweenness_depth_bound_bites(spark):
     # pair (0,3) at distance 3 is out of the k=2 ball: nodes 1 and 2
     # each carry only their two distance-2 pairs' single middle role
     assert bc == {0: 0.0, 1: 1.0, 2: 1.0, 3: 0.0}
+
+
+def test_betweenness_counts_plan_no_cartesian(spark):
+    """The middle-node join and the sigma lookup are equi-joins — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    from kgforge.plans.graph_query import betweenness_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], "src long, dst long"
+    )
+    plan = (
+        betweenness_counts(edges, max_depth=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -487,3 +487,29 @@ def test_asof_join_time_split_timestamps(spark):
     base = snap()
     assert snap(time_split="day") == base
     assert snap(time_split="week") == base
+
+
+def test_sample_exact_k_size_nesting_layout(spark):
+    """sample_exact_k (r5): exact per-stratum sizes, k-nesting, and
+    partition-layout independence."""
+    from kgforge.functions.sharding import sample_exact_k
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s6 = sample_exact_k(df, 6, strata_col="lang", key_col="doc_id")
+    sizes = {
+        r.lang: r.n
+        for r in s6.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"en": 6, "de": 6}
+    s3 = sample_exact_k(df, 3, strata_col="lang", key_col="doc_id")
+    ids3 = {(r.lang, r.doc_id) for r in s3.collect()}
+    ids6 = {(r.lang, r.doc_id) for r in s6.collect()}
+    assert ids3 < ids6  # nested: the k=3 sample is inside the k=6 one
+    relaid = sample_exact_k(
+        df.repartition(13), 6, strata_col="lang", key_col="doc_id"
+    )
+    assert {(r.lang, r.doc_id) for r in relaid.collect()} == ids6
+    # k larger than a stratum keeps the whole stratum
+    s99 = sample_exact_k(df, 99, strata_col="lang", key_col="doc_id")
+    assert s99.count() == 60
