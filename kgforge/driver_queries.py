@@ -2672,6 +2672,136 @@ def graph_closeness(spark, sf_dir):
 
 
 @_q(
+    "graph_harmonic",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT n_name AS src,
+             lead(n_name) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dst
+      FROM nation
+    ), pairs AS (
+      SELECT src, dst FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst, src FROM chain WHERE dst IS NOT NULL
+    ), walk(lm, id, d) AS (
+      SELECT n_name, n_name, 0 FROM nation
+      UNION
+      SELECT w.lm, p.dst, w.d + 1
+      FROM walk w JOIN pairs p ON p.src = w.id WHERE w.d < 8
+    ), md AS (
+      SELECT lm, id, min(d) AS d FROM walk GROUP BY lm, id
+    )
+    SELECT lm AS nation, d::BIGINT AS dist, count(*)::BIGINT AS n_at_dist
+    FROM md WHERE d > 0 GROUP BY lm, d ORDER BY nation, dist
+    """,
+)
+def graph_harmonic(spark, sf_dir):
+    """Harmonic centrality (r5; Boldi-Vigna — the closeness variant
+    that stays well-defined on DISCONNECTED graphs, which the
+    per-region chain fixture genuinely is: cross-region pairs are
+    unreachable and simply contribute nothing). Same landmark-parallel
+    BFS as graph_closeness; the gate returns the all-BIGINT per-
+    landmark (dist, count) HISTOGRAM — the float Σ n/d
+    (graph_query.harmonic_sum) stays out of the hash, same
+    exact-integer-decomposition discipline as closeness and
+    betweenness."""
+    from pyspark.sql import Window
+
+    from kgforge.plans.graph_query import harmonic_centrality
+
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = nation.select(
+        F.col("n_name").alias("src"), F.lead("n_name").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    landmarks = nation.select(F.col("n_name").alias("id"))
+    return (
+        harmonic_centrality(edges, landmarks, max_hops=8)
+        .select(F.col("id").alias("nation"), "dist", "n_at_dist")
+        .orderBy("nation", "dist")
+    )
+
+
+_WALK_STEP_SQL = """
+    , s{k} AS (
+      SELECT walk_id, start, dst AS cur, route || '->' || dst AS route
+      FROM (
+        SELECT s.walk_id, s.start, p.dst, s.route,
+               row_number() OVER (
+                 PARTITION BY s.walk_id
+                 ORDER BY md5('kgforge|' || s.walk_id || '|{step}|'
+                              || p.dst)
+               ) AS rn
+        FROM s{j} s JOIN pairs p ON p.src = s.cur
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT walk_id, start, cur, route FROM s{j} s
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.src = s.cur)
+    )"""
+
+
+@_q(
+    "graph_random_walks",
+    """
+    WITH chain AS (
+      SELECT n_name AS src,
+             lead(n_name) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dst
+      FROM nation
+    ), pairs AS (
+      SELECT src, dst FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst, src FROM chain WHERE dst IS NOT NULL
+    ), s0 AS (
+      SELECT n_name || '#' || w::VARCHAR AS walk_id, n_name AS start,
+             n_name AS cur, n_name AS route
+      FROM nation, unnest(range(0, 2)) AS u(w)
+    )"""
+    + _WALK_STEP_SQL.format(k=1, j=0, step=0)
+    + _WALK_STEP_SQL.format(k=2, j=1, step=1)
+    + _WALK_STEP_SQL.format(k=3, j=2, step=2)
+    + """
+    SELECT walk_id, start, route FROM s3 ORDER BY walk_id
+    """,
+)
+def graph_random_walks(spark, sf_dir):
+    """DeepWalk-style walk-corpus generation (graph_query.random_walks,
+    r5): 2 walks x 3 steps from every nation over the symmetrized
+    chain. The next hop is the neighbor minimizing
+    md5(seed|walk_id|step|dst) — a deterministic uniform hash draw
+    with NO engine RNG, which is exactly what lets the oracle replay
+    every draw: 3 unrolled argmin-join steps (row_number = 1), sink
+    legs via NOT EXISTS. Walks are the training input skip-gram graph
+    embeddings consume; per step the engine pays one equi-join + one
+    min_by keyed on walk_id (BFS-round shape)."""
+    from pyspark.sql import Window
+
+    from kgforge.plans.graph_query import random_walks
+
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = nation.select(
+        F.col("n_name").alias("src"), F.lead("n_name").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        random_walks(edges, walk_len=3, n_walks=2)
+        .select(
+            "walk_id", "start",
+            F.concat_ws("->", "path").alias("route"),
+        )
+        .orderBy("walk_id")
+    )
+
+
+@_q(
     "graph_lpa",
     """
     WITH chain AS (
@@ -3878,6 +4008,51 @@ def corpus_sample_exact_k(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+@_q(
+    "dedup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i+1:i+13], ' ')) AS fp
+      FROM toks, unnest(range(0, len(t) - 12)) AS u(i)
+      WHERE len(t) >= 13
+    ), dups AS (
+      SELECT fp FROM sh GROUP BY fp HAVING count(*) >= 2
+    ), hits AS (
+      SELECT s.doc_id, s.pos FROM sh s JOIN dups USING (fp)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 13
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits
+      )
+    )
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + 12)::BIGINT AS span_end,
+           count(*)::BIGINT AS n_shingles
+    FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """Span-level exact-substring duplication (functions/dedup.py::
+    duplicate_spans, r5 — the Lee et al. 2022 signal at 13-token
+    shingle granularity, relational instead of suffix-array): position
+    fingerprints (md5 of the joined window, cross-engine replayable) ->
+    corpus-wide count -> semi-join back -> gaps-and-islands merge into
+    maximal spans. Oracle replays the identical rule with DuckDB's
+    1-based-inclusive list slicing (t[i+1:i+13] = 13 tokens from
+    0-based position i)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, n=13).orderBy("doc_id", "span_start")
 
 
 @_q(

@@ -672,3 +672,85 @@ def dedup_paragraphs(
         .withColumnRenamed("__id", id_col)
         .select(id_col, "n_kept", text_col)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 13,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token SPANS per document: (id, span_start,
+    span_end, n_shingles) — token positions, end inclusive.
+
+    The span-level exact-substring dedup signal from Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    discretized to n-token shingle granularity so it stays a pure
+    relational plan (the paper's suffix array is a single-machine
+    structure): a position is duplicated when its n-gram's fingerprint
+    occurs >= min_count times CORPUS-WIDE (including within the same
+    document — self-repetition is exactly what the signal should
+    catch), and runs of duplicated positions closer than n tokens merge
+    into one maximal span (their windows overlap or touch). Feed the
+    spans to a clipper or use span coverage as a curation feature.
+
+    Plan: one scan builds the token array, fingerprints every position
+    with an expression-only transform (md5 of the joined window —
+    md5 so a cross-engine oracle can replay fingerprints bit-exactly),
+    ONE corpus-wide fingerprint count (map-side partial agg; the
+    equivalent of the paper's suffix-array dup lookup), a semi-join
+    back, and a gaps-and-islands window per document. Shuffles key on
+    fingerprint then doc id — no all-pairs anything; skew on a viral
+    fingerprint is bounded by the count aggregate (the semi-join
+    carries only (fp, dup?) one row per fp).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = (
+        docs.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+    )
+    fps = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+    )
+    sh = base.select(
+        "__id", F.posexplode(fps).alias("pos", "fp")
+    )
+    dup_fps = (
+        sh.groupBy("fp")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("fp")
+    )
+    hits = sh.join(dup_fps, on="fp", how="left_semi")
+    w = Window.partitionBy("__id").orderBy("pos")
+    run = Window.partitionBy("__id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = (
+        hits.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(run))
+    )
+    return (
+        isl.groupBy("__id", "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n - 1).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_shingles"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start", "span_end", "n_shingles",
+        )
+    )

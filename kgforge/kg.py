@@ -589,6 +589,55 @@ class KnowledgeGraph:
             "label", "key", "n_reached", "total_dist", "closeness"
         )
 
+    def harmonic(
+        self,
+        sources: list[tuple[str, str]] | None = None,
+        relation: str | None = None,
+        max_hops: int = 8,
+    ) -> DataFrame:
+        """Harmonic centrality over the undirected projection:
+        (label, key, harmonic) — the closeness variant that stays
+        well-defined on disconnected graphs (sum of 1/dist over
+        reachable nodes). Same landmark-parallel BFS and sampling
+        contract as `closeness`."""
+        from kgforge.plans.graph_query import (
+            harmonic_centrality,
+            harmonic_sum,
+        )
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = self.nodes()
+        lm = n
+        if sources is not None:
+            pred = None
+            for label, key in sources:
+                c = (F.col("label") == label) & (F.col("key") == key)
+                pred = c if pred is None else (pred | c)
+            if pred is None:
+                raise ValueError("sources must be None or non-empty")
+            lm = n.filter(pred)
+        hist = harmonic_centrality(
+            edges, lm.select(F.col("node_id").alias("id")),
+            max_hops=max_hops,
+        )
+        out = harmonic_sum(hist)
+        return (
+            lm.select(F.col("node_id").alias("id"), "label", "key")
+            .join(out, on="id", how="left")
+            .select(
+                "label", "key",
+                F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+            )
+        )
+
     def betweenness(
         self,
         relation: str | None = None,

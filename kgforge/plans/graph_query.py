@@ -450,6 +450,118 @@ def closeness_centrality(
     )
 
 
+def random_walks(
+    edges: DataFrame,
+    walk_len: int,
+    n_walks: int = 1,
+    seed: str = "kgforge",
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """DeepWalk-style walk corpus: (walk_id, start, path) — `n_walks`
+    walks of up to `walk_len` edges from every node (array of node
+    ids, start first; walks stop early at sinks).
+
+    The graph-embedding training-data generator (DeepWalk/node2vec
+    feed skip-gram on exactly such a table). DETERMINISTIC by
+    construction instead of Math.random: at each step the walk moves
+    to the neighbor minimizing md5(seed || walk_id || step || dst) — a
+    per-(walk, step) uniform hash draw over the out-neighbors that is
+    a pure function of (graph, seed), reproducible on any cluster
+    layout and REPLAYABLE by a SQL oracle (argmin over a portable md5
+    of strings; no modulo-over-degree, no engine RNG). Different
+    `n_walks` indices and different seeds give independent draws.
+
+    Per step: one equi-join of the walk frontier against the edge list
+    + one min_by aggregate keyed on walk_id — the BFS-round shape, L
+    joins for walk_len L, `localCheckpoint` per step. State is one row
+    per walk; hot nodes fan out across walk_ids. edges(src, dst);
+    pass a symmetrized list for undirected walks. `nodes` optionally
+    restricts the start set (default: every distinct src/dst).
+    """
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    if nodes is None:
+        starts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        starts = nodes.select(F.col("id").cast("string").alias("id"))
+    walks = starts.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w")
+    ).select(
+        F.concat(F.col("id"), F.lit("#"), F.col("w").cast("string")).alias(
+            "walk_id"
+        ),
+        F.col("id").alias("start"),
+        F.col("id").alias("cur"),
+        F.array(F.col("id")).alias("path"),
+        F.col("w").cast("string").alias("w"),
+    ).localCheckpoint()
+    for step in range(walk_len):
+        draw = F.md5(
+            F.concat(
+                F.lit(seed), F.lit("|"), F.col("walk_id"),
+                F.lit("|"), F.lit(str(step)), F.lit("|"), F.col("dst"),
+            )
+        )
+        nxt = (
+            walks.join(e, walks.cur == e.src)
+            .groupBy("walk_id")
+            .agg(F.min_by("dst", draw).alias("__next"))
+        )
+        moved = (
+            walks.join(nxt, on="walk_id")
+            .select(
+                "walk_id", "start",
+                F.col("__next").alias("cur"),
+                F.concat("path", F.array("__next")).alias("path"),
+                "w",
+            )
+        )
+        stuck = walks.join(nxt, on="walk_id", how="left_anti")
+        walks = moved.unionByName(stuck).localCheckpoint()
+    return walks.select("walk_id", "start", "path")
+
+
+def harmonic_centrality(
+    edges: DataFrame, landmarks: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Harmonic centrality of each landmark within max_hops:
+    (id, dist, n_at_dist) integer decomposition rows plus the float
+    sum via `harmonic_sum`.
+
+    harmonic(v) = Σ over reachable u ≠ v of 1/dist(v, u) — the
+    centrality that, unlike closeness, is well-defined on disconnected
+    graphs (Boldi & Vigna 2014). Same landmark-parallel BFS as
+    `closeness_centrality`; the result here is the (dist, count)
+    HISTOGRAM per landmark — all BIGINTs, so cross-engine gates
+    compare it bit-exactly and the float Σ n/d (whose accumulation
+    order is engine-dependent) stays out of the hash, the same split
+    as closeness' n_reached/total_dist and betweenness' counts.
+    """
+    d = landmark_distances(edges, landmarks, max_hops=max_hops)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy(F.col("lm").alias("id"), "dist")
+        .agg(F.count("*").cast("long").alias("n_at_dist"))
+    )
+
+
+def harmonic_sum(hist: DataFrame) -> DataFrame:
+    """(id, harmonic) from the `harmonic_centrality` histogram — the
+    float leg, kept out of cross-engine hashes (accumulation order is
+    not contractual; the histogram is)."""
+    return (
+        hist.withColumn("part", F.col("n_at_dist") / F.col("dist"))
+        .groupBy("id")
+        .agg(F.sum("part").alias("harmonic"))
+    )
+
+
 def bfs_sigma(
     edges: DataFrame, origins: DataFrame, max_hops: int = 8
 ) -> DataFrame:

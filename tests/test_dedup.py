@@ -1,0 +1,30 @@
+
+
+def test_duplicate_spans_merging_and_self_repeat(spark):
+    """duplicate_spans (r5): corpus-wide duplicated 3-gram positions
+    merge into maximal spans; self-repetition inside one doc counts;
+    unique text yields no rows."""
+    from kgforge.functions.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta"          # 4 tokens, 2 dup 3-grams
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} zig zag one two three four five"),
+            (1, f"nine eight seven {shared} six ten"),
+            (2, "solo only words that never repeat anywhere here"),
+            (3, "rep one rep one rep one rep one rep one rep one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.span_start, r.span_end): r.n_shingles
+        for r in duplicate_spans(docs, n=3).collect()
+    }
+    # docs 0/1 share 'alpha beta gamma' + 'beta gamma delta': positions
+    # 0,1 in doc 0 (span tokens 0..3) and 3,4 in doc 1 (tokens 3..6)
+    assert out[(0, 0, 3)] == 2
+    assert out[(1, 3, 6)] == 2
+    # doc 3: 'rep one rep' / 'one rep one' repeat within the SAME doc;
+    # every position is duplicated -> one maximal span over all tokens
+    assert out[(3, 0, 11)] == 10
+    assert not any(k[0] == 2 for k in out)

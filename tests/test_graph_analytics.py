@@ -443,3 +443,86 @@ def test_betweenness_counts_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_harmonic_path_and_disconnected(spark):
+    """Harmonic histogram + float sum on an undirected path, and the
+    disconnected case closeness can't express."""
+    from kgforge.plans.graph_query import harmonic_centrality, harmonic_sum
+
+    # components: 1-2-3 path, and isolated pair 7-8
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (7, 8), (8, 7)],
+        "src long, dst long",
+    )
+    lms = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8)], "id long")
+    hist = harmonic_centrality(e, lms, max_hops=4)
+    got = {(r.id, r.dist): r.n_at_dist for r in hist.collect()}
+    assert got == {
+        (1, 1): 1, (1, 2): 1,
+        (2, 1): 2,
+        (3, 1): 1, (3, 2): 1,
+        (7, 1): 1, (8, 1): 1,
+    }
+    hs = {r.id: r.harmonic for r in harmonic_sum(hist).collect()}
+    assert hs[1] == pytest.approx(1.5)
+    assert hs[2] == pytest.approx(2.0)
+    assert hs[7] == pytest.approx(1.0)
+
+
+def test_random_walks_deterministic_and_sink_stops(spark):
+    """random_walks (r5): hash-argmin next hop replayed in Python;
+    reruns and layouts agree; sinks stop early; n_walks fans out."""
+    import hashlib
+
+    from kgforge.plans.graph_query import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d")],
+        "src string, dst string",
+    )
+    adj = {"a": ["b", "c"], "b": ["c", "d"], "c": ["a"]}
+
+    def ref_walk(start, w, steps, seed="kgforge"):
+        walk_id = f"{start}#{w}"
+        cur, path = start, [start]
+        for step in range(steps):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda d: hashlib.md5(
+                    f"{seed}|{walk_id}|{step}|{d}".encode()
+                ).hexdigest(),
+            )
+            path.append(cur)
+        return walk_id, path
+
+    out = {
+        r.walk_id: list(r.path)
+        for r in random_walks(edges, walk_len=4, n_walks=2).collect()
+    }
+    assert len(out) == 8  # 4 nodes x 2 walks
+    for start in "abcd":
+        for w in (0, 1):
+            wid, path = ref_walk(start, w, 4)
+            assert out[wid] == path
+    # d is a sink: its walks never leave
+    assert out["d#0"] == ["d"]
+    # determinism across partition layouts
+    out2 = {
+        r.walk_id: list(r.path)
+        for r in random_walks(
+            edges.repartition(7), walk_len=4, n_walks=2
+        ).collect()
+    }
+    assert out2 == out
+    # a different seed draws different walks somewhere
+    out3 = {
+        r.walk_id: list(r.path)
+        for r in random_walks(
+            edges, walk_len=4, n_walks=2, seed="other"
+        ).collect()
+    }
+    assert out3 != out

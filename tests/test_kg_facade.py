@@ -356,3 +356,22 @@ def test_facade_betweenness(kg):
         ("Actor", "B"): 0.0,
         ("Movie", "M"): 2.0,
     }
+
+
+def test_facade_harmonic(kg):
+    """kg.harmonic (r5): well-defined on the disconnected projection;
+    path A-M-B gives M 1+1=2, ends 1+1/2=1.5."""
+    kg.add_nodes(
+        [("Actor", {"name": n}) for n in ("A", "B")]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "B"}, {"title": "M"}, {}),
+        ]
+    )
+    out = {(r.label, r.key): r.harmonic for r in kg.harmonic().collect()}
+    assert out[("Movie", "M")] == pytest.approx(2.0)
+    assert out[("Actor", "A")] == pytest.approx(1.5)
+    assert out[("Actor", "B")] == pytest.approx(1.5)
