@@ -3842,6 +3842,47 @@ def _nation_chain_graph(spark, sf_dir):
 
 
 @_q(
+    "cypher_unwind_range",
+    """
+    SELECT i::DOUBLE AS i, count(*)::BIGINT AS n
+    FROM generate_series(0, 24) AS g(i)
+    JOIN customer ON c_nationkey = i
+    GROUP BY i ORDER BY i
+    """,
+)
+def cypher_unwind_range(spark, sf_dir):
+    """UNWIND range(a, b) (r5): openCypher's end-INCLUSIVE integer
+    range expanded at parse time into the shared literal-UNWIND path
+    (broadcast values + the numeric-alias equi-join). The gate batches
+    a per-nation lookup: each range value i equi-joins customers whose
+    nationkey prop equals it. Oracle = DuckDB generate_series (also
+    end-inclusive)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("nk"), F.col("c_nationkey").cast("string"),
+        ).alias("props"),
+    )
+    edges = customer.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "UNWIND range(0, 24) AS i MATCH (c:Customer) "
+        "WHERE c.nk = i RETURN i, count(*) AS n ORDER BY i",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_start_end_node",
     """
     SELECT c_custkey::VARCHAR AS ck, n_name AS nname

@@ -589,6 +589,67 @@ class KnowledgeGraph:
             "label", "key", "n_reached", "total_dist", "closeness"
         )
 
+    def random_walks(
+        self,
+        walk_len: int,
+        n_walks: int = 1,
+        relation: str | None = None,
+        seed: str = "kgforge",
+    ) -> DataFrame:
+        """DeepWalk-style walk corpus over the undirected projection:
+        (walk_id, start_label, start_key, route) — `route` is the
+        '->'-joined node-key walk, the table a skip-gram embedding
+        trainer consumes. Deterministic hash-draw walks (see
+        plans/graph_query.py::random_walks)."""
+        from kgforge.plans.graph_query import random_walks
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = self.nodes()
+        walks = random_walks(
+            edges, walk_len=walk_len, n_walks=n_walks, seed=seed,
+            nodes=n.select(F.col("node_id").alias("id")),
+        )
+        id2key = n.select(
+            F.col("node_id").cast("string").alias("__pid"),
+            F.col("key").alias("__pkey"),
+        )
+        routes = (
+            walks.select(
+                "walk_id", F.posexplode("path").alias("__pos", "__pid")
+            )
+            .join(id2key, on="__pid")
+            .groupBy("walk_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__pkey"))
+                ).alias("__ps")
+            )
+            .select(
+                "walk_id",
+                F.concat_ws(
+                    "->", F.transform("__ps", lambda s: s["__pkey"])
+                ).alias("route"),
+            )
+        )
+        start = n.select(
+            F.col("node_id").cast("string").alias("start"),
+            F.col("label").alias("start_label"),
+            F.col("key").alias("start_key"),
+        )
+        return (
+            walks.join(routes, on="walk_id")
+            .join(start, on="start")
+            .select("walk_id", "start_label", "start_key", "route")
+        )
+
     def harmonic(
         self,
         sources: list[tuple[str, str]] | None = None,

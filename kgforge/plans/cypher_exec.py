@@ -9,6 +9,7 @@ read subset those prompts actually produce, against the materialized
 tables:
 
     UNWIND ['x', 'y'] AS v                           -- literal batch lookup
+    UNWIND range(0, 24) AS i                         -- end-INCLUSIVE, ±step
     WITH a, count(b) AS n UNWIND [1, 2] AS m ...     -- expand per item
     MATCH (a:L1)-[r:R1]->(b:L2)<-[:R2]-(c), (d:L3) ...
     MATCH (a)-[:R1|R2]->(b)                          -- type alternation
@@ -168,6 +169,11 @@ _CLAUSE = re.compile(
     re.IGNORECASE,
 )
 _UNWIND_BODY = re.compile(r"\[(.*)\]\s+AS\s+(\w+)$", re.IGNORECASE | re.DOTALL)
+_UNWIND_RANGE = re.compile(
+    r"range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)"
+    r"\s+AS\s+(\w+)$",
+    re.IGNORECASE,
+)
 # (?<![\w.]): `n.union` is a legal property access, not a set operator —
 # a bare \b would match right after the dot and split the query
 _UNION_RE = re.compile(r"(?<![\w.])UNION(\s+ALL)?\b", re.IGNORECASE)
@@ -719,9 +725,25 @@ def run_cypher(
                 )
             um = _UNWIND_BODY.fullmatch(body.strip())
             if um is None:
-                raise CypherUnsupported(
-                    "only UNWIND [literal, ...] AS x is executed"
+                rm = _UNWIND_RANGE.fullmatch(body.strip())
+                if rm is None:
+                    raise CypherUnsupported(
+                        "only UNWIND [literal, ...] AS x / "
+                        "UNWIND range(a, b[, step]) AS x is executed"
+                    )
+                # openCypher range(): END-INCLUSIVE, optional step;
+                # expanded here to the literal list the shared
+                # apply_unwinds path already executes
+                lo, hi, step_s, uvar = rm.groups()
+                step = int(step_s) if step_s is not None else 1
+                if step == 0:
+                    raise CypherUnsupported("range() step must not be 0")
+                vals = list(range(int(lo), int(hi) + (1 if step > 0 else -1), step))
+                seg.setdefault("unwinds", []).append(
+                    (", ".join(str(v) for v in vals), uvar)
                 )
+                ctx = "unwind"
+                continue
             seg.setdefault("unwinds", []).append(um.groups())
             ctx = "unwind"
         elif kw == "CALL":

@@ -2362,3 +2362,38 @@ def test_start_end_node_scalars(movie_graph):
         run_cypher(
             "MATCH (a:Person) RETURN startNode(zz) AS s", nodes, edges
         )
+
+
+def test_unwind_range(graph):
+    """UNWIND range(a, b[, step]) (r5): end-inclusive, negative step,
+    empty range -> zero rows; values join the numeric-alias path."""
+    nodes, edges = graph
+    out = run_cypher(
+        "UNWIND range(1, 3) AS i MATCH (f:Fighter) "
+        "RETURN i, count(*) AS n ORDER BY i",
+        nodes, edges,
+    ).collect()
+    assert [(r.i, r.n) for r in out] == [(1.0, 3), (2.0, 3), (3.0, 3)]
+    down = run_cypher(
+        "UNWIND range(5, 1, -2) AS i MATCH (f:Fighter {name: 'Ana'}) "
+        "RETURN i ORDER BY i",
+        nodes, edges,
+    ).collect()
+    assert [r.i for r in down] == [1.0, 3.0, 5.0]
+    empty = run_cypher(
+        "UNWIND range(5, 1) AS i MATCH (f:Fighter) RETURN i",
+        nodes, edges,
+    ).collect()
+    assert empty == []
+    # alias equi-join: wins prop matches the range value
+    j = run_cypher(
+        "UNWIND range(3, 12, 9) AS w MATCH (f:Fighter) "
+        "WHERE f.wins = w RETURN f.name AS nm, w ORDER BY nm",
+        nodes, edges,
+    ).collect()
+    assert [(r.nm, r.w) for r in j] == [("Ana", 12.0), ("Cy", 3.0)]
+    with pytest.raises(CypherUnsupported, match="step"):
+        run_cypher(
+            "UNWIND range(1, 3, 0) AS i MATCH (f:Fighter) RETURN i",
+            nodes, edges,
+        )

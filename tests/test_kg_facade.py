@@ -375,3 +375,26 @@ def test_facade_harmonic(kg):
     assert out[("Movie", "M")] == pytest.approx(2.0)
     assert out[("Actor", "A")] == pytest.approx(1.5)
     assert out[("Actor", "B")] == pytest.approx(1.5)
+
+
+def test_facade_random_walks(kg):
+    """kg.random_walks (r5): key-text routes, n_walks fan-out, walk
+    continuity over the undirected projection."""
+    kg.add_nodes(
+        [("Actor", {"name": n}) for n in ("A", "B")]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "B"}, {"title": "M"}, {}),
+        ]
+    )
+    out = kg.random_walks(walk_len=2, n_walks=2).collect()
+    assert len(out) == 6  # 3 nodes x 2 walks
+    legal = {("A", "M"), ("B", "M"), ("M", "A"), ("M", "B")}
+    for r in out:
+        hops = r.route.split("->")
+        assert hops[0] == r.start_key and len(hops) == 3
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in legal
