@@ -49,6 +49,8 @@ def curate_documents(
     zipf_model: DataFrame | None = None,
     max_mean_rank: tuple[int, int] | None = None,
     scrub: bool = False,
+    max_span_dup_pct: int | None = None,
+    span_ngram: int = 13,
     bench: DataFrame | None = None,
     bench_ngram: int = 13,
     near_dup: bool = True,
@@ -69,7 +71,12 @@ def curate_documents(
     percentage (integer cross-multiplied); `scrub=True` redacts
     email/IP/phone PII from the KEPT text (functions/scrub.scrub_pii) —
     a rewrite, not a drop, so it adds no audit rows.
-    `bench=<DataFrame(bench_id, text)>` adds benchmark DECONTAMINATION
+    `max_span_dup_pct` adds the span-duplication gate
+    (dedup.duplicate_spans, Lee et al. coverage): drop reason
+    ``duplicated_spans`` when duplicated `span_ngram`-token spans
+    cover more than that percentage of the doc's tokens (integer
+    cross-multiplied). `bench=<DataFrame(bench_id, text)>` adds
+    benchmark DECONTAMINATION
     (dedup.ngram_contamination, exact `bench_ngram`-gram overlap):
     contaminated docs drop with reason ``contaminated`` before dedup.
     `zipf_model` (textstats.zipf_rank_model) + `max_mean_rank=(num,
@@ -142,6 +149,33 @@ def curate_documents(
         )
         survivors = z.filter(F.col("_reason").isNull()).select(*df.columns)
 
+    span_audit = None
+    if max_span_dup_pct is not None:
+        spans = D.duplicate_spans(
+            survivors, n=span_ngram, id_col=id_col, text_col=text_col
+        )
+        cover = spans.groupBy(id_col).agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("_covered")
+        )
+        sized = survivors.withColumn(
+            "_n_tok", F.size(F.split(F.col(text_col), " "))
+        ).join(cover, on=id_col, how="left")
+        span_cond = (
+            F.lit(100) * F.coalesce("_covered", F.lit(0))
+            > F.lit(max_span_dup_pct) * F.greatest("_n_tok", F.lit(1))
+        )
+        sized = sized.withColumn(
+            "_reason", F.when(span_cond, F.lit("duplicated_spans"))
+        )
+        span_audit = sized.filter(F.col("_reason").isNotNull()).select(
+            F.col(id_col).alias("id"), F.col("_reason").alias("reason")
+        )
+        survivors = sized.filter(F.col("_reason").isNull()).select(
+            *df.columns
+        )
+
     decon_audit = None
     if bench is not None:
         hits = (
@@ -187,6 +221,8 @@ def curate_documents(
         audit = audit.unionByName(rep_audit)
     if zipf_audit is not None:
         audit = audit.unionByName(zipf_audit)
+    if span_audit is not None:
+        audit = audit.unionByName(span_audit)
     if decon_audit is not None:
         audit = audit.unionByName(decon_audit)
 

@@ -463,3 +463,32 @@ def test_rollup_cascade_rejects_non_nesting_levels(spark):
         rollup_cascade(ev, levels=("month", "hour"))
     # week as the LAST level is fine
     assert "week" in rollup_cascade(ev, levels=("day", "week"))
+
+
+def test_curate_span_duplication_gate(spark):
+    """max_span_dup_pct (r5): docs mostly covered by corpus-duplicated
+    spans drop with reason 'duplicated_spans'; lightly-touched docs
+    survive."""
+    from kgforge.functions.curate import curate_documents
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            # fully covered by the shared 12 tokens (+1 unique): ~92%
+            (0, f"{shared} uniqueone"),
+            (1, f"{shared} uniquetwo"),
+            # shared span is a small fraction of a long unique doc
+            (2, shared + " " + " ".join(f"own{i}" for i in range(60))),
+            (3, " ".join(f"solo{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    kept, audit = curate_documents(
+        docs, lang_min_hits=0, min_tokens=1,
+        max_span_dup_pct=50, span_ngram=5, near_dup=False,
+    )
+    reasons = {(r.id, r.reason) for r in audit.collect()}
+    assert (0, "duplicated_spans") in reasons
+    assert (1, "duplicated_spans") in reasons
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids == {2, 3}

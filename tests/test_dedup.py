@@ -28,3 +28,51 @@ def test_duplicate_spans_merging_and_self_repeat(spark):
     # every position is duplicated -> one maximal span over all tokens
     assert out[(3, 0, 11)] == 10
     assert not any(k[0] == 2 for k in out)
+
+
+def test_duplicate_spans_randomized_brute_force(spark):
+    """Full-output equality vs an independent Python reference on a
+    randomized corpus (fixed seed): same fingerprint rule, same
+    corpus-wide count threshold, same island merge."""
+    import random
+    from collections import Counter
+
+    from kgforge.functions.dedup import duplicate_spans
+
+    rng = random.Random(7)
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        for _ in range(30)
+    ]
+    n = 3
+    grams: Counter = Counter()
+    pos = {}
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        pos[d] = []
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i:i + n])
+            grams[g] += 1
+            pos[d].append((i, g))
+    expect = set()
+    for d in pos:
+        dup = sorted(i for i, g in pos[d] if grams[g] >= 2)
+        if not dup:
+            continue
+        start, prev, cnt = dup[0], dup[0], 1
+        for p in dup[1:]:
+            if p - prev > n:
+                expect.add((d, start, prev + n - 1, cnt))
+                start, cnt = p, 0
+            prev = p
+            cnt += 1
+        expect.add((d, start, prev + n - 1, cnt))
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_shingles)
+        for r in duplicate_spans(docs, n=n).collect()
+    }
+    assert got == expect
