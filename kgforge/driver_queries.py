@@ -4097,6 +4097,92 @@ def dedup_spans(spark, sf_dir):
 
 
 @_q(
+    "media_probe_mp4",
+    """
+    SELECT n_name AS name, 'isom' AS brand,
+           ((n_nationkey + 1) * 750)::BIGINT AS duration_ms,
+           2::BIGINT AS n_tracks, 'avc1,mp4a' AS codecs,
+           (16 * (n_nationkey + 2))::BIGINT AS width,
+           (9 * (n_nationkey + 2))::BIGINT AS height,
+           (8000 + n_nationkey * 441)::BIGINT AS sample_rate
+    FROM nation ORDER BY name
+    """,
+)
+def media_probe_mp4(spark, sf_dir):
+    """MP4/ISO-BMFF metadata probe (functions/mp4.py, r5): the
+    container-level fields a crawl pipeline reads before deciding what
+    to decode (duration, track layout, codec fourccs, dims, rates).
+    Same certification pattern as warc_ingest: every probed field is a
+    FUNCTION OF TABLE COLUMNS, the builder twin writes real bytes in
+    one executor pass, a second mapInPandas probes them back across
+    the Arrow boundary, and the oracle COMPUTES the expected metadata
+    from nation directly — no frozen gold."""
+    import pandas as pd
+
+    from kgforge.functions.mp4 import build_mp4, probe_mp4
+
+    nation = _t(spark, sf_dir, "nation")
+    params = nation.select(
+        F.col("n_name").alias("name"),
+        ((F.col("n_nationkey") + 1) * 750).cast("long").alias("dur"),
+        (16 * (F.col("n_nationkey") + 2)).cast("long").alias("w"),
+        (9 * (F.col("n_nationkey") + 2)).cast("long").alias("h"),
+        (8000 + F.col("n_nationkey") * 441).cast("long").alias("rate"),
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "name": pdf["name"],
+                    "payload": [
+                        build_mp4(int(d), video=(int(w), int(h)),
+                                  audio_rate=int(r))
+                        for d, w, h, r in zip(
+                            pdf["dur"], pdf["w"], pdf["h"], pdf["rate"]
+                        )
+                    ],
+                }
+            )
+
+    built = params.mapInPandas(build, "name string, payload binary")
+
+    def probe(batches):
+        for pdf in batches:
+            rows = []
+            for name, payload in zip(pdf["name"], pdf["payload"]):
+                m = probe_mp4(bytes(payload))
+                video = next(
+                    t for t in m["tracks"] if t["kind"] == "video"
+                )
+                audio = next(
+                    t for t in m["tracks"] if t["kind"] == "audio"
+                )
+                rows.append(
+                    (
+                        name, m["brand"], m["duration_ms"],
+                        len(m["tracks"]),
+                        ",".join(t["codec"] for t in m["tracks"]),
+                        video["width"], video["height"],
+                        audio["sample_rate"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "name", "brand", "duration_ms", "n_tracks",
+                    "codecs", "width", "height", "sample_rate",
+                ],
+            )
+
+    return built.mapInPandas(
+        probe,
+        "name string, brand string, duration_ms long, n_tracks long, "
+        "codecs string, width long, height long, sample_rate long",
+    ).orderBy("name")
+
+
+@_q(
     "text_bpe_pair_counts",
     """
     WITH words AS (

@@ -462,6 +462,74 @@ def _decode_pixels(payload: bytes) -> np.ndarray | None:
     return None
 
 
+def probe_media(payload: bytes) -> dict:
+    """Cheap header-only metadata probe — the field set a crawl
+    pipeline reads for dedup keys / curation filters / storage
+    planning BEFORE deciding what to decode:
+
+    - PNG: IHDR only -> {kind: image, format: png, width, height}
+    - JPEG: SOFn marker scan -> {kind: image, format: jpeg, ...}
+    - PPM/PGM: ASCII header -> {kind: image, format: ppm|pgm, ...}
+    - WAV: fmt chunk -> {kind: audio, format: wav, sample_rate,
+      channels}
+    - MP4/ISO-BMFF: box tree -> {kind: video_container, format: mp4,
+      brand, duration_ms, tracks: [...]} (functions/mp4.py::probe_mp4
+      — the one family where probe exists WITHOUT a pixel decoder)
+
+    Raises ValueError for unrecognized payloads (quarantine row).
+    """
+    if payload[:8] == _PNG_SIG:
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"kind": "image", "format": "png", "width": w, "height": h}
+    if payload[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                return {
+                    "kind": "image", "format": "jpeg",
+                    "width": w, "height": h,
+                }
+            pos += 2 + seg
+        raise ValueError("JPEG without a SOF marker")
+    if payload[:2] in (b"P5", b"P6"):
+        toks, pos, tok = [], 2, b""
+        while len(toks) < 2 and pos < len(payload):
+            b = payload[pos:pos + 1]
+            pos += 1
+            if b.isspace():
+                if tok:
+                    toks.append(int(tok)); tok = b""
+            else:
+                tok += b
+        return {
+            "kind": "image",
+            "format": "ppm" if payload[:2] == b"P6" else "pgm",
+            "width": toks[0], "height": toks[1],
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            return {
+                "kind": "audio", "format": "wav",
+                "sample_rate": wf.getframerate(),
+                "channels": wf.getnchannels(),
+            }
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from kgforge.functions.mp4 import probe_mp4
+
+        out = probe_mp4(payload)
+        out.update({"kind": "video_container", "format": "mp4"})
+        return out
+    raise ValueError("unrecognized media payload")
+
+
 def decode_digest(payload: bytes, meta: dict | None = None) -> str:
     """md5 hex of the CANONICAL decoded representation — the
     cross-engine value hash the `media_decode_real` oracle pins
