@@ -3842,6 +3842,91 @@ def _nation_chain_graph(spark, sf_dir):
 
 
 @_q(
+    "cypher_arithmetic",
+    """
+    SELECT c_custkey::VARCHAR AS k,
+           ((c_custkey + 7) * 3 - 1)::DOUBLE AS v1,
+           (c_custkey::DOUBLE / 4) AS v2,
+           (2 - c_custkey)::DOUBLE AS v3
+    FROM customer ORDER BY k
+    """,
+)
+def cypher_arithmetic(spark, sf_dir):
+    """Row-level arithmetic in RETURN (r5 recursive-descent compiler:
+    + - * / precedence, parens, unary minus, hidden-column output).
+    Cross-engine exactness by data design: integer-valued chains stay
+    exact in doubles, and the division operand is a power of two
+    (dyadic — no rounding), so every value is bit-identical on both
+    engines with no FMA-contraction exposure (single ops per node,
+    never an a*b+c shape evaluated in one expression... the compiled
+    tree is explicit binary ops, matching DuckDB's)."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("k"), F.col("c_custkey").cast("string"),
+        ).alias("props"),
+    )
+    edges = customer.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) RETURN c.k AS k, "
+        "(c.k + 7) * 3 - 1 AS v1, c.k / 4 AS v2, -c.k + 2 AS v3 "
+        "ORDER BY k",
+        nodes,
+        edges,
+    )
+
+
+@_q(
+    "cypher_arith_agg",
+    """
+    SELECT c_nationkey::VARCHAR AS nk,
+           sum(c_custkey * 2 + 1)::DOUBLE AS s,
+           count(*)::BIGINT AS n
+    FROM customer GROUP BY nk ORDER BY nk
+    """,
+)
+def cypher_arith_agg(spark, sf_dir):
+    """Aggregates OVER arithmetic (r5: agg(<expr>) rewrites to
+    agg(__arith)): grouped integer-valued sums — integer addition in
+    doubles is exact and associative below 2^53, so partial-aggregation
+    order cannot diverge the engines."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("k"), F.col("c_custkey").cast("string"),
+            F.lit("nk"), F.col("c_nationkey").cast("string"),
+        ).alias("props"),
+    )
+    edges = customer.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) RETURN c.nk AS nk, "
+        "sum(c.k * 2 + 1) AS s, count(*) AS n ORDER BY nk",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_unwind_range",
     """
     SELECT i::DOUBLE AS i, count(*)::BIGINT AS n

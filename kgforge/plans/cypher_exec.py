@@ -112,6 +112,14 @@ Semantics and scope:
   ``db.propertyKeys()`` (FalkorDB's schema-introspection procedures)
   compile to distributed DISTINCTs over the graph tables; optional
   ``YIELD``/``RETURN [AS]``/``ORDER BY``/``SKIP``/``LIMIT``.
+- arithmetic expressions in RETURN (``l.price * (1 - l.discount) AS
+  net``, ``sum(l.qty * l.price)``) compile to hidden columns via a
+  recursive-descent parser (+ - * / precedence, parens, unary minus;
+  atoms = props try_cast double / numeric literals / earlier hidden
+  columns). Bare arithmetic requires ``AS alias``; division is FLOAT
+  division (string-prop model — documented deviation from openCypher's
+  integer/integer division); arithmetic OVER aggregate results
+  (``sum(x) * 2``) stays out of subset.
 - scalar functions in RETURN compile to hidden columns (nestable,
   usable inside aggregates and ORDER BY): toLower/toUpper, trim/lTrim/
   rTrim, reverse, size(string), substring, left/right, replace,
@@ -2506,6 +2514,16 @@ def run_cypher(
                 return F.lit(float(text))
             v, _, p = text.partition(".")
             if p:
+                # STRICT prop-name check: a malformed arg like
+                # 'f.wins + 9' must raise, not silently read the map
+                # key "wins + 9" (NULL) — arithmetic belongs OUTSIDE
+                # the scalar call (sqrt(f.wins) * 2), compiled by the
+                # arithmetic pass over the scalar's hidden column
+                if not (re.fullmatch(r"\w+", v) and re.fullmatch(r"\w+", p)):
+                    raise CypherUnsupported(
+                        "scalar-function arguments are properties or "
+                        f"literals, got {text!r}"
+                    )
                 return prop_col(v, p)
             if v in extra_cols:
                 return F.col(v)
@@ -2746,6 +2764,142 @@ def run_cypher(
                 sm.group(arg_span),
             )
             ret_text = ret_text[:sm.start()] + name + ret_text[sm.end():]
+
+        # ---- arithmetic expressions in RETURN --------------------------
+        # The projection math generated queries wrap values in
+        # ("RETURN l.price * (1 - l.discount) AS net",
+        #  "RETURN sum(l.qty * l.price) AS rev"): a small recursive-
+        # descent parser (+ - * / with standard precedence, parens,
+        # unary minus; atoms are props — try_cast double — numeric
+        # literals, and earlier hidden columns) compiles each
+        # expression to ONE hidden column, usable bare (AS alias
+        # required) or as an aggregate argument. Division is FLOAT
+        # division (props are strings cast to double; openCypher's
+        # integer/integer -> integer division does not apply to this
+        # engine's string-prop model — documented deviation).
+        # Aggregates-of-arithmetic rewrite to agg(__arith); arithmetic
+        # OVER aggregate results (sum(x) * 2) stays out of subset.
+        _ARITH_TOKEN = re.compile(
+            r"\s*(\d+\.\d+|\d+|\w+\.\w+|\w+|[()+\-*/])"
+        )
+
+        def _parse_arith(text: str):
+            """-> (Column, n_ops) or raise ValueError (not arithmetic /
+            out of grammar)."""
+            toks = []
+            pos = 0
+            while pos < len(text):
+                m = _ARITH_TOKEN.match(text, pos)
+                if m is None:
+                    if text[pos:].strip():
+                        raise ValueError("bad token")
+                    break
+                toks.append(m.group(1))
+                pos = m.end()
+            i = 0
+            n_ops = 0
+
+            def atom():
+                nonlocal i, n_ops
+                if i >= len(toks):
+                    raise ValueError("truncated expression")
+                t = toks[i]
+                if t == "(":
+                    i += 1
+                    c = expr()
+                    if i >= len(toks) or toks[i] != ")":
+                        raise ValueError("unbalanced parens")
+                    i += 1
+                    return c
+                if t == "-":
+                    i += 1
+                    n_ops += 1
+                    return -atom()
+                i += 1
+                if re.fullmatch(r"\d+\.\d+", t):
+                    return F.lit(float(t))
+                if re.fullmatch(r"\d+", t):
+                    return F.lit(float(int(t)))
+                if "." in t:
+                    v, _, p = t.partition(".")
+                    return prop_col(v, p).try_cast("double")
+                if t in extra_cols:
+                    return F.col(t).try_cast("double")
+                raise ValueError(f"unknown atom {t!r}")
+
+            def term():
+                nonlocal i, n_ops
+                c = atom()
+                while i < len(toks) and toks[i] in "*/":
+                    op = toks[i]
+                    i += 1
+                    n_ops += 1
+                    rhs = atom()
+                    c = c * rhs if op == "*" else c / rhs
+                return c
+
+            def expr():
+                nonlocal i, n_ops
+                c = term()
+                while i < len(toks) and toks[i] in "+-":
+                    op = toks[i]
+                    i += 1
+                    n_ops += 1
+                    rhs = term()
+                    c = c + rhs if op == "+" else c - rhs
+                return c
+
+            out = expr()
+            if i != len(toks):
+                raise ValueError("trailing tokens")
+            return out, n_ops
+
+        def _arith_hidden(expr_text: str) -> str | None:
+            nonlocal plan
+            try:
+                col, n_ops = _parse_arith(expr_text)
+            except ValueError:
+                return None
+            if n_ops == 0:
+                return None  # plain term: existing grammar handles it
+            name = f"__arith{next(fn_seq)}"
+            plan = plan.withColumn(name, col)
+            extra_cols.add(name)
+            return name
+
+        # aggregate arguments first: agg( <arith> ) -> agg(__arithK)
+        def _rewrite_agg_args(text: str) -> str:
+            out, last = [], 0
+            for m in re.finditer(
+                r"\b(count|sum|avg|min|max|stDev)\s*\(([^()]*)\)",
+                text,
+                re.IGNORECASE,
+            ):
+                inner = m.group(2)
+                if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
+                    continue
+                name = _arith_hidden(inner)
+                if name is None:
+                    continue
+                out.append(text[last:m.start(2)])
+                out.append(name)
+                last = m.end(2)
+            out.append(text[last:])
+            return "".join(out)
+
+        ret_text = _rewrite_agg_args(ret_text)
+        items_out = []
+        for item in _split_top_commas(ret_text):
+            am = re.fullmatch(
+                r"(.+?)\s+AS\s+(\w+)\s*", item, re.IGNORECASE | re.DOTALL
+            )
+            if am is not None and _RET_ITEM.fullmatch(item.strip()) is None:
+                name = _arith_hidden(am.group(1))
+                if name is not None:
+                    items_out.append(f"{name} AS {am.group(2)}")
+                    continue
+            items_out.append(item)
+        ret_text = ", ".join(i.strip() for i in items_out)
 
     ret_is_distinct = bool(re.match(r"DISTINCT\b", ret_text, re.IGNORECASE))
     ret_has_aggs = any(

@@ -2397,3 +2397,49 @@ def test_unwind_range(graph):
             "UNWIND range(1, 3, 0) AS i MATCH (f:Fighter) RETURN i",
             nodes, edges,
         )
+
+
+def test_arithmetic_in_return(graph):
+    """r5 arithmetic: precedence, parens, unary minus, division;
+    aggregates over arithmetic; guards (alias required, post-agg
+    arithmetic out)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) RETURN f.name AS nm, "
+        "f.wins * 2 + 1 AS a, (f.wins + 1) / 2 AS b, "
+        "-f.wins + 100 AS c ORDER BY nm",
+        nodes, edges,
+    ).collect()
+    assert [(r.nm, r.a, r.b, r.c) for r in out] == [
+        ("Ana", 25.0, 6.5, 88.0),
+        ("Bo", 15.0, 4.0, 93.0),
+        ("Cy", 7.0, 2.0, 97.0),
+    ]
+    agg = run_cypher(
+        "MATCH (f:Fighter) RETURN sum(f.wins * f.wins) AS ss, "
+        "avg(f.wins - 1) AS m, count(*) AS n",
+        nodes, edges,
+    ).collect()[0]
+    assert (agg.ss, agg.m, agg.n) == (144.0 + 49.0 + 9.0, 19.0 / 3, 3)
+    # composition: scalar output feeds arithmetic (hidden-col atom)
+    nested = run_cypher(
+        "MATCH (f:Fighter {name: 'Cy'}) "
+        "RETURN sqrt(f.wins) * 2 + 1 AS s",
+        nodes, edges,
+    ).collect()
+    assert [r.s for r in nested] == [2 * 3.0 ** 0.5 + 1]
+    # arithmetic INSIDE a scalar call raises loudly (strict prop
+    # check) instead of silently reading a garbage map key -> NULL
+    with pytest.raises(CypherUnsupported, match="scalar-function"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN sqrt(f.wins + 9) AS s",
+            nodes, edges,
+        )
+    with pytest.raises(CypherUnsupported, match="unsupported return"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN sum(f.wins) * 2 AS x", nodes, edges
+        )
+    with pytest.raises(CypherUnsupported, match="unsupported return"):
+        run_cypher(
+            "MATCH (f:Fighter) RETURN f.wins + 1", nodes, edges
+        )
