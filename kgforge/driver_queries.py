@@ -3927,6 +3927,46 @@ def cypher_arith_agg(spark, sf_dir):
 
 
 @_q(
+    "cypher_where_arith",
+    """
+    SELECT c_custkey::VARCHAR AS k
+    FROM customer
+    WHERE (c_custkey + 3) * 2 > 50 AND c_custkey::DOUBLE / 2 <= 600
+    ORDER BY k
+    """,
+)
+def cypher_where_arith(spark, sf_dir):
+    """Arithmetic comparisons in WHERE (r5): both sides compile through
+    the shared recursive-descent grammar into the segment's single
+    Catalyst Filter. Integer chains + dyadic division keep the compare
+    bit-exact cross-engine."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("k"), F.col("c_custkey").cast("string"),
+        ).alias("props"),
+    )
+    edges = customer.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) "
+        "WHERE (c.k + 3) * 2 > 50 AND c.k / 2 <= 600 "
+        "RETURN c.k AS k ORDER BY k",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_unwind_range",
     """
     SELECT i::DOUBLE AS i, count(*)::BIGINT AS n

@@ -149,7 +149,9 @@ Semantics and scope:
   also tests unmatched OPTIONAL rows), ``exists(var.prop)`` (the
   deprecated-but-ubiquitous synonym of IS NOT NULL),
   property-to-property compares ``a.x > b.y`` (numeric when both sides
-  parse as numbers, else string), case-folded string compares
+  parse as numbers, else string), arithmetic comparisons
+  ``l.price * l.qty > 100`` (both sides through the shared + - * /
+  grammar, r5), case-folded string compares
   ``toLower/toUpper(var.prop) = '...'`` (also CONTAINS / STARTS WITH /
   ENDS WITH), and ``var.prop =~ 'regex'`` (whole-string match, Cypher
   semantics, compiled to an anchored ``rlike``). All compile to one Column
@@ -341,6 +343,80 @@ _SIZE_SCALAR_RE = re.compile(
     r"\bsize\s*\(\s*(\w+\.\w+|__\w+|'[^']*'|\"[^\"]*\")\s*\)",
     re.IGNORECASE,
 )
+
+
+_ARITH_TOKEN = re.compile(r"\s*(\d+\.\d+|\d+|\w+\.\w+|\w+|[()+\-*/])")
+
+
+def _arith_column(text: str, resolve_atom) -> tuple[Column, int]:
+    """Recursive-descent arithmetic compiler: + - * / with standard
+    precedence, parens, unary minus. Atoms are numeric literals or
+    whatever `resolve_atom(token) -> Column` accepts (props, hidden
+    columns, UNWIND aliases — caller-scoped). Returns (Column, n_ops);
+    raises ValueError when the text is not arithmetic in this grammar
+    (callers treat that as "leave for the other compilers")."""
+    toks: list[str] = []
+    pos = 0
+    while pos < len(text):
+        m = _ARITH_TOKEN.match(text, pos)
+        if m is None:
+            if text[pos:].strip():
+                raise ValueError("bad token")
+            break
+        toks.append(m.group(1))
+        pos = m.end()
+    i = 0
+    n_ops = 0
+
+    def atom():
+        nonlocal i, n_ops
+        if i >= len(toks):
+            raise ValueError("truncated expression")
+        t = toks[i]
+        if t == "(":
+            i += 1
+            c = expr()
+            if i >= len(toks) or toks[i] != ")":
+                raise ValueError("unbalanced parens")
+            i += 1
+            return c
+        if t == "-":
+            i += 1
+            n_ops += 1
+            return -atom()
+        i += 1
+        if re.fullmatch(r"\d+\.\d+", t):
+            return F.lit(float(t))
+        if re.fullmatch(r"\d+", t):
+            return F.lit(float(int(t)))
+        return resolve_atom(t)
+
+    def term():
+        nonlocal i, n_ops
+        c = atom()
+        while i < len(toks) and toks[i] in "*/":
+            op = toks[i]
+            i += 1
+            n_ops += 1
+            rhs = atom()
+            c = c * rhs if op == "*" else c / rhs
+        return c
+
+    def expr():
+        nonlocal i, n_ops
+        c = term()
+        while i < len(toks) and toks[i] in "+-":
+            op = toks[i]
+            i += 1
+            n_ops += 1
+            rhs = term()
+            c = c + rhs if op == "+" else c - rhs
+        return c
+
+    out = expr()
+    if i != len(toks):
+        raise ValueError("trailing tokens")
+    return out, n_ops
 
 
 def _mask_quotes(s: str) -> str:
@@ -1286,6 +1362,38 @@ def run_cypher(
             return _OPS[re.sub(r"\s+", " ", op.upper())](col, _unquote(lit))
         cm = _COND.fullmatch(cond_text)
         if cm is None:
+            # ---- arithmetic comparison fallback (r5) ------------------
+            # `l.price * l.qty > 100`, `a.x + 1 <= b.y / 2`: both sides
+            # compile through the shared arithmetic grammar (atoms =
+            # props try_cast double, UNWIND aliases, numeric literals);
+            # at least one side must actually contain an operator, so
+            # the simpler compilers above keep their exact error
+            # messages. NULL operands compare NULL -> filtered.
+            om = re.search(r"(<=|>=|<>|=|<|>)", cond_text)
+            if om is not None:
+
+                def _where_atom(t: str) -> Column:
+                    if "." in t:
+                        v, _, p = t.partition(".")
+                        return bound_prop_col(v, p, known).try_cast(
+                            "double"
+                        )
+                    if t in unwind_cols:
+                        return F.col(t).try_cast("double")
+                    raise ValueError(f"unknown atom {t!r}")
+
+                try:
+                    lc, lo = _arith_column(
+                        cond_text[:om.start()], _where_atom
+                    )
+                    rc, ro = _arith_column(
+                        cond_text[om.end():], _where_atom
+                    )
+                except ValueError:
+                    pass
+                else:
+                    if lo + ro > 0:
+                        return _OPS[om.group(1)](lc, rc)
             raise CypherUnsupported(f"unsupported condition {cond_text!r}")
         var, prop, op, lit = cm.groups()
         col = bound_prop_col(var, prop, known)
@@ -2779,80 +2887,16 @@ def run_cypher(
         # engine's string-prop model — documented deviation).
         # Aggregates-of-arithmetic rewrite to agg(__arith); arithmetic
         # OVER aggregate results (sum(x) * 2) stays out of subset.
-        _ARITH_TOKEN = re.compile(
-            r"\s*(\d+\.\d+|\d+|\w+\.\w+|\w+|[()+\-*/])"
-        )
+        def _ret_atom(t: str) -> Column:
+            if "." in t:
+                v, _, p = t.partition(".")
+                return prop_col(v, p).try_cast("double")
+            if t in extra_cols:
+                return F.col(t).try_cast("double")
+            raise ValueError(f"unknown atom {t!r}")
 
         def _parse_arith(text: str):
-            """-> (Column, n_ops) or raise ValueError (not arithmetic /
-            out of grammar)."""
-            toks = []
-            pos = 0
-            while pos < len(text):
-                m = _ARITH_TOKEN.match(text, pos)
-                if m is None:
-                    if text[pos:].strip():
-                        raise ValueError("bad token")
-                    break
-                toks.append(m.group(1))
-                pos = m.end()
-            i = 0
-            n_ops = 0
-
-            def atom():
-                nonlocal i, n_ops
-                if i >= len(toks):
-                    raise ValueError("truncated expression")
-                t = toks[i]
-                if t == "(":
-                    i += 1
-                    c = expr()
-                    if i >= len(toks) or toks[i] != ")":
-                        raise ValueError("unbalanced parens")
-                    i += 1
-                    return c
-                if t == "-":
-                    i += 1
-                    n_ops += 1
-                    return -atom()
-                i += 1
-                if re.fullmatch(r"\d+\.\d+", t):
-                    return F.lit(float(t))
-                if re.fullmatch(r"\d+", t):
-                    return F.lit(float(int(t)))
-                if "." in t:
-                    v, _, p = t.partition(".")
-                    return prop_col(v, p).try_cast("double")
-                if t in extra_cols:
-                    return F.col(t).try_cast("double")
-                raise ValueError(f"unknown atom {t!r}")
-
-            def term():
-                nonlocal i, n_ops
-                c = atom()
-                while i < len(toks) and toks[i] in "*/":
-                    op = toks[i]
-                    i += 1
-                    n_ops += 1
-                    rhs = atom()
-                    c = c * rhs if op == "*" else c / rhs
-                return c
-
-            def expr():
-                nonlocal i, n_ops
-                c = term()
-                while i < len(toks) and toks[i] in "+-":
-                    op = toks[i]
-                    i += 1
-                    n_ops += 1
-                    rhs = term()
-                    c = c + rhs if op == "+" else c - rhs
-                return c
-
-            out = expr()
-            if i != len(toks):
-                raise ValueError("trailing tokens")
-            return out, n_ops
+            return _arith_column(text, _ret_atom)
 
         def _arith_hidden(expr_text: str) -> str | None:
             nonlocal plan

@@ -2443,3 +2443,38 @@ def test_arithmetic_in_return(graph):
         run_cypher(
             "MATCH (f:Fighter) RETURN f.wins + 1", nodes, edges
         )
+
+
+def test_arithmetic_in_where(graph):
+    """r5: arithmetic comparisons in WHERE compile through the shared
+    grammar into the segment's single Catalyst Filter."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WHERE f.wins * 2 > 10 "
+        "RETURN f.name AS nm ORDER BY nm",
+        nodes, edges,
+    ).collect()
+    assert [r.nm for r in out] == ["Ana", "Bo"]
+    both = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WHERE f.wins + 1 <= x.rounds * 2 "
+        "RETURN f.name AS nm, x.title AS t ORDER BY nm, t",
+        nodes, edges,
+    ).collect()
+    # Ana(12)+1 <= 3*2? no. Bo(7)+1 <= 6/10? AnaVBo rounds 3 -> 8<=6 no;
+    # BoVCy rounds 5 -> 8<=10 yes. Cy(3)+1 <= 10 yes.
+    assert [(r.nm, r.t) for r in both] == [
+        ("Bo", "Bo v Cy"), ("Cy", "Bo v Cy")
+    ]
+    # boolean composition + parens still one WHERE
+    comp = run_cypher(
+        "MATCH (f:Fighter) WHERE (f.wins - 1) / 2 >= 3 OR f.name = 'Cy' "
+        "RETURN f.name AS nm ORDER BY nm",
+        nodes, edges,
+    ).collect()
+    assert [r.nm for r in comp] == ["Ana", "Bo", "Cy"]
+    with pytest.raises(CypherUnsupported, match="unsupported condition"):
+        run_cypher(
+            "MATCH (f:Fighter) WHERE f.wins * 2 > f.name CONTAINS 'x' "
+            "RETURN f.name AS nm", nodes, edges,
+        )
