@@ -4222,6 +4222,54 @@ def dedup_spans(spark, sf_dir):
 
 
 @_q(
+    "embedding_covariance",
+    """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             floor(unnest(embedding) * 8) AS x
+      FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
+           sum(a.x)::BIGINT AS s_i, sum(b.x)::BIGINT AS s_j,
+           sum(a.x * b.x)::BIGINT AS s_ij
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i ORDER BY i, j
+    """,
+)
+def embedding_covariance(spark, sf_dir):
+    """Distributed PCA sufficient statistics (functions/embeddings.py::
+    covariance_sums, r5): one mapInPandas pass computes per-partition
+    (n, Σx, XᵀX) with a single numpy matmul per Arrow batch — one row
+    of d + d² numbers per PARTITION, metadata scale — then a plain
+    explode + groupBy folds partitions. The gate quantizes the float
+    embeddings to integers first (floor(x·8): ×8 is an exponent shift,
+    exact in any IEEE width, floor exact on both engines) so every
+    statistic is an exact integer and the cross-engine hash is
+    meaningful; pca_fit/pca_project (driver-side d×d eigh + broadcast
+    matmul projection) are pytest-pinned against numpy in
+    test_embeddings."""
+    from kgforge.functions.embeddings import covariance_sums
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 8).cast("double")
+        ).alias("embedding"),
+    )
+    return (
+        covariance_sums(q)
+        .select(
+            "i", "j", "n",
+            F.col("s_i").cast("long").alias("s_i"),
+            F.col("s_j").cast("long").alias("s_j"),
+            F.col("s_ij").cast("long").alias("s_ij"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@_q(
     "media_probe_mp4",
     """
     SELECT n_name AS name, 'isom' AS brand,

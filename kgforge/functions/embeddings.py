@@ -96,3 +96,144 @@ def dequantize_int8(
             lambda q: q.cast("double") * F.col(scale_col) / 127,
         ),
     )
+
+
+def covariance_sums(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """EXACT sufficient statistics for the embedding covariance matrix:
+    (i, j, n, s_i, s_j, s_ij) for every ordered dim pair i <= j, where
+    s_i = Σ x_i, s_ij = Σ x_i·x_j over all rows.
+
+    The two-phase shape that makes PCA distributed: one mapInPandas
+    pass computes per-PARTITION (n, Σx, ΣxᵀX) with a single numpy
+    X.T @ X per Arrow batch (never a per-row Python loop, never a
+    d²-per-row explode of the data), emitting ONE row of d + d² floats
+    per partition — metadata scale. Those few rows explode to (i, j)
+    and a plain groupBy sums them; cov[i,j] then derives as
+    s_ij/n − (s_i/n)(s_j/n) wherever it's consumed. On integer-valued
+    vectors every emitted number is exact (integer sums in doubles are
+    associative below 2^53), which is what the driver gate quantizes
+    for; float inputs carry the usual partition-order caveat — fit
+    quality is unaffected, bit-reproducibility is not promised there.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if X.size == 0:
+                continue
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X
+            ss = g if ss is None else ss + g
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "ss": [ss.reshape(-1).tolist()],
+                "d": [len(s)],
+            }
+        )
+
+    parts = df.select(vec_col).mapInPandas(
+        partial, "n long, s array<double>, ss array<double>, d int"
+    )
+    pairs = parts.select(
+        "n", "s", "d",
+        F.posexplode("ss").alias("flat", "s_ij"),
+    ).select(
+        "n",
+        (F.col("flat") / F.col("d")).cast("int").alias("i"),
+        (F.col("flat") % F.col("d")).cast("int").alias("j"),
+        F.element_at("s", (F.col("flat") / F.col("d")).cast("int") + 1)
+        .alias("s_i"),
+        F.element_at("s", (F.col("flat") % F.col("d")).cast("int") + 1)
+        .alias("s_j"),
+        "s_ij",
+    ).filter(F.col("i") <= F.col("j"))
+    return pairs.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s_i").alias("s_i"),
+        F.sum("s_j").alias("s_j"),
+        F.sum("s_ij").alias("s_ij"),
+    )
+
+
+def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding") -> dict:
+    """Principal components from the distributed sufficient statistics:
+    {mean: [d], components: [k][d], explained_variance: [k]}.
+
+    The d×d covariance assembles DRIVER-side from `covariance_sums`'
+    d(d+1)/2 rows (metadata scale — the data never leaves the
+    executors) and numpy's symmetric eigensolver runs on it. Sign
+    convention: each component's largest-|coefficient| entry is made
+    positive, so the basis is deterministic when eigenvalues are
+    distinct."""
+    import numpy as np
+
+    rows = covariance_sums(df, vec_col).collect()
+    if not rows:
+        raise ValueError("no vectors to fit")
+    d = max(r.j for r in rows) + 1
+    n = rows[0].n
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        ss[r.i, r.j] = r.s_ij
+        ss[r.j, r.i] = r.s_ij
+        s[r.i] = r.s_i
+        s[r.j] = r.s_j
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": vals[order].tolist(),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto the fitted components: adds `out_col`
+    (array<double>, length k). One broadcast of the k×d matrix into a
+    mapInPandas; per batch a single (X − mean) @ Wᵀ numpy matmul."""
+    import numpy as np
+    import pandas as pd
+
+    mean = np.asarray(model["mean"])
+    W = np.asarray(model["components"])
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def project(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = (X - mean) @ W.T if X.size else np.zeros((0, W.shape[0]))
+            pdf = pdf.copy()
+            pdf[out_col] = [r.tolist() for r in out]
+            yield pdf
+
+    return df.mapInPandas(project, f"{fields}, {out_col} array<double>")
