@@ -4222,6 +4222,36 @@ def dedup_spans(spark, sf_dir):
 
 
 @_q(
+    "events_attribution",
+    """
+    SELECT t.user_id AS key, t.event_id AS trig_id,
+           c.event_id AS conv_id,
+           (epoch_us(c.ts) - epoch_us(t.ts))::BIGINT AS lag_us
+    FROM events t JOIN events c ON c.user_id = t.user_id
+    WHERE t.event_type = 'signup' AND c.event_type = 'purchase'
+      AND c.ts > t.ts AND c.ts <= t.ts + INTERVAL 2 HOUR
+    ORDER BY key, trig_id, conv_id
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Conversion attribution (streaming/enrich.py::attribute, r5):
+    every (signup, purchase) pair per user with the purchase inside a
+    2-hour look-back — the batch leg of the stream-stream interval
+    join (the SAME function on streaming inputs adds watermarks and
+    the state-evicting time-range condition; stream/batch parity is
+    pinned in test_attribute_stream). lag_us is an exact microsecond
+    BIGINT on both engines."""
+    from kgforge.streaming.enrich import attribute
+
+    events = _t(spark, sf_dir, "events")
+    return attribute(
+        events.filter(F.col("event_type") == "signup"),
+        events.filter(F.col("event_type") == "purchase"),
+        horizon="2 hours",
+    ).orderBy("key", "trig_id", "conv_id")
+
+
+@_q(
     "embedding_covariance",
     """
     WITH q AS (
