@@ -3967,6 +3967,46 @@ def cypher_where_arith(spark, sf_dir):
 
 
 @_q(
+    "cypher_with_arith",
+    """
+    SELECT nk, s FROM (
+      SELECT c_nationkey::VARCHAR AS nk,
+             sum(c_custkey * 2 + 1)::DOUBLE AS s
+      FROM customer GROUP BY nk
+    ) WHERE s > 1000 ORDER BY nk
+    """,
+)
+def cypher_with_arith(spark, sf_dir):
+    """Arithmetic at WITH boundaries (r5): agg-of-arith grouped at the
+    boundary, HAVING-style WHERE over the computed aggregate. Integer
+    sums keep the cross-engine compare exact."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    customer = _t(spark, sf_dir, "customer")
+    nodes = customer.select(
+        F.xxhash64(F.lit("Customer"), "c_custkey").alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.create_map(
+            F.lit("k"), F.col("c_custkey").cast("string"),
+            F.lit("nk"), F.col("c_nationkey").cast("string"),
+        ).alias("props"),
+    )
+    edges = customer.limit(0).select(
+        F.lit(0).cast("long").alias("src_id"),
+        F.lit("NONE").alias("label"),
+        F.lit(0).cast("long").alias("dst_id"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return run_cypher(
+        "MATCH (c:Customer) WITH c.nk AS nk, sum(c.k * 2 + 1) AS s "
+        "WHERE s > 1000 RETURN nk, s ORDER BY nk",
+        nodes,
+        edges,
+    )
+
+
+@_q(
     "cypher_unwind_range",
     """
     SELECT i::DOUBLE AS i, count(*)::BIGINT AS n

@@ -1634,9 +1634,62 @@ def run_cypher(
         # DISTINCT, sum, avg) — disallowed over multiplicity-collapsed
         # path rows (allShortestPaths / named walk paths), see below
         unsafe_aggs: list[str] = []
+        def _proj_atom(t: str) -> Column:
+            if "." in t:
+                v, _, p = t.partition(".")
+                return prop_col(v, p).try_cast("double")
+            if t in extra:
+                return F.col(t).try_cast("double")
+            raise ValueError(f"unknown atom {t!r}")
+
+        def _arith_item(item: str) -> bool:
+            """`<arith> AS alias` / `aggfn(<arith>) AS alias` items at a
+            WITH boundary (r5; RETURN's own prepass rewrites these to
+            hidden columns before this loop ever sees them, so this
+            fallback is live only for WITH texts). Compiled INLINE:
+            bare arithmetic joins the grouping keys, agg-of-arith the
+            aggregate list."""
+            if columns_ns is not None:
+                return False
+            am = re.fullmatch(
+                r"(.+?)\s+AS\s+(\w+)\s*", item, re.IGNORECASE | re.DOTALL
+            )
+            if am is None:
+                return False
+            body, alias = am.group(1).strip(), am.group(2)
+            gm = re.fullmatch(
+                r"(count|sum|avg|min|max|stDev)\s*\(([^()]*)\)",
+                body,
+                re.IGNORECASE,
+            )
+            if gm is not None and gm.group(1).lower() != "count":
+                try:
+                    col, n_ops = _arith_column(gm.group(2), _proj_atom)
+                except ValueError:
+                    return False
+                if n_ops == 0:
+                    return False
+                fnl = gm.group(1).lower()
+                if fnl == "stdev":
+                    return False  # decimal-exact path needs a raw prop
+                aggs.append((alias, _NUM_AGGS[fnl](col)))
+                if fnl in ("sum", "avg"):
+                    unsafe_aggs.append(item.strip())
+                return True
+            try:
+                col, n_ops = _arith_column(body, _proj_atom)
+            except ValueError:
+                return False
+            if n_ops == 0:
+                return False
+            keys.append((alias, col))
+            return True
+
         for item in _split_top_commas(text):
             m = _RET_ITEM.fullmatch(item.strip())
             if m is None:
+                if _arith_item(item):
+                    continue
                 raise CypherUnsupported(f"unsupported return item {item!r}")
             (cnt, cnt_distinct, cnt_arg, pct, pct_arg, pct_p, length_fn,
              length_arg, var, prop, alias) = m.groups()
@@ -2257,9 +2310,50 @@ def run_cypher(
         carried: dict[str, str] = {}  # new var name -> pre-WITH var name
         plain: list[tuple[str, Column]] = []
         aggs: list[tuple[str, Column]] = []
+        def _carry_atom(t: str) -> Column:
+            if "." in t:
+                v, _, p = t.partition(".")
+                return prop_col(v, p).try_cast("double")
+            if t in extra:
+                return F.col(t).try_cast("double")
+            raise ValueError(f"unknown atom {t!r}")
+
+        def _carry_arith(item: str) -> bool:
+            """Arithmetic at a carried WITH boundary (r5): bare
+            `<arith> AS alias` joins the plain (grouping) columns;
+            `aggfn(<arith>) AS alias` joins the aggregates."""
+            am = re.fullmatch(
+                r"(.+?)\s+AS\s+(\w+)\s*", item, re.IGNORECASE | re.DOTALL
+            )
+            if am is None:
+                return False
+            body, al = am.group(1).strip(), am.group(2)
+            gm = re.fullmatch(
+                r"(sum|avg|min|max)\s*\(([^()]*)\)", body, re.IGNORECASE
+            )
+            if gm is not None:
+                try:
+                    col, n_ops = _arith_column(gm.group(2), _carry_atom)
+                except ValueError:
+                    return False
+                if n_ops == 0:
+                    return False
+                aggs.append((al, _NUM_AGGS[gm.group(1).lower()](col)))
+                return True
+            try:
+                col, n_ops = _arith_column(body, _carry_atom)
+            except ValueError:
+                return False
+            if n_ops == 0:
+                return False
+            plain.append((al, col))
+            return True
+
         for item in _split_top_commas(text):
             m = _RET_ITEM.fullmatch(item.strip())
             if m is None:
+                if _carry_arith(item):
+                    continue
                 raise CypherUnsupported(f"unsupported WITH item {item!r}")
             (cnt, cnt_distinct, cnt_arg, pct, _pct_arg, _pct_p, length_fn,
              _length_arg, var, prop, alias) = m.groups()

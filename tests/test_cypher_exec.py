@@ -2478,3 +2478,25 @@ def test_arithmetic_in_where(graph):
             "MATCH (f:Fighter) WHERE f.wins * 2 > f.name CONTAINS 'x' "
             "RETURN f.name AS nm", nodes, edges,
         )
+
+
+def test_arithmetic_at_with_boundaries(graph):
+    """r5: arithmetic in WITH — plain-columns mode (last WITH before
+    RETURN, HAVING over agg-of-arith) and carry mode (computed column
+    rides into a later MATCH stage)."""
+    nodes, edges = graph
+    out = run_cypher(
+        "MATCH (f:Fighter) WITH f.name AS nm, f.wins * 2 + 1 AS odd "
+        "WHERE odd > 10 RETURN nm, odd ORDER BY nm",
+        nodes, edges,
+    ).collect()
+    assert [(r.nm, r.odd) for r in out] == [("Ana", 25.0), ("Bo", 15.0)]
+    agg = run_cypher(
+        "MATCH (f:Fighter)-[:FOUGHT_IN]->(x:Fight) "
+        "WITH x AS fight, sum(f.wins - 1) AS adj "
+        "MATCH (fight)-[:PART_OF]->(e:Event) "
+        "RETURN e AS ev, sum(adj) AS tot",
+        nodes, edges,
+    ).collect()
+    # Ana v Bo: (12-1)+(7-1)=17; Bo v Cy: (7-1)+(3-1)=8; both -> Open 1
+    assert [(r.ev, r.tot) for r in agg] == [("Open 1", 25.0)]
