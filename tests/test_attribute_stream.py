@@ -65,3 +65,14 @@ def test_attribute_stream_matches_batch(spark, workdir):
         for r in spark.table("att_out").collect()
     }
     assert got == EXPECT
+
+
+def test_attribute_batch_plan_no_cartesian(spark):
+    """The attribution join is an equi-join on key with a pushed range
+    condition — never a cartesian/nested-loop product."""
+    trig, conv = _sides(spark, ROWS)
+    plan = (
+        attribute(trig, conv)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
