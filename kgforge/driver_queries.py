@@ -4480,6 +4480,71 @@ def text_bpe_merges(spark, sf_dir):
     return bpe_train(docs, n_merges=8).orderBy("rank")
 
 
+@_q(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), d AS (
+      SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS corpus_tf
+      FROM tf GROUP BY term
+    ), ranked AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (
+               PARTITION BY term ORDER BY tf DESC, doc_id
+             ) AS rn
+      FROM tf WHERE term IN ('spark', 'merge', 'window')
+    )
+    SELECT r.term, r.doc_id::BIGINT AS doc_id, r.tf,
+           d.df, d.corpus_tf
+    FROM ranked r JOIN d USING (term)
+    WHERE rn <= 3 ORDER BY term, doc_id
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Lexical inverted-index statistics (functions/retrieval.py, r5):
+    per-(doc, term) tf + per-term df/corpus_tf from one explode + two
+    hash aggregates, then the 3 highest-tf docs per query term (ties by
+    doc_id). All-integer, so the gate hash-compares exactly; the float
+    BM25 composition over these statistics is gated rows-only by
+    text_bm25_topk and pinned vs a pure-Python reference in
+    test_retrieval. The reference SDK has no lexical index (retrieval
+    is LLM-generated Cypher, graph_query_step.py) — this is the
+    RAG candidate generator a corpus engine needs next to ANN."""
+    from kgforge.functions.retrieval import top_docs_per_term
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        top_docs_per_term(docs, ["spark", "merge", "window"], k=3)
+        .select(
+            "term", F.col("doc_id").cast("long").alias("doc_id"),
+            "tf", "df", "corpus_tf",
+        )
+        .orderBy("term", "doc_id")
+    )
+
+
+@_q("text_bm25_topk")
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-k (functions/retrieval.py): Lucene-variant idf over the
+    gate terms, tf filtered to the query at the scan, idf broadcast,
+    one groupBy doc. Rows-only by declaration: idf uses ln() (1-ulp
+    cross-engine); the integer statistics underneath are oracle-checked
+    by text_tfidf_topk and float parity is pinned vs an independent
+    pure-Python reference in test_retrieval."""
+    from kgforge.functions.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark merge window", k=20).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "score"
+    )
+
+
 def _nation_ring_graph(spark, sf_dir):
     """_nation_chain_graph plus a CLOSURE edge per region (last
     nationkey back to first), turning each per-region chain into a

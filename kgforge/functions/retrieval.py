@@ -1,0 +1,196 @@
+"""Lexical retrieval scoring: TF-IDF term statistics + BM25 top-k.
+
+Engine-new surface (the reference SDK retrieves by LLM-generated Cypher
+over the KG — `/root/reference/graphrag_sdk/steps/graph_query_step.py` —
+with no lexical index): a corpus engine feeding RAG needs a lexical
+candidate generator next to the ANN path (`functions/similarity.py`).
+The algorithm is public (Robertson et al. BM25; the idf form below is
+the Lucene variant ``ln(1 + (N - df + 0.5) / (df + 0.5))``, which is
+non-negative for every df).
+
+Scale shape:
+
+- `term_stats` is one explode + two hash aggregates — the inverted-index
+  statistics (tf, df, corpus_tf) as plain DataFrames. The heavy shuffle
+  keys on (doc, term) then (term); both are fine-grained (a viral term
+  is ONE row after the first partial agg, so map-side combine absorbs
+  the skew the same way text_repetition's two-level agg does).
+- `bm25_topk` never materializes scores for the whole corpus: the tf
+  table is filtered to the query's terms BEFORE any join (a scan-side
+  isin over at most |query| literals), the per-term idf table is at most
+  |query| rows and is broadcast, and the corpus-level constants (N,
+  avgdl) ride in as a broadcast 1-row aggregate — so the only data-sized
+  operations are the explode and one groupBy over matching (doc, term)
+  rows. Top-k is a global TakeOrderedAndProject (k rows to the driver).
+- Everything is built-in expressions — no Python on the data plane.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgforge.functions.textstats import tokens_col
+
+
+def _terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per (doc, token occurrence), lowercase whitespace tokens."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def term_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted-index statistics as two DataFrames.
+
+    Returns ``(tf, dfreq)``: `tf` has one row per (doc_id, term) with the
+    in-document term frequency; `dfreq` has one row per term with its
+    document frequency and corpus-wide term frequency. All counts BIGINT
+    (cross-engine exact — the driver gate hash-compares them).
+    """
+    tf = (
+        _terms(df, text_col, id_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("corpus_tf"),
+    )
+    return tf, dfreq
+
+
+def top_docs_per_term(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """For each query term: its df/corpus_tf plus the k highest-tf docs
+    (ties broken by doc_id) — the integer-exact core of a lexical index,
+    used by the driver gate. The per-term window partitions on the term,
+    so no global sort; df/corpus_tf still count over ALL docs."""
+    tf, dfreq = term_stats(df, text_col, id_col)
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = (
+        tf.filter(F.col("term").isin(terms))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    return (
+        ranked.join(dfreq, "term")
+        .select("term", "doc_id", "tf", "df", "corpus_tf")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str | list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs by BM25 for a bag-of-words query.
+
+    score(d) = sum over query terms t present in d of
+      idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  (Lucene BM25).
+
+    Duplicate query terms are counted once (set semantics, like Lucene's
+    boolean-OR of unique terms). Returns (doc_id, score) with score
+    DESC, doc_id ASC tie-break. Floats: exact cross-engine parity is NOT
+    guaranteed (ln is 1-ulp); the pytest pins parity vs a pure-Python
+    reference and the driver gate covers the integer statistics.
+    """
+    terms = sorted(set(query.lower().split() if isinstance(query, str)
+                       else [t.lower() for t in query]))
+    if not terms:
+        raise ValueError("empty query")
+    toks = _terms(df, text_col, id_col)
+    # per-doc length (ALL terms — BM25 normalizes by full doc length).
+    # Computed as an expression over the base table, not from the
+    # exploded tokens, so empty docs still count toward N and avgdl
+    # (Lucene semantics) and no extra shuffle is paid.
+    doclen = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(
+                tokens_col(F.lower(F.col(text_col))), lambda x: x != ""
+            )
+        ).alias("dl"),
+    )
+    # corpus constants as one broadcastable row
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_reference(
+    docs: list[tuple[int, str]],
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[int, float]]:
+    """Independent pure-Python BM25 (same formula) for the pytest pin."""
+    terms = sorted(set(query.lower().split()))
+    bags = {i: [t for t in text.lower().split() if t] for i, text in docs}
+    n = len(bags)
+    avgdl = sum(len(ws) for ws in bags.values()) / n
+    dfreq = {
+        t: sum(1 for ws in bags.values() if t in ws) for t in terms
+    }
+    out = []
+    for i, ws in bags.items():
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(ws) / avgdl)
+            )
+        if s > 0.0:
+            out.append((i, s))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]
