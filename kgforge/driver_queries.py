@@ -4190,6 +4190,62 @@ def graph_betweenness(spark, sf_dir):
 
 
 @_q(
+    "graph_hits",
+    """
+    WITH e AS (
+      SELECT a.n_name AS src, b.n_name AS dst
+      FROM nation a JOIN nation b
+        ON b.n_nationkey - a.n_nationkey IN (1, 2)
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), a1 AS (
+      SELECT dst AS id, count(*)::BIGINT AS a FROM e GROUP BY 1
+    ), h1 AS (
+      SELECT e.src AS id, sum(a1.a)::BIGINT AS h
+      FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1
+    ), a2 AS (
+      SELECT e.dst AS id, sum(h1.h)::BIGINT AS a
+      FROM e JOIN h1 ON h1.id = e.src GROUP BY 1
+    ), h2 AS (
+      SELECT e.src AS id, sum(a2.a)::BIGINT AS h
+      FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1
+    )
+    SELECT n.id AS name, coalesce(a2.a, 0)::BIGINT AS auth,
+           coalesce(h2.h, 0)::BIGINT AS hub
+    FROM nodes n
+    LEFT JOIN a2 ON a2.id = n.id
+    LEFT JOIN h2 ON h2.id = n.id
+    ORDER BY name
+    """,
+)
+def graph_hits(spark, sf_dir):
+    """HITS hub/authority scores (plans/graph_query.py::hits, r5) on the
+    DIRECTED nationkey skip graph (i -> i+1, i+2): 2 rounds of the
+    unnormalized Kleinberg recurrence (auth from old hubs, hub from NEW
+    auths; h_0 = 1), every score an exact BIGINT so the gate
+    hash-compares bit-exactly — the same integer-fixed-round craft as
+    pagerank(scaled=True) and betweenness_counts. The directed skip
+    graph makes auth != hub load-bearing (the first/last nations have
+    asymmetric in/out degrees). Oracle unrolls both rounds as plain
+    join+agg CTEs. Normalized-float HITS is pytest-pinned
+    (test_graph_analytics)."""
+    from kgforge.plans.graph_query import hits
+
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    e = a.join(
+        b, (F.col("b.n_nationkey") - F.col("a.n_nationkey")).isin(1, 2)
+    ).select(
+        F.col("a.n_name").alias("src"), F.col("b.n_name").alias("dst")
+    )
+    return (
+        hits(e, rounds=2)
+        .select(F.col("id").alias("name"), "auth", "hub")
+        .orderBy("name")
+    )
+
+
+@_q(
     "corpus_sample_exact_k",
     """
     SELECT doc_id, lang FROM (

@@ -528,6 +528,43 @@ class KnowledgeGraph:
             F.coalesce(F.col("rank"), F.lit(1.0 - damping)).alias("rank"),
         )
 
+    def hits(
+        self,
+        rounds: int = 2,
+        normalized: bool = False,
+        relation: str | None = None,
+    ) -> DataFrame:
+        """HITS hub/authority scores over the DIRECTED edge table
+        (optionally one relation type): (label, key, auth, hub).
+
+        Default is the fixed-round unnormalized integer recurrence
+        (exact BIGINTs, ranking identical to normalized HITS per round;
+        see plans/graph_query.py::hits for the scale notes and the
+        ``normalized=True`` float variant). Isolated nodes score 0/0.
+        """
+        from kgforge.plans.graph_query import hits as _hits
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        scores = _hits(
+            e.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            ),
+            rounds=rounds,
+            normalized=normalized,
+        )
+        zero = F.lit(0.0) if normalized else F.lit(0).cast("long")
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        return n.join(scores, on="id", how="left").select(
+            "label",
+            "key",
+            F.coalesce(F.col("auth"), zero).alias("auth"),
+            F.coalesce(F.col("hub"), zero).alias("hub"),
+        )
+
     def triangle_counts(self, relation: str | None = None) -> DataFrame:
         """Triangle count over the undirected projection of the edge table
         (optionally one relation type): single-row (n_triangles)."""

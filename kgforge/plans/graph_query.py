@@ -853,6 +853,97 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    rounds: int = 2,
+    normalized: bool = False,
+    dedup: bool = True,
+) -> DataFrame:
+    """HITS hub/authority scores over a directed edge list: (id, auth, hub).
+
+    Kleinberg's update order per round: authorities from the previous
+    hubs, hubs from the NEW authorities::
+
+        a_i(v) = sum_{u->v} h_{i-1}(u)
+        h_i(u) = sum_{u->v} a_i(v)
+
+    with ``h_0 = 1`` everywhere. The default is the UNNORMALIZED
+    fixed-round recurrence: every score stays an exact BIGINT, so the
+    cross-engine driver gate hash-compares bit-exactly (the same craft
+    as ``pagerank(scaled=True)`` / ``betweenness_counts``), and the
+    per-round ranking is identical to normalized HITS (normalization is
+    one positive scalar per round). Values grow like
+    ``max_degree^(2*rounds)`` — keep rounds small (2-3) or pass
+    ``normalized=True``, which divides both vectors by their sums each
+    round (floats; convergence runs; pytest-pinned vs numpy).
+
+    Scale shape: one equi-join + one hash aggregate per half-round
+    (partial aggregation collapses hot endpoints map-side), edge
+    relation persisted as the loop invariant, `localCheckpoint` per
+    round truncating lineage. Sparse frames inside the loop — a node
+    missing from `a`/`h` has score 0 and contributes nothing, which the
+    inner join already encodes; the dense (coalesce 0) view is produced
+    once at the end. The reference has no graph analytics at all.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select("src", "dst")
+    if dedup:
+        e = e.dropDuplicates()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .persist()
+    )
+    if normalized:
+        h = nodes.select("id", F.lit(1.0).alias("h"))
+    else:
+        h = nodes.select("id", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(rounds):
+        a = (
+            e.join(h, h.id == e.src)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("h").alias("a"))
+            .withColumnRenamed("v", "id")
+        )
+        if normalized:
+            tot = a.agg(F.sum("a").alias("ta"))
+            a = a.crossJoin(F.broadcast(tot)).select(
+                "id", (F.col("a") / F.col("ta")).alias("a")
+            )
+        a = a.localCheckpoint()
+        h = (
+            e.join(a, a.id == e.dst)
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("v", "id")
+        )
+        if normalized:
+            tot = h.agg(F.sum("h").alias("th"))
+            h = h.crossJoin(F.broadcast(tot)).select(
+                "id", (F.col("h") / F.col("th")).alias("h")
+            )
+        h = h.localCheckpoint()
+    zero = F.lit(0.0) if normalized else F.lit(0).cast("long")
+    out = (
+        nodes.join(a, on="id", how="left")
+        .join(h, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("a", zero).alias("auth"),
+            F.coalesce("h", zero).alias("hub"),
+        )
+        .localCheckpoint()  # eager, so the unpersists below can't force
+        # a recompute of the (dropped) edge/node caches at collect time
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def triangle_count(
     edges: DataFrame, group_col: str | None = None
 ) -> DataFrame:

@@ -526,3 +526,95 @@ def test_random_walks_deterministic_and_sink_stops(spark):
         ).collect()
     }
     assert out3 != out
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_star_closed_form(spark):
+    """Star 1,2,3 -> 99 after 2 rounds: a1(99)=3, h1(leaves)=3,
+    a2(99)=9, h2(leaves)=9 (Kleinberg order: auth from old hubs, hub
+    from NEW auths)."""
+    from kgforge.plans.graph_query import hits
+
+    out = {
+        r.id: (r.auth, r.hub)
+        for r in hits(_edges(spark, [(1, 99), (2, 99), (3, 99)])).collect()
+    }
+    assert out == {99: (9, 0), 1: (0, 9), 2: (0, 9), 3: (0, 9)}
+
+
+def test_hits_matches_python_replay(spark):
+    """Exact integer parity vs a dict-loop replay of the recurrence on
+    an asymmetric graph, rounds=3."""
+    from kgforge.plans.graph_query import hits
+
+    pairs = [(1, 10), (1, 11), (2, 10), (3, 11), (10, 3), (11, 1), (2, 11)]
+    nodes = sorted({v for p in pairs for v in p})
+    h = {v: 1 for v in nodes}
+    for _ in range(3):
+        a = {v: 0 for v in nodes}
+        for s, d in pairs:
+            a[d] += h[s]
+        h = {v: 0 for v in nodes}
+        for s, d in pairs:
+            h[s] += a[d]
+    got = {
+        r.id: (r.auth, r.hub)
+        for r in hits(_edges(spark, pairs), rounds=3).collect()
+    }
+    assert got == {v: (a[v], h[v]) for v in nodes}
+
+
+def test_hits_normalized_tracks_integer_ranking(spark):
+    """normalized=True returns sum-1 float vectors whose ranking matches
+    the integer recurrence at the same round count."""
+    from kgforge.plans.graph_query import hits
+
+    pairs = [(1, 10), (1, 11), (2, 10), (4, 10), (3, 12)]
+    ints = {
+        r.id: (r.auth, r.hub)
+        for r in hits(_edges(spark, pairs), rounds=2).collect()
+    }
+    flts = {
+        r.id: (r.auth, r.hub)
+        for r in hits(
+            _edges(spark, pairs), rounds=2, normalized=True
+        ).collect()
+    }
+    assert sum(v[0] for v in flts.values()) == pytest.approx(1.0)
+    assert sum(v[1] for v in flts.values()) == pytest.approx(1.0)
+    rank_i = sorted(ints, key=lambda v: (-ints[v][0], v))
+    rank_f = sorted(flts, key=lambda v: (-flts[v][0], v))
+    assert rank_i == rank_f
+
+
+def test_hits_rounds_validation(spark):
+    from kgforge.plans.graph_query import hits
+
+    with pytest.raises(ValueError):
+        hits(_edges(spark, [(1, 2)]), rounds=0)
+
+
+def test_kg_facade_hits(spark, workdir):
+    """kg.hits joins integer HITS scores back to node identity; nodes
+    outside the relation (isolated) score 0/0."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[
+            Entity("City", [Attribute("name", "string", True, True)]),
+        ],
+        relations=[Relation("ROAD", "City", "City", [])],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([("City", {"name": c}) for c in "abcdz"])
+    kg.add_edges([
+        ("ROAD", "City", "City", {"name": s}, {"name": d}, {})
+        for s, d in [("a", "d"), ("b", "d"), ("c", "d")]
+    ])
+    out = {r.key: (r.auth, r.hub) for r in kg.hits().collect()}
+    assert out["d"] == (9, 0)
+    assert out["a"] == (0, 9)
+    assert out["z"] == (0, 0)  # isolated
