@@ -1513,6 +1513,52 @@ def events_asof_join(spark, sf_dir):
 
 
 @_q(
+    "events_asof_forward",
+    """
+    WITH m AS (
+      SELECT l.event_id, l.user_id, l.ts AS lts,
+             r.event_id AS nxt_id, r.ts AS rts
+      FROM (SELECT * FROM events WHERE event_type = 'signup') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN epoch_us(rts) - epoch_us(lts) <= 604800000000
+                THEN nxt_id END AS next_purchase,
+           CASE WHEN epoch_us(rts) - epoch_us(lts) <= 604800000000
+                THEN rts END AS ts_r
+    FROM m ORDER BY event_id
+    """,
+)
+def events_asof_forward(spark, sf_dir):
+    """Forward as-of join with tolerance (operators/asof.py, r5): every
+    signup picks up the user's FIRST purchase within 7 days — pandas
+    merge_asof(direction='forward', tolerance=...) parity, realized as
+    the same linear union-sort plan on the NEGATED time axis (one
+    Exchange, no theta-join explosion; time_split composes, pinned in
+    test_sharding). Oracle = DuckDB's native forward ASOF LEFT JOIN
+    (l.ts <= r.ts) with the tolerance applied as a post-predicate —
+    an independent reference implementation of both semantics."""
+    from kgforge.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    out = asof_join(
+        ev.where(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "ts"),
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("next_purchase")),
+        on="user_id",
+        direction="forward",
+        tolerance=7 * 86_400_000_000,  # 7 days in micros
+    )
+    return out.select(
+        "event_id", "user_id", "next_purchase_r", "ts_r"
+    ).withColumnsRenamed(
+        {"next_purchase_r": "next_purchase"}
+    ).orderBy("event_id")
+
+
+@_q(
     "events_range_join",
     """
     SELECT l.event_id, l.user_id, r.event_id AS signup_id

@@ -56,6 +56,8 @@ def asof_join(
     suffix: str = "_r",
     strict: bool = False,
     time_split: str | int | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right row at or
     before (strict: strictly before) its timestamp, per key.
@@ -64,6 +66,20 @@ def asof_join(
     non-key, non-ts columns) each renamed with ``suffix``, plus
     ``<right_ts><suffix>`` (the matched row's timestamp) — all NULL when
     no right row precedes the left row.
+
+    ``direction='forward'`` flips the match to the EARLIEST right row at
+    or after (strict: strictly after) the left timestamp — pandas
+    merge_asof parity. Realized as the identical union-sort plan on the
+    negated time axis (the ordering column becomes ``-epoch_micros``),
+    so every scale property (one Exchange, no row explosion, time_split
+    hot-key bounding) carries over unchanged. Forward requires a
+    numeric or timestamp ts column (backward accepts anything
+    orderable).
+
+    ``tolerance`` (>= 0; microseconds for timestamp columns, raw units
+    for numeric ts) nulls out a match whose timestamp is farther than
+    the bound from the left row's — merge_asof's tolerance. Applied as
+    one post-window predicate on the matched payload, no extra shuffle.
 
     ``time_split`` bounds hot-key serialization: a range-width name
     ('hour'/'day'/'week'/'month'/'year', timestamp columns only) or an
@@ -74,6 +90,47 @@ def asof_join(
     key's rows spread over #ranges tasks instead of one.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
+
+    def _is_ts(df: DataFrame, name: str) -> bool:
+        return str(df.schema[name].dataType).startswith("Timestamp")
+
+    def _as_long(col, is_ts_col: bool):
+        return (
+            F.unix_micros(col.cast("timestamp"))
+            if is_ts_col
+            else col.cast("long")
+        )
+
+    if direction == "forward":
+        # forward = backward on the negated time axis: the ordering
+        # column (and the time_split ranges) read -epoch_micros, while
+        # payloads keep the ORIGINAL values, so outputs are untouched
+        if isinstance(time_split, str):
+            if time_split not in _SPLIT_MICROS:
+                raise ValueError(
+                    f"unknown time_split {time_split!r}; "
+                    f"one of {sorted(_SPLIT_MICROS)} or an integer"
+                )
+            if not _is_ts(left, left_ts):
+                raise ValueError(
+                    "named time_split widths need a timestamp ts column; "
+                    "pass an integer width for numeric timestamps"
+                )
+            time_split = _SPLIT_MICROS[time_split]
+
+        def _order_key(df: DataFrame, name: str):
+            return -_as_long(F.col(name), _is_ts(df, name))
+
+    else:
+
+        def _order_key(df: DataFrame, name: str):
+            return F.col(name)
     for side_name, df in (("left", left), ("right", right)):
         hit = [c for c in _RESERVED if c in df.columns]
         if hit:
@@ -94,13 +151,13 @@ def asof_join(
     r_side = 2 if strict else 0
     rt = right.select(
         *keys,
-        F.col(right_ts).alias("__ts"),
+        _order_key(right, right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
         payload.alias("__p"),
     )
     lt = left.select(
         *keys,
-        F.col(left_ts).alias("__ts"),
+        _order_key(left, left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(rt.schema["__p"].dataType).alias("__p"),
         F.struct(*left.columns).alias("__l"),
@@ -186,6 +243,14 @@ def asof_join(
             u.unionByName(seeds)
             .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
             .filter(F.col("__side") == 1)
+        )
+    if tolerance is not None:
+        lts = _as_long(F.col(f"__l.{left_ts}"), _is_ts(left, left_ts))
+        rts = _as_long(
+            F.col(f"__m.{right_ts}{suffix}"), _is_ts(right, right_ts)
+        )
+        matched = matched.withColumn(
+            "__m", F.when(F.abs(lts - rts) <= tolerance, F.col("__m"))
         )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col(f"__m.{right_ts}{suffix}"))

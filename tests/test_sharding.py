@@ -513,3 +513,137 @@ def test_sample_exact_k_size_nesting_layout(spark):
     # k larger than a stratum keeps the whole stratum
     s99 = sample_exact_k(df, 99, strata_col="lang", key_col="doc_id")
     assert s99.count() == 60
+
+
+def test_asof_forward_and_tolerance(spark):
+    """direction='forward' picks the EARLIEST right row at-or-after
+    (strict: after) the left ts; tolerance nulls matches farther than
+    the bound in either direction (merge_asof parity)."""
+    from kgforge.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 100),
+            (2, "u1", 205),
+            (3, "u1", 50),
+            (4, "u2", 300),   # u2 has no right rows
+            (5, "u1", 500),   # after every right row
+        ],
+        "event_id long, user string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "r100"), ("u1", 200, "r200"), ("u1", 400, "rlate"),
+         ("u3", 10, "unused")],
+        "user string, ts long, rtag string",
+    )
+
+    def snap(**kw):
+        return {
+            r.event_id: (r.ts_r, r.rtag_r)
+            for r in asof_join(
+                left, right, on="user", direction="forward", **kw
+            ).collect()
+        }
+
+    fwd = snap()
+    assert fwd == {
+        1: (100, "r100"),   # inclusive: equal ts matches
+        2: (400, "rlate"),
+        3: (100, "r100"),
+        4: (None, None),
+        5: (None, None),    # nothing at-or-after
+    }
+    assert snap(strict=True)[1] == (200, "r200")  # equal ts excluded
+    # tolerance bounds the forward gap (inclusive compare)
+    tol = snap(tolerance=50)
+    assert tol[1] == (100, "r100")
+    assert tol[2] == (None, None)   # gap 195 > 50
+    assert tol[3] == (100, "r100")  # gap exactly 50 kept
+    # tolerance on the backward default too
+    back = {
+        r.event_id: (r.ts_r, r.rtag_r)
+        for r in asof_join(
+            left, right, on="user", tolerance=4
+        ).collect()
+    }
+    assert back[2] == (None, None)  # backward gap 5 > 4
+    assert back[1] == (100, "r100")
+    # layout independence (one shuffle on the key)
+    relaid = {
+        r.event_id: (r.ts_r, r.rtag_r)
+        for r in asof_join(
+            left.repartition(7), right.repartition(3), on="user",
+            direction="forward",
+        ).collect()
+    }
+    assert relaid == fwd
+    import pytest as _pt
+    with _pt.raises(ValueError, match="direction"):
+        asof_join(left, right, on="user", direction="nearest")
+    with _pt.raises(ValueError, match="tolerance"):
+        asof_join(left, right, on="user", tolerance=-1)
+
+
+def test_asof_forward_time_split_matches_unsplit(spark):
+    """forward + time_split is result-identical to the unsplit forward
+    join: the negated-axis trick must compose with the (key, range)
+    re-keying, including matches drawn from LATER ranges via the
+    carried seed and equal-ts tie rows."""
+    from kgforge.operators.asof import asof_join
+
+    left_rows = [(i, "hot", 37 + 100 * i) for i in range(10)]
+    left_rows += [(100, "cold", 505), (101, "cold", 5)]
+    right_rows = [("hot", 950, "r950"), ("hot", 820, "r820"),
+                  ("hot", 837, "tie_a"), ("hot", 837, "tie_b"),
+                  ("cold", 400, "c400")]
+    left = spark.createDataFrame(left_rows, "eid long, k string, ts long")
+    right = spark.createDataFrame(
+        right_rows, "k string, ts long, tag string"
+    )
+
+    def snap(**kw):
+        return {
+            r.eid: (r.ts_r, r.tag_r)
+            for r in asof_join(
+                left, right, on="k", direction="forward", **kw
+            ).collect()
+        }
+
+    base = snap()
+    assert snap(time_split=100) == base
+    assert snap(time_split=1) == base
+    assert snap(time_split=10_000) == base
+    assert snap(time_split=100, strict=True) == snap(strict=True)
+    # fixture sanity: eid 0 (ts 37) matches the carried tie-winner from
+    # a much later range; cold key stays isolated
+    assert base[0][0] == 820 or base[0][0] == 837 or base[0][0] == 950
+    assert base[101] == (400, "c400") and base[100] == (None, None)
+
+
+def test_asof_forward_timestamp_named_split(spark):
+    """Named time_split widths work under forward on TIMESTAMP columns
+    (resolved to micros before the axis negation)."""
+    from kgforge.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:00"), (2, "k", "2024-01-03 12:00:00")],
+        "eid long, k string, s string",
+    ).select("eid", "k", F.col("s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-02 00:00:00", "a"), ("k", "2024-01-05 00:00:00", "b")],
+        "k string, s string, tag string",
+    ).select("k", F.col("s").cast("timestamp").alias("ts"), "tag")
+    base = {
+        r.eid: r.tag_r
+        for r in asof_join(
+            left, right, on="k", direction="forward"
+        ).collect()
+    }
+    assert base == {1: "a", 2: "b"}
+    split = {
+        r.eid: r.tag_r
+        for r in asof_join(
+            left, right, on="k", direction="forward", time_split="day"
+        ).collect()
+    }
+    assert split == base
