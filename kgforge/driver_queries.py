@@ -1103,6 +1103,38 @@ def corpus_stratified_sample(spark, sf_dir):
 
 
 @_q(
+    "corpus_weighted_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('kgforge' || doc_id::VARCHAR), 1, 8))
+               ::BIGINT AS h,
+             least(n_chars // 64, 10) AS w
+      FROM documents
+    ) WHERE h::HUGEINT * 10 < w::HUGEINT * 1 * 4294967296
+    ORDER BY doc_id
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Deterministic importance sampling (sharding.py::weighted_sample,
+    r5): keep probability min(1, w/10) with an integer quality-proxy
+    weight (n_chars div 64 capped at 10) — the DCLM/FineWeb soft
+    quality resample without engine RNG. Keep iff h*den < w*num*16^8 on
+    the leading-8-hex md5(salt||key) integer: scan-side filter only,
+    layout-independent, monotone in weight and rate (nested ablation
+    samples). Oracle replays the identical integer compare via DuckDB's
+    '0x' hex cast + HUGEINT cross-multiplication."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.least(F.expr("n_chars div 64"), F.lit(10))
+    )
+    return (
+        SH.weighted_sample(docs, "w", (1, 10))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "corpus_pack_sequences",
     """
     WITH run AS (

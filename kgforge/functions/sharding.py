@@ -336,6 +336,54 @@ def stratified_sample(
     return df.filter(cond)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    base_rate: tuple[int, int] = (1, 1),
+    key_col: str = "doc_id",
+    salt: str = "kgforge",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``min(1, weight * num / den)`` — the DCLM/FineWeb-style soft quality
+    resample (rows scored higher survive proportionally more often)
+    without any engine RNG.
+
+    ``weight_col`` must be a non-negative INTEGER column (quantize float
+    quality scores first — integer weights keep the decision exact and
+    cross-engine replayable). Keep iff ``h * den < weight * num * 16^8``
+    where h is the leading-8-hex md5(salt || key) as an integer: a pure
+    scan-side filter (no shuffle), a function of (salt, key, weight)
+    only — layout-independent, re-run-stable — and MONOTONE: a row kept
+    at weight w stays kept at any w' > w and at any higher base rate
+    (nested samples for ablations, like stratified_sample). weight *
+    num >= den keeps the row always; weight 0 (or NULL, or negative)
+    drops it. The compare runs in DECIMAL so no intermediate overflows.
+    """
+    num, den = base_rate
+    if den <= 0 or num < 0:
+        raise ValueError("base_rate must be (num >= 0, den > 0)")
+    h_int = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit(salt), F.col(key_col).cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    rhs = (
+        F.col(weight_col).cast("decimal(20,0)")
+        * F.lit(num)
+        * F.lit(_HEX_SPACE)
+    )
+    return df.filter(h_int * F.lit(den) < rhs)
+
+
 def sample_exact_k(
     df: DataFrame,
     k: int,

@@ -647,3 +647,61 @@ def test_asof_forward_timestamp_named_split(spark):
         ).collect()
     }
     assert split == base
+
+
+def test_weighted_sample_exact_python_replay_and_nesting(spark):
+    """Keep decision == the hashlib replay of h*den < w*num*16^8;
+    monotone in weight and base rate (nested samples); weight 0/NULL
+    drops; w*num >= den keeps always."""
+    import hashlib
+
+    from kgforge.functions.sharding import weighted_sample
+
+    rows = [(i, (i * 7) % 11) for i in range(500)]  # weights 0..10
+    rows += [(1000, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def replay(num, den):
+        keep = set()
+        for i, w in rows:
+            if w is None:
+                continue
+            h = int(hashlib.md5(f"kgforge{i}".encode()).hexdigest()[:8], 16)
+            if h * den < w * num * 16 ** 8:
+                keep.add(i)
+        return keep
+
+    got = {r.doc_id for r in weighted_sample(df, "w", (1, 10)).collect()}
+    assert got == replay(1, 10)
+    # weight 0 rows never survive; NULL dropped
+    assert not any((i * 7) % 11 == 0 for i in got if i < 1000)
+    assert 1000 not in got
+    # nested: lower base rate is a subset of higher
+    lo = {r.doc_id for r in weighted_sample(df, "w", (1, 20)).collect()}
+    assert lo <= got
+    # w*num >= den keeps everything with a weight
+    allkept = {
+        r.doc_id
+        for r in weighted_sample(
+            df.filter(F.col("w") >= 1), "w", (11, 1)
+        ).collect()
+    }
+    assert allkept == {i for i, w in rows if w is not None and w >= 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_sample(df, "w", (1, 0))
+
+
+def test_weighted_sample_is_scan_side_filter(spark):
+    """One Filter over the scan — no shuffle, no join, no Python."""
+    from kgforge.functions.sharding import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("w")
+    )
+    plan = (
+        weighted_sample(df, "w", (1, 4))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
