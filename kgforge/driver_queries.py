@@ -4663,6 +4663,64 @@ def text_tfidf_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "text_postings",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), d AS (
+      SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS corpus_tf
+      FROM tf GROUP BY term
+    )
+    SELECT t.term,
+           string_agg(t.doc_id::VARCHAR || ':' || t.tf::VARCHAR, ','
+                      ORDER BY t.doc_id) AS plist,
+           d.df, d.corpus_tf
+    FROM tf t JOIN d USING (term)
+    WHERE t.term IN ('spark', 'merge', 'window')
+    GROUP BY t.term, d.df, d.corpus_tf
+    ORDER BY t.term
+    """,
+)
+def text_postings(spark, sf_dir):
+    """Inverted-index export (functions/retrieval.py::build_postings,
+    r5): doc_id-sorted postings array<struct<doc_id, tf>> per term plus
+    per-term totals — the materialized index a retrieval service loads.
+    Gate renders each gate term's postings as 'doc:tf,...' so the
+    cross-engine hash compares the full ordered list; the viral-term
+    block sharding (block_size) is pinned in test_retrieval (blocks
+    reassemble by concatenation)."""
+    from kgforge.functions.retrieval import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        build_postings(docs)
+        .filter(F.col("term").isin("spark", "merge", "window"))
+        .select(
+            "term",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "postings",
+                    lambda p: F.concat_ws(
+                        ":",
+                        p["doc_id"].cast("string"),
+                        p["tf"].cast("string"),
+                    ),
+                ),
+            ).alias("plist"),
+            "df",
+            "corpus_tf",
+        )
+        .orderBy("term")
+    )
+
+
 @_q("text_bm25_topk")
 def text_bm25_topk(spark, sf_dir):
     """BM25 top-k (functions/retrieval.py): Lucene-variant idf over the

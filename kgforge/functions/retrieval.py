@@ -89,6 +89,47 @@ def top_docs_per_term(
     )
 
 
+def build_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int | None = None,
+) -> DataFrame:
+    """Inverted-index export: one row per term (or per term-block) with
+    the doc_id-sorted postings array<struct<doc_id, tf>> plus df and
+    corpus_tf — the materialized index a retrieval service loads.
+
+    A viral term's postings would otherwise collapse onto one task as a
+    single giant array; pass ``block_size`` to shard each term's
+    postings into fixed-size blocks (term, block, postings): the block
+    number is a per-term row_number over doc_id, so blocks are
+    deterministic, ordered, and reassemble by concatenation. df /
+    corpus_tf stay per-term totals on every block (they come from the
+    pre-blocking aggregate). block_size=None keeps one row per term
+    (block 0) — fine when term frequencies are Zipf-capped upstream.
+    """
+    tf, dfreq = term_stats(df, text_col, id_col)
+    if block_size is not None:
+        if block_size <= 0:
+            raise ValueError("block_size must be positive")
+        w = Window.partitionBy("term").orderBy("doc_id")
+        tf = tf.withColumn(
+            "block",
+            F.floor((F.row_number().over(w) - 1) / block_size)
+            .cast("long"),
+        )
+    else:
+        tf = tf.withColumn("block", F.lit(0).cast("long"))
+    posts = tf.groupBy("term", "block").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "tf"))
+        ).alias("postings")
+    )
+    return posts.join(dfreq, "term").select(
+        "term", "block", "postings", "df", "corpus_tf"
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query: str | list[str],

@@ -84,3 +84,31 @@ def test_bm25_plan_shape(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_build_postings_sorted_and_blocked(spark):
+    from kgforge.functions.retrieval import build_postings
+
+    whole = {
+        r.term: (list(r.postings), r.df, r.corpus_tf)
+        for r in build_postings(_df(spark)).collect()
+    }
+    ps, dfreq, ctf = whole["the"]
+    assert [p.doc_id for p in ps] == [0, 2, 3, 4]  # doc_id-sorted
+    assert {(p.doc_id, p.tf) for p in ps} >= {(3, 5), (0, 1)}
+    assert (dfreq, ctf) == (4, 8)
+    # blocking: block_size=2 shards 'the' into 2 blocks that reassemble
+    blocked = [
+        r
+        for r in build_postings(_df(spark), block_size=2).collect()
+        if r.term == "the"
+    ]
+    blocked.sort(key=lambda r: r.block)
+    assert [r.block for r in blocked] == [0, 1]
+    reassembled = [p.doc_id for r in blocked for p in r.postings]
+    assert reassembled == [0, 2, 3, 4]
+    # per-term totals ride on every block
+    assert all((r.df, r.corpus_tf) == (4, 8) for r in blocked)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        build_postings(_df(spark), block_size=0)
