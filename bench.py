@@ -77,6 +77,9 @@ HEADLINE = [
     # r5 additions (new rows vs BENCH_r04 — not regressions)
     "graph_betweenness",
     "text_bpe_pair_counts",
+    "text_tfidf_topk",
+    "graph_hits",
+    "events_asof_forward",
 ]
 
 
