@@ -566,6 +566,69 @@ def dedup_jaccard(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET}, substr(text, 1, (n_chars * 4) // 5)
+      FROM documents
+    ), ws AS (
+      SELECT doc_id AS id, substr(text, 1, 40) AS blk, length(text) AS q,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM corpus
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ws a JOIN ws b ON a.blk = b.blk AND a.id < b.id
+      WHERE 10 * len(list_intersect(a.w, b.w))
+            >= 8 * (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+    ), comp AS (
+      SELECT ws.id, least(ws.id, coalesce(min(r.b), ws.id)) AS cluster
+      FROM ws LEFT JOIN reach r ON r.a = ws.id
+      GROUP BY ws.id
+    )
+    SELECT c.id::BIGINT AS doc_id, c.cluster::BIGINT AS cluster,
+           CASE WHEN row_number() OVER (
+             PARTITION BY c.cluster ORDER BY ws.q DESC, c.id
+           ) = 1 THEN 1 ELSE 0 END::BIGINT AS is_rep
+    FROM comp c JOIN ws ON ws.id = c.id
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER dedup (functions/dedup.py::dedup_clusters, r5):
+    exact-Jaccard pairs -> hash-to-min connected components (the CC
+    loop runs on the pair graph only) -> one representative per
+    cluster, chosen by max text length then min id — the FineWeb
+    "keep the best doc of each duplicate cluster" move as one
+    composition. Oracle replays the pair rule, takes the transitive
+    closure with a recursive CTE, min-labels each component, and ranks
+    reps with the identical window. is_rep cast BIGINT on both sides."""
+    corpus = _docs_with_truncated_variants(spark, sf_dir).withColumn(
+        "q", F.length("text")
+    )
+    pairs = D.jaccard_pairs(corpus, "blk", "doc_id", "text", num=8, den=10)
+    out = D.dedup_clusters(
+        corpus, pairs.select("id_a", "id_b"), quality_col="q"
+    )
+    return (
+        out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+            "is_rep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_q("dedup_minhash")  # LSH banding not SQL-expressible -> rows-only check
 def dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup candidates (verified by exact Jaccard).

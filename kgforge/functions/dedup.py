@@ -609,6 +609,63 @@ def ngram_contamination(
 # ----------------------------------------------------- paragraph dedup
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components and pick one
+    representative per cluster — the FineWeb-style "keep the best doc
+    of each duplicate cluster" move, composing any pair generator here
+    (minhash_pairs / simhash_pairs / jaccard_pairs, or an exact-dup
+    edge list) with the hash-to-min connected components from
+    operators/canon.py.
+
+    ``pairs`` needs columns (id_a, id_b). Returns ``df`` plus:
+
+    - ``cluster``: the min member id of the row's near-dup component
+      (rows in no pair are their own singleton cluster);
+    - ``is_rep``: 1 for the cluster's representative — its max-
+      ``quality_col`` member (ties and quality_col=None: min id) —
+      else 0. Filter ``is_rep = 1`` to materialize the deduped corpus.
+
+    Scale shape: the CC loop runs on the PAIR GRAPH ONLY (docs in at
+    least one pair); untouched docs never enter the iteration and join
+    back with one broadcast-or-shuffle left join. Representative
+    choice is one window keyed by cluster — near-dup clusters are
+    small by construction (pair generators cap their buckets), so no
+    hot-partition risk.
+    """
+    from kgforge.operators.canon import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    comp = connected_components(verts, edges, max_iter=max_iter).select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster")
+    )
+    out = df.join(comp, on=id_col, how="left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    from pyspark.sql import Window
+
+    order = [F.asc(id_col)]
+    if quality_col is not None:
+        order.insert(0, F.desc(quality_col))
+    w = Window.partitionBy("cluster").orderBy(*order)
+    return out.withColumn(
+        "is_rep",
+        (F.row_number().over(w) == 1).cast("long"),
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -76,3 +76,37 @@ def test_duplicate_spans_randomized_brute_force(spark):
         for r in duplicate_spans(docs, n=n).collect()
     }
     assert got == expect
+
+
+def test_dedup_clusters_transitive_and_rep_choice(spark):
+    """Pairs (1,2),(2,3) cluster transitively; the representative is
+    the max-quality member (tie -> min id); unpaired rows are singleton
+    reps of themselves."""
+    from kgforge.functions.dedup import dedup_clusters
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5), (5, 7), (6, 7), (9, 1)],
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster, r.is_rep)
+        for r in dedup_clusters(df, pairs, quality_col="q").collect()
+    }
+    assert out[1] == (1, 0) and out[2] == (1, 1) and out[3] == (1, 0)
+    assert out[5] == (5, 1) and out[6] == (5, 0)  # tie on q -> min id
+    assert out[4] == (4, 1) and out[9] == (9, 1)  # singletons
+    # no quality: min id wins
+    noq = {
+        r.doc_id: r.is_rep
+        for r in dedup_clusters(df, pairs).collect()
+    }
+    assert noq[1] == 1 and noq[2] == 0 and noq[5] == 1
+    # exactly one rep per cluster
+    from collections import Counter
+    reps = Counter()
+    for r in dedup_clusters(df, pairs, quality_col="q").collect():
+        reps[r.cluster] += r.is_rep
+    assert all(v == 1 for v in reps.values())
