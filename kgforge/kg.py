@@ -830,6 +830,63 @@ class KnowledgeGraph:
             .select("label", "key")
         )
 
+    def node_similarity(
+        self,
+        relation: str | None = None,
+        min_shared: int = 1,
+        max_dst_degree: int | None = None,
+    ) -> DataFrame:
+        """Neighborhood-Jaccard similarity between entities that share
+        out-neighbors: (label_a, key_a, label_b, key_b, shared, deg_a,
+        deg_b, jaccard) — the GDS `nodeSimilarity` surface over the
+        materialized graph (plans/graph_query.node_similarity).
+        ``max_dst_degree`` caps viral hub neighbors before the
+        inverted-index self-join (documented recall trade)."""
+        from kgforge.plans.graph_query import node_similarity as _nsim
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        sim = _nsim(
+            e.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            ),
+            min_shared=min_shared,
+            max_dst_degree=max_dst_degree,
+        )
+        n = self.nodes().select(F.col("node_id").alias("id"), "label", "key")
+        return (
+            sim.join(
+                n.select(
+                    F.col("id").alias("a"),
+                    F.col("label").alias("label_a"),
+                    F.col("key").alias("key_a"),
+                ),
+                on="a",
+            )
+            .join(
+                n.select(
+                    F.col("id").alias("b"),
+                    F.col("label").alias("label_b"),
+                    F.col("key").alias("key_b"),
+                ),
+                on="b",
+            )
+            .select(
+                "label_a",
+                "key_a",
+                "label_b",
+                "key_b",
+                "shared",
+                "deg_a",
+                "deg_b",
+                (
+                    F.col("shared")
+                    / (F.col("deg_a") + F.col("deg_b") - F.col("shared"))
+                ).alias("jaccard"),
+            )
+        )
+
     def shortest_path_weights(
         self,
         sources: list[tuple[str, str]],

@@ -1010,3 +1010,61 @@ def triangle_count(
     )
     grouped = tri.groupBy(*cols) if cols else tri.groupBy()
     return grouped.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def node_similarity(
+    edges: DataFrame,
+    min_shared: int = 1,
+    max_dst_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood (out-neighbor) Jaccard similarity between node pairs
+    — the GDS `nodeSimilarity` / FalkorDB `algo.similarity` shape.
+
+    Returns (a, b, shared, deg_a, deg_b) with a < b, one row per pair
+    sharing >= ``min_shared`` out-neighbors. All columns are exact
+    BIGINTs so the cross-engine driver gate hash-compares bit-exactly;
+    the float score is a final expression the caller derives::
+
+        jaccard = shared / (deg_a + deg_b - shared)
+
+    Scale shape: inverted-index self-join on ``dst`` — only pairs that
+    actually co-cite a neighbor are materialized, never all-pairs. The
+    join's row count is sum over dst of in_degree², so a viral hub dst
+    is the one scale hazard; ``max_dst_degree`` drops dsts above the
+    cap BEFORE the join (the same cap discipline as the LSH bucket cap
+    in functions/dedup.py — a documented recall trade, not a silent
+    truncation: degrees are recomputed over the capped edge list so
+    Jaccard stays internally consistent). The reference has no graph
+    analytics at all.
+    """
+    e = edges.select("src", "dst").dropDuplicates()
+    if max_dst_degree is not None:
+        hot = (
+            e.groupBy("dst")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") > max_dst_degree)
+            .select("dst")
+        )
+        e = e.join(hot, on="dst", how="left_anti")
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    pairs = (
+        e.select(F.col("src").alias("a"), "dst")
+        .join(e.select(F.col("src").alias("b"), "dst"), on="dst")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+    out = (
+        pairs.join(
+            deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")),
+            on="a",
+        )
+        .join(
+            deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b")),
+            on="b",
+        )
+        .select("a", "b", "shared", "deg_a", "deg_b")
+    )
+    return out

@@ -618,3 +618,71 @@ def test_kg_facade_hits(spark, workdir):
     assert out["d"] == (9, 0)
     assert out["a"] == (0, 9)
     assert out["z"] == (0, 0)  # isolated
+
+
+def test_node_similarity_closed_form(spark):
+    from kgforge.plans.graph_query import node_similarity
+
+    # a:{1,2,3}  b:{2,3,4}  c:{9}  -> only (a,b) share; jaccard 2/4
+    e = _edges(
+        spark,
+        [(10, 1), (10, 2), (10, 3), (20, 2), (20, 3), (20, 4), (30, 9)],
+    )
+    rows = node_similarity(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b, r.shared, r.deg_a, r.deg_b) == (10, 20, 2, 3, 3)
+
+
+def test_node_similarity_min_shared_and_duplicate_edges(spark):
+    from kgforge.plans.graph_query import node_similarity
+
+    # duplicate edges must not inflate shared counts
+    e = _edges(spark, [(10, 1), (10, 1), (10, 2), (20, 1), (20, 2)])
+    r = node_similarity(e, min_shared=2).collect()[0]
+    assert (r.shared, r.deg_a, r.deg_b) == (2, 2, 2)
+    assert node_similarity(e, min_shared=3).count() == 0
+
+
+def test_node_similarity_hub_cap_drops_viral_dst(spark):
+    from kgforge.plans.graph_query import node_similarity
+
+    # dst=7 is a hub every node cites; capping it removes the only
+    # shared neighbor of (10,30) and shrinks degrees consistently
+    e = _edges(
+        spark,
+        [(10, 7), (20, 7), (30, 7), (10, 1), (20, 1)],
+    )
+    uncapped = {(r.a, r.b): r.shared for r in node_similarity(e).collect()}
+    assert uncapped == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+    capped = node_similarity(e, max_dst_degree=2).collect()
+    assert len(capped) == 1
+    r = capped[0]
+    # degrees recomputed over the capped edge list (not the raw one)
+    assert (r.a, r.b, r.shared, r.deg_a, r.deg_b) == (10, 20, 1, 1, 1)
+
+
+def test_kg_facade_node_similarity(spark, workdir):
+    """kg.node_similarity maps pair ids back to (label, key) and derives
+    the float jaccard from the integer decomposition."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[
+            Entity("City", [Attribute("name", "string", True, True)]),
+        ],
+        relations=[Relation("ROAD", "City", "City", [])],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([("City", {"name": c}) for c in "abxyz"])
+    kg.add_edges([
+        ("ROAD", "City", "City", {"name": s}, {"name": d}, {})
+        for s, d in [("a", "x"), ("a", "y"), ("b", "y"), ("b", "z")]
+    ])
+    rows = kg.node_similarity().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert {r.key_a, r.key_b} == {"a", "b"}
+    assert (r.shared, r.deg_a, r.deg_b) == (1, 2, 2)
+    assert r.jaccard == pytest.approx(1 / 3)
