@@ -5938,6 +5938,66 @@ def graph_node_similarity(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+@_q(
+    "events_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), u AS (
+      SELECT DISTINCT user_id FROM e
+    ), s1 AS (
+      SELECT user_id, min(ts_us) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts_us > t1
+        AND ts_us - t1 <= 172800000000 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(ts_us) AS t3
+      FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us > t2
+        AND ts_us - t1 <= 172800000000 GROUP BY 1
+    )
+    SELECT u.user_id AS user_id,
+           (CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END)::BIGINT AS steps_completed,
+           (coalesce(t3, t2, t1) - t1)::BIGINT AS funnel_us
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (functions/funnel.py): per user, how
+    far through view -> click -> purchase within a 48 h window anchored
+    at the first view. The Spark side is ONE greedy higher-order-
+    function walk over the user's sorted event list (one shuffle, no
+    joins); the oracle is the equivalent min-ts SQL cascade — the
+    docstring's proof that greedy-earliest == the cascade under the
+    strict-inequality advance rule is what this gate checks on real
+    data (mixed outcomes at both SFs: 15/8/5 users at sf0.001,
+    150/96/41 at sf0.01). Output is the tz-shift-invariant pair
+    (steps_completed, funnel_us = t_last - t_first) so the compare is
+    exact under any driver session timezone."""
+    from kgforge.functions.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(
+        ev,
+        ["view", "click", "purchase"],
+        within_us=172_800_000_000,
+    )
+    return out.select(
+        F.col("user").alias("user_id"),
+        "steps_completed",
+        (F.col("t_last") - F.col("t_first")).cast("long").alias("funnel_us"),
+    ).orderBy("user_id")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -1,0 +1,106 @@
+"""Ordered-funnel conversion analysis over an event stream.
+
+The classic product-analytics operator (ClickHouse `windowFunnel`,
+Snowplow/Amplitude funnels): for each user, how far did they get through
+an ordered step sequence (e.g. view -> click -> purchase), with the whole
+funnel optionally constrained to a time window anchored at the first
+matched step. The reference engine has no event analytics at all; this is
+an engine-new corpus/event operator in the same family as
+`streaming/enrich.py::attribute` and `functions/rollup.py`.
+
+Semantics (deterministic, cross-engine replayable):
+
+- events are walked per user in ``(ts, event_id)`` order;
+- step *i+1* must match an event with ts STRICTLY greater than the ts
+  matched for step *i* (equal timestamps never advance the funnel — the
+  tie-blind rule both a greedy walk and a min-ts SQL cascade agree on);
+- the greedy walk takes the EARLIEST match for each step. Greedy is the
+  standard funnel definition and equals the SQL cascade
+  ``t_{i+1} = min(ts) WHERE type = step_{i+1} AND ts > t_i [AND ts - t_1
+  <= within]`` — which is exactly the shape of the driver gate's DuckDB
+  oracle (events_funnel);
+- ``within`` (microseconds) bounds every later step relative to the FIRST
+  step's match (funnel window anchored at entry, the windowFunnel rule).
+
+Scale shape: ONE shuffle (groupBy user) + a `sort_array(collect_list)`
+per user + one `aggregate` higher-order-function walk — all JVM-side
+expressions, no Python, no per-step join cascade (the oracle's k joins
+collapse into one pass). Per-user state is that user's event list, the
+same bound as `streaming/sessionize.py`; a pathological hot user is one
+fat row, not a hot reducer fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Per-user funnel progress: (user, steps_completed, t_first, t_last).
+
+    ``steps`` is the ordered event-type sequence; ``steps_completed`` is
+    how many leading steps matched (0..len(steps), BIGINT), ``t_first`` /
+    ``t_last`` the epoch-microsecond timestamps of the first and last
+    matched step (NULL when steps_completed = 0). ``within_us`` bounds
+    ``t_i - t_first`` for every step after the first.
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+    )
+    per_user = ev.groupBy("user").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_us", "eid", "etype"))
+        ).alias("evs")
+    )
+
+    zero = F.struct(
+        F.lit(0).cast("int").alias("reached"),
+        F.lit(None).cast("long").alias("t0"),
+        F.lit(None).cast("long").alias("tlast"),
+    )
+
+    def _step(acc, x):
+        matches = (acc["reached"] < F.lit(k)) & (
+            x["etype"] == F.element_at(steps_arr, acc["reached"] + 1)
+        )
+        after_prev = (acc["reached"] == 0) | (x["ts_us"] > acc["tlast"])
+        in_window = F.lit(True)
+        if within_us is not None:
+            in_window = (acc["reached"] == 0) | (
+                x["ts_us"] - acc["t0"] <= F.lit(int(within_us))
+            )
+        advanced = F.struct(
+            (acc["reached"] + 1).alias("reached"),
+            F.coalesce(acc["t0"], x["ts_us"]).alias("t0"),
+            x["ts_us"].alias("tlast"),
+        )
+        return F.when(matches & after_prev & in_window, advanced).otherwise(
+            acc
+        )
+
+    walked = per_user.select(
+        "user", F.aggregate("evs", zero, _step).alias("w")
+    )
+    return walked.select(
+        F.col("user"),
+        F.col("w.reached").cast("long").alias("steps_completed"),
+        F.col("w.t0").alias("t_first"),
+        F.col("w.tlast").alias("t_last"),
+    )

@@ -1,0 +1,108 @@
+"""Funnel-walk semantics the driver gate can't isolate: strict-ts
+advance, window anchoring at the first step, greedy-earliest matching,
+tie behavior at equal timestamps."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kgforge.functions.funnel import funnel
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    # rows: (user, minutes_after_t0, event_id, type)
+    data = [
+        (u, T0 + dt.timedelta(minutes=m), eid, t) for u, m, eid, t in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def _run(spark, rows, steps=("a", "b", "c"), within_us=None):
+    out = funnel(_ev(spark, rows), list(steps), within_us=within_us)
+    return {
+        r.user: (r.steps_completed, r.t_first, r.t_last)
+        for r in out.collect()
+    }
+
+
+def test_full_and_partial_completion(spark):
+    got = _run(
+        spark,
+        [
+            (1, 0, 10, "a"), (1, 5, 11, "b"), (1, 9, 12, "c"),
+            (2, 0, 20, "a"), (2, 5, 21, "c"),  # skips b: stuck at 1
+            (3, 0, 30, "x"),  # never enters
+        ],
+    )
+    assert got[1][0] == 3
+    assert got[1][2] - got[1][1] == 9 * 60_000_000
+    assert got[2][0] == 1
+    assert got[2][1] == got[2][2]
+    assert got[3] == (0, None, None)
+
+
+def test_order_matters_not_presence(spark):
+    # b before a: the walk must not count the early b
+    got = _run(spark, [(1, 0, 10, "b"), (1, 5, 11, "a")])
+    assert got[1][0] == 1
+
+
+def test_greedy_takes_earliest_match(spark):
+    # two a's: t_first anchors at the FIRST a even though the second
+    # would also work
+    got = _run(
+        spark,
+        [(1, 0, 10, "a"), (1, 3, 11, "a"), (1, 7, 12, "b")],
+    )
+    assert got[1][0] == 2
+    # anchored at the first a (+0), not the second (+3)
+    assert got[1][2] - got[1][1] == 7 * 60_000_000
+
+
+def test_equal_ts_never_advances(spark):
+    # b at exactly the same ts as the matched a: strict > blocks it
+    got = _run(spark, [(1, 0, 10, "a"), (1, 0, 11, "b")])
+    assert got[1][0] == 1
+    # but a LATER b still advances
+    got = _run(
+        spark, [(1, 0, 10, "a"), (1, 0, 11, "b"), (1, 2, 12, "b")]
+    )
+    assert got[1][0] == 2
+    assert got[1][2] - got[1][1] == 2 * 60_000_000
+
+
+def test_window_anchored_at_first_step(spark):
+    rows = [(1, 0, 10, "a"), (1, 30, 11, "b"), (1, 90, 12, "c")]
+    # 90 min window: c at +90 is inside (<=)
+    got = _run(spark, rows, within_us=90 * 60_000_000)
+    assert got[1][0] == 3
+    # 60 min window: b ok, c out
+    got = _run(spark, rows, within_us=60 * 60_000_000)
+    assert got[1][0] == 2
+    # greedy deviation pin: a second 'a' at +60 could complete the
+    # funnel within 60 min, but the walk anchors at the FIRST a
+    rows2 = rows + [(1, 60, 13, "a")]
+    got = _run(spark, rows2, within_us=60 * 60_000_000)
+    assert got[1][0] == 2
+
+
+def test_funnel_rejects_empty_steps(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel(_ev(spark, []), [])
+
+
+def test_funnel_plan_has_single_shuffle_no_python(spark):
+    df = funnel(
+        _ev(spark, [(1, 0, 10, "a")]), ["a", "b"], within_us=1
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+    assert "Python" not in plan  # pure JVM higher-order functions
+    assert "Join" not in plan  # the oracle's cascade collapsed
