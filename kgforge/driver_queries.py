@@ -1760,6 +1760,54 @@ def sketch_kmv_distinct(spark, sf_dir):
 
 
 @_q(
+    "sketch_hll_registers",
+    """
+    WITH h AS (
+      SELECT o_orderpriority, md5(o_custkey::VARCHAR) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ), t AS (
+      SELECT o_orderpriority,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+             substr(h, 3, 12) AS tail
+      FROM h
+    ), z AS (
+      SELECT o_orderpriority, bucket, tail,
+             length(regexp_extract(tail, '^(0*)', 1)) AS lz
+      FROM t
+    ), r AS (
+      SELECT o_orderpriority, bucket,
+             CASE WHEN lz >= 12 THEN 49
+                  ELSE lz * 4
+                       + (CASE WHEN substr(tail, lz + 1, 1) >= '8' THEN 0
+                               WHEN substr(tail, lz + 1, 1) >= '4' THEN 1
+                               WHEN substr(tail, lz + 1, 1) >= '2' THEN 2
+                               ELSE 3 END)
+                       + 1
+             END AS rho
+      FROM z
+    )
+    SELECT o_orderpriority, bucket::BIGINT AS bucket, max(rho)::BIGINT AS max_rho
+    FROM r GROUP BY 1, 2
+    """,
+)
+def sketch_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (functions/sketch.py::hll_registers):
+    per order priority, the 256 (p=8) max-rank registers over customer
+    keys. Engine-native HLLs (approx_count_distinct) have private
+    register layouts and can never be oracle-compared; this formulation
+    derives every register from md5 STRING arithmetic both engines
+    evaluate bit-identically, so the full sketch state is checked
+    exactly. Merge algebra (per-bucket MAX) and the estimator with
+    linear-counting correction are pytest-pinned (test_curate)."""
+    from kgforge.functions.sketch import hll_registers
+
+    return hll_registers(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey", p=8
+    )
+
+
+@_q(
     "cypher_unwind_with",
     """
     WITH g AS (

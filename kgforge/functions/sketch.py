@@ -94,3 +94,103 @@ def kmv_estimate(kmv: Column, k: int = 256) -> Column:
     return F.when(F.size(kmv) < k, F.size(kmv).cast("long")).otherwise(
         F.floor(F.lit(float((k - 1) * _SPACE)) / kth_num).cast("long")
     )
+
+
+# =====================================================================
+# HyperLogLog — register-table formulation
+# =====================================================================
+#
+# HLL (Flajolet et al. 2007) complements KMV: its per-group state is
+# 2^p small integers (vs KMV's k hash strings), and merging is a plain
+# per-bucket MAX — the cheapest possible sketch algebra for a
+# 1000-executor rollup. Engine HLL implementations (Spark's
+# approx_count_distinct, DuckDB's approx_*) use private register
+# layouts, so they can never be oracle-compared; this one derives every
+# register from md5 STRING arithmetic that both engines evaluate
+# bit-identically, making the register table itself the cross-engine
+# artifact (like kmv's hash arrays):
+#
+#   h       = md5(value)                      32 hex chars
+#   bucket  = first p/4 hex chars as int      (p must be hex-aligned)
+#   tail    = next 12 hex chars               48 uniform bits
+#   rho     = 1 + #leading zero BITS of tail  in [1, 49]
+#           = 4 * (#leading '0' hex chars) + lz(first non-zero digit) + 1
+#
+# lz(digit) needs only lexicographic compares ('8'..'f' -> 0, '4'..'7'
+# -> 1, '2'..'3' -> 2, '1' -> 3), so the whole register derivation is
+# substr/regexp/CASE — portable to any SQL engine, no bit intrinsics.
+
+_HLL_TAIL_HEX = 12  # 48 bits of rank material; max rho = 49
+
+
+def hll_rho(tail: Column) -> Column:
+    """1 + number of leading zero bits of a 12-hex-char string (int)."""
+    lz = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first = tail.substr(lz + F.lit(1), F.lit(1))
+    digit_lz = (
+        F.when(first >= "8", F.lit(0))
+        .when(first >= "4", F.lit(1))
+        .when(first >= "2", F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return F.when(lz >= _HLL_TAIL_HEX, F.lit(4 * _HLL_TAIL_HEX + 1)).otherwise(
+        lz * 4 + digit_lz + 1
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """-> (group..., bucket: long, max_rho: long) — one row per NON-ZERO
+    register (absent bucket == register value 0).
+
+    Scale shape: a single groupBy(group, bucket).max — Spark's partial
+    aggregation IS the sketch merge (each map task holds at most
+    groups x 2^p ints), the md5 bucket is uniform by construction (no
+    skew), and downstream unions of register tables merge with the same
+    groupBy-max. NULL values are excluded, matching count-distinct.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be one of 4, 8, 12, 16 (hex-aligned)")
+    nb = p // 4
+    d = df.where(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.md5(F.encode(F.col(value_col).cast("string"), "UTF-8")).alias("__h"),
+    )
+    d = d.select(
+        *groups,
+        F.conv(F.substring("__h", 1, nb), 16, 10).cast("long").alias("bucket"),
+        F.col("__h").substr(F.lit(nb + 1), F.lit(_HLL_TAIL_HEX)).alias("__t"),
+    )
+    return (
+        d.select(*groups, "bucket", hll_rho(F.col("__t")).alias("__rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("__rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | str, p: int = 8
+) -> DataFrame:
+    """-> (group..., est: long) — the standard HLL estimator with the
+    small-range (linear counting) correction. The float math here is an
+    ESTIMATOR (same registers -> same number on one engine); the
+    cross-engine-exact artifact is the register table itself."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    m = 2**p
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else (0.673 if m == 16 else 0.697 if m == 32 else 0.709)
+    agg = registers.groupBy(*groups).agg(
+        F.count("*").alias("__nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__inv"),
+    )
+    # absent buckets contribute 2^0 = 1 each to the harmonic sum
+    inv_full = F.col("__inv") + (F.lit(m) - F.col("__nz"))
+    raw = F.lit(alpha * m * m) / inv_full
+    zeros = F.lit(m) - F.col("__nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(*groups, F.round(est).cast("long").alias("est"))

@@ -492,3 +492,53 @@ def test_curate_span_duplication_gate(spark):
     assert (1, "duplicated_spans") in reasons
     kept_ids = {r.doc_id for r in kept.collect()}
     assert kept_ids == {2, 3}
+
+
+def test_hll_registers_exact_replay_and_estimate(spark):
+    """Every register is replayed in pure Python (hashlib) — the same
+    md5-string derivation the DuckDB oracle runs; the estimator lands
+    within the HLL error band; merging register tables by per-bucket
+    MAX equals sketching the union."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.sketch import hll_estimate, hll_registers
+
+    vals = [f"v{i}" for i in range(1000)] + [f"s{i % 7}" for i in range(50)]
+    grps = ["big"] * 1000 + ["small"] * 50
+    df = spark.createDataFrame(
+        list(zip(range(len(vals)), grps, vals)),
+        "row_id long, grp string, val string",
+    )
+    reg = hll_registers(df, "grp", "val", p=8)
+    got = {(r.grp, r.bucket): r.max_rho for r in reg.collect()}
+
+    expected: dict[tuple[str, int], int] = {}
+    for g, v in zip(grps, vals):
+        h = hashlib.md5(v.encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        tail = int(h[2:14], 16)
+        rho = 49 if tail == 0 else 48 - tail.bit_length() + 1
+        key = (g, bucket)
+        expected[key] = max(expected.get(key, 0), rho)
+    assert got == expected
+
+    est = {r.grp: r.est for r in hll_estimate(reg, "grp", p=8).collect()}
+    assert 800 <= est["big"] <= 1200  # 3-sigma at m=256 is ~20%
+    assert 6 <= est["small"] <= 8  # linear-counting regime
+
+    # merge algebra: union of register tables, groupBy-max == whole
+    a = hll_registers(df.where(F.col("row_id") % 2 == 0), "grp", "val", p=8)
+    b = hll_registers(df.where(F.col("row_id") % 2 == 1), "grp", "val", p=8)
+    merged = (
+        a.unionByName(b)
+        .groupBy("grp", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert {(r.grp, r.bucket): r.max_rho for r in merged.collect()} == expected
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hll_registers(df, "grp", "val", p=7)
