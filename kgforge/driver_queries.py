@@ -6046,6 +6046,35 @@ def events_funnel(spark, sf_dir):
     ).orderBy("user_id")
 
 
+@_q(
+    "events_retention",
+    """
+    WITH e AS (
+      SELECT user_id, ts::DATE AS d FROM events
+    ), f AS (
+      SELECT user_id, min(d) AS cohort_date FROM e GROUP BY 1
+    ), a AS (
+      SELECT DISTINCT e.user_id, cohort_date,
+             floor(date_diff('day', cohort_date, d) / 7)::BIGINT AS period_offset
+      FROM e JOIN f USING (user_id)
+    )
+    SELECT cohort_date, period_offset, count(*)::BIGINT AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix (functions/funnel.py::retention_cohorts):
+    users cohorted by first-event date, counted per 7-day offset they
+    return in. All-integer output (dates + counts) so the grid is
+    cross-engine exact. Spark shape: map-side min for the cohort table,
+    user-keyed join co-partitioned with it, DISTINCT before the tiny
+    final count — no windows, no skew-prone key."""
+    from kgforge.functions.funnel import retention_cohorts
+
+    out = retention_cohorts(_t(spark, sf_dir, "events"), period_days=7)
+    return out.withColumnRenamed("offset", "period_offset")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

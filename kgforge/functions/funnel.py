@@ -104,3 +104,48 @@ def funnel(
         F.col("w.t0").alias("t_first"),
         F.col("w.tlast").alias("t_last"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort-retention matrix: (cohort_date, offset, n_users).
+
+    The other standard product-analytics table (ClickHouse `retention`,
+    Amplitude/Mixpanel cohort grids): users are grouped into cohorts by
+    the DATE of their first event; ``n_users`` counts how many of each
+    cohort were active again ``offset`` periods (of ``period_days`` days)
+    after that date. offset 0 is the cohort size itself; all values are
+    integers, so the matrix is cross-engine exact.
+
+    Scale shape: first-event per user is a map-side-combined min;
+    the join back is keyed on the user column, co-partitioned with that
+    groupBy's shuffle; activity is reduced to DISTINCT (user, cohort,
+    offset) — partial-aggregated — before the final tiny
+    (cohort, offset) count. No window functions, no skew key (a hot
+    user still collapses to one row per offset at the map side).
+    """
+    if period_days <= 0:
+        raise ValueError("period_days must be positive")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("d"),
+    )
+    first = ev.groupBy("user").agg(F.min("d").alias("cohort_date"))
+    act = (
+        ev.join(first, "user")
+        .select(
+            "user",
+            "cohort_date",
+            F.floor(F.datediff("d", "cohort_date") / period_days)
+            .cast("long")
+            .alias("offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_date", "offset").agg(
+        F.count("*").cast("long").alias("n_users")
+    )

@@ -106,3 +106,38 @@ def test_funnel_plan_has_single_shuffle_no_python(spark):
     assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
     assert "Python" not in plan  # pure JVM higher-order functions
     assert "Join" not in plan  # the oracle's cascade collapsed
+
+
+def test_retention_cohorts_hand_grid(spark):
+    """Hand-derived cohort grid: two cohorts, known week offsets,
+    multiple events per (user, week) collapse to one."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kgforge.functions.funnel import retention_cohorts
+
+    d = dt.datetime
+    rows = [
+        # cohort 2024-01-01: users 1, 2
+        (1, d(2024, 1, 1, 9)), (1, d(2024, 1, 3, 9)),   # wk0 twice
+        (1, d(2024, 1, 8, 9)),                          # wk1
+        (2, d(2024, 1, 1, 23)), (2, d(2024, 1, 22, 5)),  # wk0, wk3
+        # cohort 2024-01-02: user 3, only week 0
+        (3, d(2024, 1, 2, 0)), (3, d(2024, 1, 7, 12)),
+        # day 6 after cohort start is still offset 0; day 7 is offset 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_date), r.offset): r.n_users
+        for r in retention_cohorts(df, period_days=7).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+    }
+    with pytest.raises(ValueError):
+        retention_cohorts(df, period_days=0)
