@@ -6075,6 +6075,58 @@ def events_retention(spark, sf_dir):
     return out.withColumnRenamed("offset", "period_offset")
 
 
+@_q(
+    "events_gapfill",
+    """
+    WITH a AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(ts) % 3600000000)::BIGINT AS bucket_us,
+             count(*)::BIGINT AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+      FROM a GROUP BY 1
+    ), g AS (
+      SELECT event_type,
+             (lo + 3600000000 * unnest(range(0, (hi - lo) // 3600000000 + 1)))::BIGINT AS bucket_us
+      FROM s
+    ), j AS (
+      SELECT g.event_type, g.bucket_us,
+             coalesce(a.n, 0)::BIGINT AS n, a.total
+      FROM g LEFT JOIN a USING (event_type, bucket_us)
+    )
+    SELECT event_type, bucket_us, n,
+           CAST(total AS DOUBLE) AS total_value,
+           CAST(last_value(total IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY bucket_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS total_locf,
+           (n = 0) AS is_gap
+    FROM j
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Gap-fill + LOCF (functions/rollup.py::gapfill_locf): per event
+    type, every hourly bucket between first and last event, missing
+    hours carrying the last observed DECIMAL total forward
+    (time_bucket_gapfill + locf semantics). Buckets are exact modulo
+    arithmetic on epoch micros — float bucket division could tip a
+    boundary differently per engine. The grid explodes from ONE
+    min/max row per key with a raise-not-truncate bucket-count guard."""
+    from kgforge.functions.rollup import gapfill_locf
+
+    out = gapfill_locf(_t(spark, sf_dir, "events"), step_us=3_600_000_000)
+    return out.select(
+        "event_type",
+        "bucket_us",
+        "n",
+        F.col("total").cast("double").alias("total_value"),
+        F.col("total_locf").cast("double").alias("total_locf"),
+        "is_gap",
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

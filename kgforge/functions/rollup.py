@@ -18,7 +18,7 @@ nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,3 +82,80 @@ def rollup_cascade(
         )
         out[lvl] = cur
     return out
+
+
+def gapfill_locf(
+    events: DataFrame,
+    step_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    max_buckets: int = 2_000_000,
+) -> DataFrame:
+    """Regular-grid gap-fill + last-observation-carried-forward.
+
+    The TimescaleDB ``time_bucket_gapfill(..) + locf(..)`` operator: per
+    key, every ``step_us`` bucket between that key's first and last
+    event exists in the output — missing buckets get ``n = 0``,
+    ``total = NULL``, ``is_gap = true``, and ``total_locf`` carries the
+    last observed total forward. Buckets are epoch-microsecond ints via
+    exact modulo arithmetic (never float division, which can tip across
+    a bucket boundary differently per engine); totals are DECIMAL sums.
+
+    Scale shape: the aggregate is map-side combining; the grid comes
+    from ONE row per key (min/max) exploded via ``sequence`` —
+    ``max_buckets`` bounds that row's array (raise, not truncate: a
+    silent cut would fake data). The LOCF window is per-key sequential;
+    for a multi-year hot key at second granularity, coarsen ``step_us``
+    or pre-split the key by range like ``asof_join(time_split=...)``.
+    """
+    step = int(step_us)
+    if step <= 0:
+        raise ValueError("step_us must be positive")
+    keys = list(key_cols)
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    agg = (
+        events.select(
+            *keys,
+            (m - m % step).alias("bucket_us"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy(*keys, "bucket_us")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__v").alias("total"),
+        )
+    )
+    span = agg.groupBy(*keys).agg(
+        F.min("bucket_us").alias("__lo"), F.max("bucket_us").alias("__hi")
+    )
+    # assert_true rides inside the sequence START bound so it cannot be
+    # pruned: the guard evaluates (and throws on an oversized span)
+    # before any grid row materializes
+    ok = ((F.col("__hi") - F.col("__lo")) / F.lit(step)) < F.lit(max_buckets)
+    lo_checked = F.when(
+        F.isnull(
+            F.assert_true(ok, F.lit(f"gapfill grid exceeds {max_buckets} buckets for a key — coarsen step_us or split the key"))
+        ),
+        F.col("__lo"),
+    )
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(lo_checked, F.col("__hi"), F.lit(step))).alias(
+            "bucket_us"
+        ),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(agg, on=keys + ["bucket_us"], how="left")
+    return filled.select(
+        *keys,
+        "bucket_us",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        "total",
+        F.last("total", ignorenulls=True).over(w).alias("total_locf"),
+        F.col("n").isNull().alias("is_gap"),
+    )

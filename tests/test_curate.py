@@ -542,3 +542,48 @@ def test_hll_registers_exact_replay_and_estimate(spark):
 
     with _pt.raises(ValueError):
         hll_registers(df, "grp", "val", p=7)
+
+
+def test_gapfill_locf_hand_series(spark):
+    """Hand series: hours 0,1,3,6 present -> 7-row grid, gaps carry the
+    last decimal total; oversized span raises instead of truncating."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from kgforge.functions.rollup import gapfill_locf
+
+    h = 3_600_000_000
+    rows = [
+        ("a", 0 * h + 5, 1.5), ("a", 0 * h + 9, 2.0),
+        ("a", 1 * h + 1, 4.0),
+        ("a", 3 * h + 2, 8.0),
+        ("a", 6 * h + 3, 1.0),
+        ("b", 2 * h + 7, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, us long, value double") \
+        .select("event_type", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+    out = gapfill_locf(df, step_us=h)
+    got = {
+        (r.event_type, r.bucket_us // h): (r.n, float(r.total_locf), r.is_gap)
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 0): (2, 3.5, False),
+        ("a", 1): (1, 4.0, False),
+        ("a", 2): (0, 4.0, True),
+        ("a", 3): (1, 8.0, False),
+        ("a", 4): (0, 8.0, True),
+        ("a", 5): (0, 8.0, True),
+        ("a", 6): (1, 1.0, False),
+        ("b", 2): (1, 9.0, False),
+    }
+    # guard: span wider than max_buckets raises at run time
+    wide = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 100 * h, 1.0)],
+        "event_type string, us long, value double",
+    ).select("event_type", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+    with pytest.raises(Exception, match="exceeds"):
+        gapfill_locf(wide, step_us=h, max_buckets=10).collect()
+    with pytest.raises(ValueError):
+        gapfill_locf(df, step_us=0)
