@@ -250,3 +250,74 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "fp", F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    window: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Windowed token co-occurrence counts: (w1, w2, cooc, cnt1, cnt2).
+
+    The word2vec/GloVe/PMI precursor table: every ORDERED pair
+    (token at i, token at j) with i < j <= i + window, counted over the
+    corpus, joined with each side's marginal occurrence count. All
+    integers — PMI itself is ``log(cooc * total / (cnt1 * cnt2))``,
+    derived by the caller (floats stay out of the exact artifact).
+
+    Scale shape: pair GENERATION is one pass of higher-order-function
+    expressions over a projected token array (no self-join of the
+    exploded token table — that join re-shuffles the full corpus twice
+    and explodes skew on viral tokens); counting is a map-side-combined
+    groupBy. ``min_count`` prunes the hapax tail BEFORE the marginal
+    joins, so the join input is the (small) frequent-pair table, not
+    every distinct pair. Marginal joins are plain equi-joins AQE can
+    broadcast when the vocabulary fits.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    d = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(doc_col),
+            F.split(F.trim(F.lower(F.col(text_col))), _WS).alias("__t"),
+        )
+        .where(F.size("__t") >= 2)
+    )
+    t = F.col("__t")
+    # i runs over 1-based positions 1..n-1; partners are slice(i+1, window)
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(t, i + 1, window),
+                lambda w2: F.struct(
+                    F.element_at(t, i).alias("w1"), w2.alias("w2")
+                ),
+            ),
+        )
+    )
+    cooc = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cooc"))
+        .where(F.col("cooc") >= min_count)
+    )
+    marg = (
+        d.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        cooc.join(marg.withColumnRenamed("w", "w1"), "w1")
+        .withColumnRenamed("cnt", "cnt1")
+        .join(
+            marg.withColumnRenamed("w", "w2").withColumnRenamed("cnt", "cnt2"),
+            "w2",
+        )
+        .select("w1", "w2", "cooc", "cnt1", "cnt2")
+    )
