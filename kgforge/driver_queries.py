@@ -6166,6 +6166,94 @@ def text_cooccurrence(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_ktruss",
+    """
+    WITH pe AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e0 AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM pe
+    ), tri0 AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
+    ), sup0 AS (
+      SELECT a, b, count(*)::BIGINT AS sup FROM (
+        SELECT x AS a, y AS b FROM tri0
+        UNION ALL SELECT x, z FROM tri0
+        UNION ALL SELECT y, z FROM tri0
+      ) GROUP BY a, b
+    ), kk AS (
+      SELECT (sum(coalesce(s.sup, 0)) // count(*))::BIGINT AS kv
+      FROM e0 e LEFT JOIN sup0 s USING (a, b)
+    ), e1 AS (
+      SELECT e.a, e.b FROM e0 e LEFT JOIN sup0 s USING (a, b)
+      WHERE coalesce(s.sup, 0) >= (SELECT kv FROM kk) - 2
+    ), tri1 AS (
+      SELECT e1_.a AS x, e1_.b AS y, e2_.b AS z
+      FROM e1 e1_ JOIN e1 e2_ ON e1_.a = e2_.a AND e1_.b < e2_.b
+      JOIN e1 e3_ ON e3_.a = e1_.b AND e3_.b = e2_.b
+    ), sup1 AS (
+      SELECT a, b, count(*)::BIGINT AS sup FROM (
+        SELECT x AS a, y AS b FROM tri1
+        UNION ALL SELECT x, z FROM tri1
+        UNION ALL SELECT y, z FROM tri1
+      ) GROUP BY a, b
+    ), e2 AS (
+      SELECT e.a, e.b FROM e1 e LEFT JOIN sup1 s USING (a, b)
+      WHERE coalesce(s.sup, 0) >= (SELECT kv FROM kk) - 2
+    )
+    SELECT a::BIGINT AS a, b::BIGINT AS b FROM e2 ORDER BY a, b
+    """,
+)
+def graph_ktruss(spark, sf_dir):
+    """Bounded k-truss peeling (plans/graph_query.py k_truss) on the
+    parts co-purchase graph — the edge-level analogue of graph_kcore:
+    two removal rounds of edges with fewer than k-2 triangle witnesses.
+    k is DATA-ADAPTIVE (floor of the mean edge support, an exact BIGINT
+    both engines derive identically) because this graph's support
+    distribution shifts with scale — a fixed k is vacuous at one SF.
+    Non-vacuous peeling at both scales: 8,899 -> 1,344 edges at
+    sf0.001 (k=42), 115,729 -> 67,430 at sf0.01 (k=10). The oracle
+    unrolls both rounds (triangle witness x<y<z, exploded to member
+    edges) — a fixpoint is not recursive-CTE-expressible, the fixed
+    unroll is (the graph_kcore/graph_lpa contract)."""
+    from kgforge.plans.graph_query import _edge_support, k_truss
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    und = pe.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).dropDuplicates()
+    stat = (
+        und.join(_edge_support(und), on=["a", "b"], how="left")
+        .agg(
+            F.sum(F.coalesce("sup", F.lit(0))).alias("t"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    k = int(stat.t // stat.n)
+    out = k_truss(pe, k=k, rounds=2)
+    return out.select(
+        F.col("a").cast("long"), F.col("b").cast("long")
+    ).orderBy("a", "b")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -830,6 +830,45 @@ class KnowledgeGraph:
             .select("label", "key")
         )
 
+    def k_truss(
+        self,
+        k: int,
+        relation: str | None = None,
+        rounds: int | None = None,
+    ) -> DataFrame:
+        """Entity pairs in the k-truss of the undirected edge
+        projection: (label_a, key_a, label_b, key_b) — iterative
+        removal of edges with fewer than k-2 triangle witnesses
+        (plans/graph_query.k_truss). One notch stronger than k_core:
+        trusses reject star-like hubs that cores keep, so surviving
+        pairs sit inside genuinely clustered neighborhoods."""
+        from kgforge.plans.graph_query import k_truss as _k_truss
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        truss = _k_truss(
+            e.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            ),
+            k=k,
+            rounds=rounds,
+        )
+        n = self.nodes().select(
+            F.col("node_id").alias("id"),
+            F.col("label"),
+            F.col("key"),
+        )
+        return (
+            truss.join(n.withColumnsRenamed(
+                {"id": "a", "label": "label_a", "key": "key_a"}
+            ), on="a")
+            .join(n.withColumnsRenamed(
+                {"id": "b", "label": "label_b", "key": "key_b"}
+            ), on="b")
+            .select("label_a", "key_a", "label_b", "key_b")
+        )
+
     def node_similarity(
         self,
         relation: str | None = None,

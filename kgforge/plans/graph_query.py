@@ -781,6 +781,111 @@ def k_core(
     return alive.select(F.col("src").alias("id")).dropDuplicates()
 
 
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical undirected edge list
+    und(a, b) with a < b, distinct: -> (a, b, sup).
+
+    Same degree-ordered orientation as `triangle_count` (wedge fan-out
+    bounded ~O(sqrt(m)) per key on power-law graphs); each triangle is
+    witnessed once, then exploded into its three member edges and
+    counted map-side. Edges in no triangle get no row (support 0)."""
+    dg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = und.join(
+        dg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a"
+    ).join(dg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+    )
+    w = (
+        o.alias("x")
+        .join(
+            o.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.t") < F.col("y.t")),
+        )
+        .select(
+            F.col("x.s").alias("u"),
+            F.col("x.t").alias("v"),
+            F.col("y.t").alias("w2"),
+        )
+    )
+    tri = w.join(
+        und,
+        (F.least("v", "w2") == F.col("a")) & (F.greatest("v", "w2") == F.col("b")),
+        how="inner",
+    ).select("u", "v", "w2")
+    tri_edges = (
+        tri.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .unionByName(
+            tri.select(
+                F.least("u", "w2").alias("a"), F.greatest("u", "w2").alias("b")
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.least("v", "w2").alias("a"), F.greatest("v", "w2").alias("b")
+            )
+        )
+    )
+    return tri_edges.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("sup")
+    )
+
+
+def k_truss(
+    edges: DataFrame, k: int, rounds: int | None = None,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Bounded k-truss peeling: edges surviving iterative removal of
+    edges in fewer than k-2 triangles. Returns (a, b), a < b.
+
+    The edge-level analogue of `k_core` (Cohen 2008) — the standard
+    community-core primitive one notch stronger than cores: every edge
+    in a k-truss has k-2 common-neighbor witnesses, so trusses reject
+    the star-like hubs k-core keeps. edges(src, dst) in either or both
+    directions; canonicalized internally.
+
+    Each round: one skew-guarded support computation (`_edge_support`:
+    degree-oriented wedge join + closing equi-join + map-side edge
+    count) + one filter; `localCheckpoint` truncates lineage. Fixed
+    ``rounds=r`` is the cross-engine-exact contract the driver gate
+    unrolls in SQL (same rule as `k_core`); ``rounds=None`` peels to the
+    fixpoint with early exit (peeling is monotone)."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3 (support threshold k-2 >= 1)")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    n_rounds = rounds if rounds is not None else max_rounds
+    for _ in range(n_rounds):
+        sup = _edge_support(und)
+        new = (
+            und.join(sup, on=["a", "b"], how="left")
+            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if und.join(new, on=["a", "b"], how="left_anti").isEmpty():
+            und = new
+            break
+        und = new
+    return und
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,

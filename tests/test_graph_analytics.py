@@ -686,3 +686,53 @@ def test_kg_facade_node_similarity(spark, workdir):
     assert {r.key_a, r.key_b} == {"a", "b"}
     assert (r.shared, r.deg_a, r.deg_b) == (1, 2, 2)
     assert r.jaccard == pytest.approx(1 / 3)
+
+
+def test_k_truss_matches_bruteforce(spark):
+    """Fixed rounds and fixpoint both equal a pure-Python peeling
+    reference on a deterministic random graph; canonicalization eats
+    duplicate/reversed/self-loop input edges; k < 3 raises."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kgforge.plans.graph_query import k_truss
+
+    rng = random.Random(7)
+    und = set()
+    while len(und) < 120:
+        u, v = rng.sample(range(30), 2)
+        und.add((min(u, v), max(u, v)))
+    raw = []
+    for a, b in sorted(und):
+        raw.append((a, b))
+        if rng.random() < 0.3:
+            raw.append((b, a))  # reversed duplicate
+    raw.append((5, 5))  # self-loop: dropped
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    def support(es):
+        adj: dict[int, set[int]] = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    def peel(es, k, rounds):
+        es = set(es)
+        r = 0
+        while rounds is None or r < rounds:
+            sup = support(es)
+            new = {e for e in es if sup[e] >= k - 2}
+            if new == es:
+                break
+            es = new
+            r += 1
+        return es
+
+    for k, rounds in [(3, 1), (3, 2), (3, None), (4, 2), (4, None), (5, None)]:
+        got = {(r.a, r.b) for r in k_truss(df, k=k, rounds=rounds).collect()}
+        assert got == peel(und, k, rounds), (k, rounds)
+    with pytest.raises(ValueError):
+        k_truss(df, k=2)
