@@ -6254,6 +6254,91 @@ def graph_ktruss(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+@_q(
+    "graph_hyperball",
+    """
+    WITH pe AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e0 AS (SELECT src, dst FROM pe UNION SELECT dst, src FROM pe),
+    nodes AS (SELECT DISTINCT src AS v FROM e0),
+    b1 AS (
+      SELECT v, v AS u FROM nodes
+      UNION
+      SELECT src, dst FROM e0
+    ), b2 AS (
+      SELECT v, u FROM b1
+      UNION
+      SELECT b.v, e.dst AS u FROM b1 b JOIN e0 e ON e.src = b.u
+    ), h AS (
+      SELECT DISTINCT v, md5(u::VARCHAR) AS h FROM b2
+    ), t AS (
+      SELECT v,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+             substr(h, 3, 12) AS tail
+      FROM h
+    ), z AS (
+      SELECT v, bucket, tail,
+             length(regexp_extract(tail, '^(0*)', 1)) AS lz
+      FROM t
+    ), r AS (
+      SELECT v, bucket,
+             CASE WHEN lz >= 12 THEN 49
+                  ELSE lz * 4
+                       + (CASE WHEN substr(tail, lz + 1, 1) >= '8' THEN 0
+                               WHEN substr(tail, lz + 1, 1) >= '4' THEN 1
+                               WHEN substr(tail, lz + 1, 1) >= '2' THEN 2
+                               ELSE 3 END)
+                       + 1
+             END AS rho
+      FROM z
+    ), reg AS (
+      SELECT v, bucket, max(rho) AS max_rho FROM r GROUP BY 1, 2
+    )
+    SELECT v::BIGINT AS id, count(*)::BIGINT AS n_regs,
+           sum(max_rho)::BIGINT AS sum_rho
+    FROM reg GROUP BY 1
+    """,
+)
+def graph_hyperball(spark, sf_dir):
+    """HyperBall radius-2 neighborhood sketches (plans/graph_query.py::
+    hyperball_registers) on the symmetrized parts co-purchase graph —
+    the web-scale effective-diameter primitive. Spark carries per-node
+    HLL registers and merges neighbors' sketches for two rounds
+    (join + (id, bucket) max per round, state bounded at 2^p per node);
+    the oracle materializes the EXACT distance-<=2 closure and derives
+    registers from it directly — they must agree bit-for-bit because
+    per-bucket max is set-union and registers are a pure function of
+    the reachable set. Output is compressed to per-node integer
+    (n_regs, sum_rho) so the artifact stays node-sized."""
+    from kgforge.plans.graph_query import hyperball_registers
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    edges = pe.unionByName(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    regs = hyperball_registers(edges, rounds=2, p=8)
+    return regs.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_regs"),
+        F.sum("max_rho").cast("long").alias("sum_rho"),
+    ).select(F.col("id").cast("long"), "n_regs", "sum_rho")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

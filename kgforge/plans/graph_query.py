@@ -886,6 +886,48 @@ def k_truss(
     return und
 
 
+def hyperball_registers(
+    edges: DataFrame, rounds: int = 2, p: int = 8
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node HLL registers of the
+    out-ball of radius ``rounds`` -> (id, bucket, max_rho).
+
+    THE way neighborhood functions / effective diameter are computed on
+    web-scale graphs: instead of materializing reachable SETS (quadratic
+    blow-up), every node carries a 2^p-register HLL sketch of its ball
+    and each round merges in its out-neighbors' sketches — per-round
+    cost is one equi-join + a (node, bucket) max-aggregate, per-node
+    state is bounded by 2^p regardless of ball size. Because the
+    registers (functions/sketch.py::hll_registers derivation) are a pure
+    function of the reachable SET and per-bucket max IS set-union, round
+    t holds exactly the registers of the true distance-<=t ball — which
+    is what lets an exact-closure SQL oracle check the sketch itself.
+    Estimate per node via ``hll_estimate(regs, "id", p)``; symmetrize
+    first for undirected balls."""
+    from kgforge.functions.sketch import hll_registers
+
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    regs = hll_registers(
+        nodes.withColumn("__val", F.col("id")), "id", "__val", p=p
+    ).localCheckpoint()
+    e = edges.select("src", "dst").dropDuplicates()
+    for _ in range(rounds):
+        nb = e.join(regs, e["dst"] == regs["id"], "inner").select(
+            F.col("src").alias("id"), "bucket", "max_rho"
+        )
+        regs = (
+            regs.unionByName(nb)
+            .groupBy("id", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .localCheckpoint()
+        )
+    return regs
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,

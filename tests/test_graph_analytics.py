@@ -736,3 +736,61 @@ def test_k_truss_matches_bruteforce(spark):
         assert got == peel(und, k, rounds), (k, rounds)
     with pytest.raises(ValueError):
         k_truss(df, k=2)
+
+
+def test_hyperball_registers_equal_exact_closure(spark):
+    """Round-t registers == registers derived from the exact
+    distance-<=t closure (hashlib replay), on a directed graph where
+    balls differ per node; estimates track true ball sizes."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kgforge.functions.sketch import hll_estimate
+    from kgforge.plans.graph_query import hyperball_registers
+
+    # directed ring + chords: ball sizes vary with direction
+    n = 40
+    raw = [(i, (i + 1) % n) for i in range(n)] + [
+        (i, (i + 7) % n) for i in range(0, n, 3)
+    ]
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    def closure(t):
+        adj: dict[int, set[int]] = {}
+        for s, d in raw:
+            adj.setdefault(s, set()).add(d)
+        ball = {v: {v} for v in range(n)}
+        for _ in range(t):
+            ball = {
+                v: b | {w for u in b for w in adj.get(u, ())}
+                for v, b in ball.items()
+            }
+        return ball
+
+    def expected_regs(ball):
+        out: dict[tuple[int, int], int] = {}
+        for v, members in ball.items():
+            for u in members:
+                h = hashlib.md5(str(u).encode()).hexdigest()
+                bucket = int(h[:2], 16)
+                tail = int(h[2:14], 16)
+                rho = 49 if tail == 0 else 48 - tail.bit_length() + 1
+                out[(v, bucket)] = max(out.get((v, bucket), 0), rho)
+        return out
+
+    for t in (0, 1, 2, 3):
+        regs = hyperball_registers(df, rounds=t, p=8)
+        got = {(r.id, r.bucket): r.max_rho for r in regs.collect()}
+        assert got == expected_regs(closure(t)), f"rounds={t}"
+
+    # estimator sanity at t=3 (balls ~8-9 nodes: linear-counting regime)
+    ball3 = closure(3)
+    est = {
+        r.id: r.est
+        for r in hll_estimate(
+            hyperball_registers(df, rounds=3, p=8), "id", p=8
+        ).collect()
+    }
+    for v, members in ball3.items():
+        assert abs(est[v] - len(members)) <= 2, (v, est[v], len(members))
