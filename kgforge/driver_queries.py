@@ -6339,6 +6339,54 @@ def graph_hyperball(spark, sf_dir):
     ).select(F.col("id").cast("long"), "n_regs", "sum_rho")
 
 
+@_q(
+    "text_nb_model",
+    r"""
+    WITH d AS (
+      SELECT lang AS cls, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), wc AS (
+      SELECT cls, unnest(t) AS w FROM d
+    ), c AS (
+      SELECT cls, w, count(*)::BIGINT AS cnt FROM wc GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ), m AS (
+      SELECT cls, count(*)::BIGINT AS n_docs,
+             sum(len(t))::BIGINT AS n_tokens
+      FROM d GROUP BY 1
+    )
+    SELECT c.cls, c.w, c.cnt, m.n_docs, m.n_tokens
+    FROM c JOIN m USING (cls)
+    """,
+)
+def text_nb_model(spark, sf_dir):
+    """Naive-Bayes training statistics (functions/classify.py::nb_train)
+    with documents.lang as the class: per-class token counts (the model
+    IS these integers — NB needs no gradient loop, so training is one
+    map-side-combining aggregate) plus class doc/token totals. The gate
+    re-flattens the broadcastable word->count-map model table, proving
+    the pivot lost nothing; prediction (broadcast join + log-sum
+    argmax) is pytest-pinned against a pure-Python twin."""
+    from kgforge.functions.classify import nb_train
+
+    model = nb_train(_t(spark, sf_dir, "documents"), "lang")
+    flat = (
+        model.token_df.select(
+            "w", F.explode("cnts").alias("cls", "cnt")
+        ).where(F.col("cnt") >= 5)
+    )
+    meta = spark.createDataFrame(
+        [
+            (c, model.n_docs[c], model.n_tokens[c])
+            for c in model.classes
+        ],
+        "cls string, n_docs long, n_tokens long",
+    )
+    return flat.join(meta, "cls").select(
+        "cls", "w", "cnt", "n_docs", "n_tokens"
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================
