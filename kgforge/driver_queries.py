@@ -6387,6 +6387,63 @@ def text_nb_model(spark, sf_dir):
     )
 
 
+# 12-hex-char -> BIGINT as a strpos polynomial (DuckDB has no conv());
+# generated once and inlined into the sketch_cm_heavy oracle below.
+_HEX12_POLY = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (12 - i)}"
+    for i in range(1, 13)
+)
+
+
+@_q(
+    "sketch_cm_heavy",
+    f"""
+    WITH v AS (
+      SELECT o_orderstatus AS g, o_custkey AS value
+      FROM orders WHERE o_custkey IS NOT NULL
+    ), hh AS (
+      SELECT g, value, rr,
+             md5('cm' || rr::VARCHAR || '|' || value::VARCHAR) AS h
+      FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS rr) r
+    ), b AS (
+      SELECT g, value, rr,
+             ({_HEX12_POLY}) % 64 AS bucket
+      FROM hh
+    ), cells AS (
+      SELECT g, rr, bucket, count(*)::BIGINT AS cnt
+      FROM b GROUP BY 1, 2, 3
+    ), q AS (
+      SELECT DISTINCT g, value, rr, bucket FROM b
+    )
+    SELECT q.g AS o_orderstatus, q.value::BIGINT AS value,
+           min(coalesce(c.cnt, 0))::BIGINT AS est
+    FROM q LEFT JOIN cells c USING (g, rr, bucket)
+    GROUP BY 1, 2
+    """,
+)
+def sketch_cm_heavy(spark, sf_dir):
+    """Count-Min heavy-hitter sketch (functions/sketch.py::cm_sketch +
+    cm_query): 4x64 counter cells per order status over customer keys,
+    then every distinct customer point-queried back (est = min of its 4
+    counters). Unlike Misra-Gries/SpaceSaving, CM state is ORDER-
+    independent sums, so both the counters and the integer estimates
+    are exactly reproducible in SQL — the oracle re-derives the cells
+    via an inlined strpos hex polynomial (no conv() in DuckDB).
+    Overestimation (est >= true count) and merge-by-addition are
+    pytest-pinned."""
+    from kgforge.functions.sketch import cm_query, cm_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = cm_sketch(orders, "o_orderstatus", "o_custkey", width=64, depth=4)
+    items = orders.select("o_orderstatus", "o_custkey").dropDuplicates()
+    out = cm_query(
+        sk, items, "o_orderstatus", "o_custkey", width=64, depth=4
+    )
+    return out.select(
+        "o_orderstatus", F.col("value").cast("long").alias("value"), "est"
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

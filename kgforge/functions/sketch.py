@@ -194,3 +194,114 @@ def hll_estimate(
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
     return agg.select(*groups, F.round(est).cast("long").alias("est"))
+
+
+# =====================================================================
+# Count-Min sketch — heavy-hitter counters
+# =====================================================================
+#
+# Cormode & Muthukrishnan 2005: d counter rows of width w; every value
+# increments one counter per row (bucket = hash_seed_i(value) mod w);
+# a point query reads the MIN of its d counters — an overestimate by at
+# most eps*N with probability 1-delta (w = ceil(e/eps), d = ceil(ln
+# 1/delta)). Unlike Misra-Gries/SpaceSaving (whose state depends on
+# arrival ORDER), CM counters are plain SUMS over the multiset — order-
+# independent, mergeable by per-cell addition, and bit-identical on any
+# engine that can md5, so both the sketch AND its point estimates are
+# oracle-checkable integers.
+
+_CM_HEX = 12  # 48 uniform bits per (seed, value) draw
+
+
+def cm_bucket(value: Column, seed: int, width: int) -> Column:
+    """Row-``seed`` counter index of a value: md5('cm<seed>|' || v) mod w.
+
+    48 hex bits -> BIGINT via conv, mod width. Seeded by PREFIXING the
+    value (one md5 per row of the sketch) — the same
+    independent-draws-by-prefix trick as graph random_walks."""
+    h = F.md5(
+        F.encode(
+            F.concat(F.lit(f"cm{seed}|"), value.cast("string")), "UTF-8"
+        )
+    )
+    return (
+        F.conv(F.substring(h, 1, _CM_HEX), 16, 10).cast("long") % width
+    )
+
+
+def cm_sketch(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """-> (group..., row: int, bucket: long, cnt: long) — one record per
+    NON-ZERO counter cell (absent cell == 0).
+
+    Scale shape: one pass emits depth (row, bucket) pairs per input row
+    via an exploded literal seed array, then a single map-side-combining
+    groupBy sums the cells; per-task state is bounded by
+    groups x depth x width ints. Merging sketches from different runs =
+    unionByName + the same groupBy-sum (counters are sums)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+    d = df.where(F.col(value_col).isNotNull())
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cm_bucket(F.col(value_col), i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("c")
+    return (
+        d.select(*groups, rows)
+        .select(*groups, "c.row", "c.bucket")
+        .groupBy(*groups, "row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cm_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query items against a sketch: -> (group..., value, est).
+
+    est = min over the d rows of the addressed counters (missing cell =
+    0, though a queried value that was ever inserted always has all d
+    cells present). All-integer — the estimate is exactly reproducible
+    in SQL, overestimates true frequency by design."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    it = items.where(F.col(value_col).isNotNull()).select(
+        *groups, F.col(value_col).alias("value")
+    )
+    addr = it.select(
+        *groups,
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cm_bucket(F.col("value"), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(*groups, "value", "c.row", "c.bucket")
+    j = addr.join(sketch, on=groups + ["row", "bucket"], how="left")
+    return (
+        j.groupBy(*groups, "value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )

@@ -587,3 +587,58 @@ def test_gapfill_locf_hand_series(spark):
         gapfill_locf(wide, step_us=h, max_buckets=10).collect()
     with pytest.raises(ValueError):
         gapfill_locf(df, step_us=0)
+
+
+def test_cm_sketch_overestimates_and_merges(spark):
+    """CM point estimates are >= true counts (and exact for values whose
+    4 cells are collision-free); merging two sketches by cell addition
+    equals sketching the union; hashlib replays every cell address."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.sketch import cm_query, cm_sketch
+
+    vals = [f"v{i % 50}" for i in range(500)] + ["hot"] * 200
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "row_id long, grp string, val string",
+    )
+    width, depth = 32, 4
+    sk = cm_sketch(df, "grp", "val", width=width, depth=depth)
+
+    # exact cell replay
+    expected: dict[tuple[int, int], int] = {}
+    for v in vals:
+        for r in range(depth):
+            h = hashlib.md5(f"cm{r}|{v}".encode()).hexdigest()
+            b = int(h[:12], 16) % width
+            expected[(r, b)] = expected.get((r, b), 0) + 1
+    got = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    assert got == expected
+
+    items = df.select("grp", "val").dropDuplicates()
+    est = {
+        r.value: r.est
+        for r in cm_query(sk, items, "grp", "val", width=width, depth=depth).collect()
+    }
+    from collections import Counter
+
+    true = Counter(vals)
+    assert all(est[v] >= c for v, c in true.items())
+    assert est["hot"] >= 200  # heavy hitter dominates its cells
+
+    # merge = union
+    a = cm_sketch(df.where(F.col("row_id") % 2 == 0), "grp", "val", width=width, depth=depth)
+    b = cm_sketch(df.where(F.col("row_id") % 2 == 1), "grp", "val", width=width, depth=depth)
+    merged = (
+        a.unionByName(b)
+        .groupBy("grp", "row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert {(r.row, r.bucket): r.cnt for r in merged.collect()} == expected
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cm_sketch(df, "grp", "val", width=1)
