@@ -305,3 +305,85 @@ def cm_query(
         j.groupBy(*groups, "value")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
     )
+
+
+# =====================================================================
+# Bloom filter — set-membership bits
+# =====================================================================
+#
+# Same portability rule as CM: bit addresses come from seed-prefixed
+# md5, so the SET-BIT TABLE (group, bit) is a pure function of the key
+# set — mergeable by DISTINCT union (bitwise OR) and exactly
+# reproducible in SQL. The classic use at scale is a semi-join
+# pre-filter: ship a few KB of bits instead of shuffling the big side
+# (Spark's own runtime row-group skipping plays the same trick).
+
+def bloom_bit(value: Column, seed: int, m_bits: int) -> Column:
+    """Row-``seed`` bit index of a value: md5('bf<seed>|' || v) mod m."""
+    h = F.md5(
+        F.encode(
+            F.concat(F.lit(f"bf{seed}|"), value.cast("string")), "UTF-8"
+        )
+    )
+    return F.conv(F.substring(h, 1, _CM_HEX), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """-> (group..., bit: long) — the DISTINCT set bits per group.
+
+    One exploded-seed pass + dropDuplicates (map-side partial dedup);
+    per-task state bounded by groups x m_bits. Merge = unionByName +
+    dropDuplicates (set OR)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if m_bits < 2 or k < 1:
+        raise ValueError("need m_bits >= 2 and k >= 1")
+    d = df.where(F.col(value_col).isNotNull())
+    bits = F.explode(
+        F.array(
+            *[bloom_bit(F.col(value_col), i, m_bits) for i in range(k)]
+        )
+    ).alias("bit")
+    return d.select(*groups, bits).dropDuplicates(groups + ["bit"])
+
+
+def bloom_probe(
+    bits: DataFrame,
+    items: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """-> (group..., value, maybe: boolean) — true iff ALL k addressed
+    bits are set (no false negatives; false-positive rate set by the
+    m/n/k budget). Integer/boolean throughout — oracle-exact."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    it = items.where(F.col(value_col).isNotNull()).select(
+        *groups, F.col(value_col).alias("value")
+    )
+    addr = it.select(
+        *groups,
+        "value",
+        F.explode(
+            F.array(
+                *[bloom_bit(F.col("value"), i, m_bits) for i in range(k)]
+            )
+        ).alias("bit"),
+    )
+    j = addr.join(bits, on=groups + ["bit"], how="left_semi")
+    hits = j.groupBy(*groups, "value").agg(F.count("*").alias("__hits"))
+    return (
+        it.dropDuplicates(groups + ["value"])
+        .join(hits, on=groups + ["value"], how="left")
+        .select(
+            *groups,
+            "value",
+            (F.coalesce("__hits", F.lit(0)) == k).alias("maybe"),
+        )
+    )

@@ -642,3 +642,52 @@ def test_cm_sketch_overestimates_and_merges(spark):
 
     with _pt.raises(ValueError):
         cm_sketch(df, "grp", "val", width=1)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value probes true; fp rate stays under the budget
+    on a disjoint probe set; merged filters == filter of the union;
+    hashlib replays the bit table."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.sketch import bloom_build, bloom_probe
+
+    members = [f"m{i}" for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(members)],
+        "row_id long, grp string, val string",
+    )
+    m_bits, k = 4096, 4
+    bits = bloom_build(df, "grp", "val", m_bits=m_bits, k=k)
+    expected = set()
+    for v in members:
+        for s in range(k):
+            h = hashlib.md5(f"bf{s}|{v}".encode()).hexdigest()
+            expected.add(int(h[:12], 16) % m_bits)
+    assert {r.bit for r in bits.collect()} == expected
+
+    probes = members + [f"x{i}" for i in range(500)]
+    items = spark.createDataFrame(
+        [("g", v) for v in probes], "grp string, val string"
+    )
+    got = {
+        r.value: r.maybe
+        for r in bloom_probe(bits, items, "grp", "val", m_bits=m_bits, k=k).collect()
+    }
+    assert all(got[v] for v in members)  # no false negatives
+    fp = sum(got[f"x{i}"] for i in range(500)) / 500
+    # n=200, m=4096, k=4 -> theoretical fp ~0.24%; allow generous slack
+    assert fp < 0.05, fp
+
+    # merge = union (distinct OR)
+    a = bloom_build(df.where(F.col("row_id") % 2 == 0), "grp", "val", m_bits=m_bits, k=k)
+    b = bloom_build(df.where(F.col("row_id") % 2 == 1), "grp", "val", m_bits=m_bits, k=k)
+    merged = a.unionByName(b).dropDuplicates(["grp", "bit"])
+    assert {r.bit for r in merged.collect()} == expected
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bloom_build(df, "grp", "val", m_bits=1)
