@@ -6494,6 +6494,75 @@ def sketch_bloom_probe(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_luby_mis",
+    """
+    WITH pe AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS (
+      SELECT src, dst FROM pe UNION SELECT dst, src FROM pe
+    ), prs AS (
+      SELECT DISTINCT src AS v,
+             md5('mis|' || src::VARCHAR) || lpad(src::VARCHAR, 20, '0') AS pr
+      FROM sym
+    ), m0 AS (
+      SELECT e.src AS v, min(p.pr) AS mn
+      FROM sym e JOIN prs p ON p.v = e.dst GROUP BY 1
+    ), w0 AS (
+      SELECT a.v FROM prs a LEFT JOIN m0 ON m0.v = a.v
+      WHERE m0.mn IS NULL OR a.pr < m0.mn
+    ), d0 AS (
+      SELECT v FROM w0
+      UNION
+      SELECT e.src FROM sym e JOIN w0 ON e.dst = w0.v
+    ), a1 AS (
+      SELECT v FROM prs EXCEPT SELECT v FROM d0
+    ), e1 AS (
+      SELECT e.src, e.dst FROM sym e
+      JOIN a1 x ON e.src = x.v JOIN a1 y ON e.dst = y.v
+    ), p1 AS (
+      SELECT p.v, p.pr FROM prs p JOIN a1 USING (v)
+    ), m1 AS (
+      SELECT e.src AS v, min(p.pr) AS mn
+      FROM e1 e JOIN p1 p ON p.v = e.dst GROUP BY 1
+    ), w1 AS (
+      SELECT a.v FROM p1 a LEFT JOIN m1 ON m1.v = a.v
+      WHERE m1.mn IS NULL OR a.pr < m1.mn
+    )
+    SELECT v::BIGINT AS id
+    FROM (SELECT v FROM w0 UNION SELECT v FROM w1) u ORDER BY id
+    """,
+)
+def graph_luby_mis(spark, sf_dir):
+    """Derandomized Luby MIS (plans/graph_query.py::
+    maximal_independent_set), two fixed rounds on the symmetrized parts
+    co-purchase graph. Priorities are md5-of-id with a zero-padded id
+    tiebreak — strictly distinct, so winners (priority beats every
+    alive neighbor) are a pure function of the graph and the oracle
+    unrolls both rounds exactly. Independence + maximality at the
+    fixpoint are pytest-pinned against a Python replay."""
+    from kgforge.plans.graph_query import maximal_independent_set
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    out = maximal_independent_set(pe, rounds=2)
+    return out.select(F.col("id").cast("long")).orderBy("id")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

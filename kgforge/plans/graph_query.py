@@ -886,6 +886,77 @@ def k_truss(
     return und
 
 
+def maximal_independent_set(
+    edges: DataFrame, rounds: int | None = None, max_rounds: int = 32,
+    seed: str = "mis",
+) -> DataFrame:
+    """Luby's maximal independent set, derandomized: -> (id).
+
+    The coordination-free parallel selection primitive (Luby 1986):
+    each round, a node joins the set iff its priority beats every ALIVE
+    neighbor's; winners and their neighbors leave the graph. Priorities
+    are md5('<seed>|' || id) || zero-padded id — a deterministic uniform
+    draw with strictly distinct keys (the random_walks trick), so the
+    result is a pure function of the graph + seed and a fixed-round
+    unroll is SQL-reproducible (the k_core/k_truss gate contract).
+    Expected O(log n) rounds to the fixpoint; per round one min-
+    aggregate over edges + two anti-joins, localCheckpoint hygiene.
+    Direction is ignored (symmetrized internally); isolated-by-peeling
+    nodes win automatically (no alive neighbor)."""
+    pr_expr = F.concat(
+        F.md5(F.encode(
+            F.concat(F.lit(f"{seed}|"), F.col("id").cast("string")), "UTF-8"
+        )),
+        F.lpad(F.col("id").cast("string"), 20, "0"),
+    )
+    fwd = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    alive = (
+        sym.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .select("id", pr_expr.alias("pr"))
+        .localCheckpoint()
+    )
+    e = sym
+    mis = None
+    n_rounds = rounds if rounds is not None else max_rounds
+    for _ in range(n_rounds):
+        if alive.isEmpty():
+            break
+        minp = (
+            e.join(alive.select(F.col("id").alias("dst"), "pr"), on="dst")
+            .groupBy("src")
+            .agg(F.min("pr").alias("mn"))
+        )
+        win = (
+            alive.join(minp, alive["id"] == minp["src"], "left")
+            .where(F.col("mn").isNull() | (F.col("pr") < F.col("mn")))
+            .select("id")
+            .localCheckpoint()
+        )
+        mis = win if mis is None else mis.unionByName(win).localCheckpoint()
+        dead = win.unionByName(
+            e.join(win.withColumnRenamed("id", "dst"), on="dst").select(
+                F.col("src").alias("id")
+            )
+        ).dropDuplicates()
+        alive = alive.join(dead, on="id", how="left_anti").localCheckpoint()
+        e = (
+            e.join(alive.select(F.col("id").alias("src")), on="src", how="left_semi")
+            .join(alive.select(F.col("id").alias("dst")), on="dst", how="left_semi")
+            .localCheckpoint()
+        )
+    if mis is None:
+        return alive.select("id").limit(0)
+    return mis.dropDuplicates()
+
+
 def hyperball_registers(
     edges: DataFrame, rounds: int = 2, p: int = 8
 ) -> DataFrame:

@@ -794,3 +794,57 @@ def test_hyperball_registers_equal_exact_closure(spark):
     }
     for v, members in ball3.items():
         assert abs(est[v] - len(members)) <= 2, (v, est[v], len(members))
+
+
+def test_luby_mis_python_replay_and_properties(spark):
+    """Fixed-round winners replay exactly in Python (hashlib
+    priorities); the fixpoint set is independent AND maximal."""
+    import hashlib
+    import random
+
+    from kgforge.plans.graph_query import maximal_independent_set
+
+    rng = random.Random(11)
+    und = set()
+    while len(und) < 80:
+        u, v = rng.sample(range(40), 2)
+        und.add((min(u, v), max(u, v)))
+    df = spark.createDataFrame(sorted(und), "src long, dst long")
+
+    def prio(v):
+        return hashlib.md5(f"mis|{v}".encode()).hexdigest() + str(v).zfill(20)
+
+    def replay(rounds):
+        adj: dict[int, set[int]] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        mis: set[int] = set()
+        for _ in range(rounds):
+            if not alive:
+                break
+            win = {
+                v
+                for v in alive
+                if all(prio(v) < prio(u) for u in adj[v] if u in alive)
+            }
+            mis |= win
+            dead = set(win)
+            for w in win:
+                dead |= adj[w] & alive
+            alive -= dead
+        return mis, alive
+
+    for rounds in (1, 2, 3):
+        got = {r.id for r in maximal_independent_set(df, rounds=rounds).collect()}
+        assert got == replay(rounds)[0], rounds
+
+    # fixpoint: independent and maximal
+    fix = {r.id for r in maximal_independent_set(df).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert all(not (adj[v] & fix) for v in fix)          # independent
+    assert all(v in fix or (adj[v] & fix) for v in adj)  # maximal
