@@ -6563,6 +6563,48 @@ def graph_luby_mis(spark, sf_dir):
     return out.select(F.col("id").cast("long")).orderBy("id")
 
 
+# Morton interleave of the low 16 bits of x (even positions) and y (odd)
+# as a (v // 2^i) % 2 polynomial — DuckDB-portable twin of
+# sinks/zorder.py::zorder_key's shiftright/bitwiseAND form.
+_Z16_POLY = " + ".join(
+    f"((x // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((y // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(16)
+)
+
+
+@_q(
+    "layout_zorder_key",
+    f"""
+    WITH v AS (
+      SELECT o_orderkey, o_custkey % 65536 AS x, o_orderkey % 65536 AS y
+      FROM orders
+    )
+    SELECT o_orderkey::BIGINT AS o_orderkey, ({_Z16_POLY})::BIGINT AS zkey
+    FROM v
+    """,
+)
+def layout_zorder_key(spark, sf_dir):
+    """Morton/Z-order clustering key (sinks/zorder.py::zorder_key): the
+    Delta/Iceberg OPTIMIZE ZORDER primitive — interleaved bits of
+    (custkey, orderkey) so a range-partitioned write gives every file a
+    small RECTANGLE in key space and footer min/max prune on EITHER
+    dimension. Spark derives it with shiftright/bitwiseAND, the oracle
+    with a generated (v // 2^i) %% 2 polynomial — bit-identical BIGINTs.
+    The layout itself (files = Morton rectangles, two-dimensional
+    skipping beats a one-column sort) is pytest-pinned via parquet
+    footers in test_sharding."""
+    from kgforge.sinks.zorder import zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        zorder_key(F.col("o_custkey"), F.col("o_orderkey"), bits=16).alias(
+            "zkey"
+        ),
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -705,3 +705,66 @@ def test_weighted_sample_is_scan_side_filter(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """shiftright/bitwiseAND Morton key == pure-Python bit interleave,
+    including negative inputs (pmod wrap) and the bits guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kgforge.sinks.zorder import zorder_key
+
+    vals = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (-1, 7),
+            (123456, 654321), (40000, 1)]
+    df = spark.createDataFrame(vals, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_key(F.col("x"), F.col("y"), bits=16).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y, bits=16):
+        x %= 1 << bits
+        y %= 1 << bits
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in vals]
+    with pytest.raises(ValueError):
+        zorder_key(F.col("x"), F.col("y"), bits=0)
+
+
+def test_zordered_layout_prunes_both_dimensions(spark, workdir):
+    """Files of a z-ordered write cover small (x, y) rectangles: a
+    narrow band on EITHER dimension intersects only a fraction of the
+    files' footer ranges, while an x-sorted layout cannot skip on y."""
+    from pyspark.sql import functions as F
+
+    from kgforge.sinks.bucketed import file_ranges, write_range_partitioned
+    from kgforge.sinks.zorder import write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / 128).cast("long").alias("y"),
+    )
+    zpath = write_zordered(df, f"{workdir}/z", ("x", "y"), bits=7, n_files=16)
+    lpath = write_range_partitioned(df, f"{workdir}/lin", col="x", n_partitions=16)
+
+    def hit_fraction(path, col, lo, hi):
+        rngs = file_ranges(path, col)
+        assert rngs, path
+        hits = sum(1 for _, mn, mx in rngs if not (mx < lo or mn > hi))
+        return hits / len(rngs)
+
+    # a 1/8-wide band on either dim touches only a few Morton rectangles
+    assert hit_fraction(zpath, "x", 0, 15) <= 0.5
+    assert hit_fraction(zpath, "y", 0, 15) <= 0.5
+    # the x-sorted layout prunes x but cannot skip anything on y
+    assert hit_fraction(lpath, "x", 0, 15) <= 0.25
+    assert hit_fraction(lpath, "y", 0, 15) == 1.0
