@@ -6605,6 +6605,67 @@ def layout_zorder_key(spark, sf_dir):
     )
 
 
+@_q(
+    "snapshot_diff_cdc",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), n AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ), j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             o.o_orderkey AS ok, n.o_orderkey AS nk,
+             (o.o_custkey IS DISTINCT FROM n.o_custkey) AS d1,
+             (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS d2,
+             (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority) AS d3
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT k::BIGINT AS o_orderkey,
+           CASE WHEN ok IS NULL THEN 'added'
+                WHEN nk IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN
+             concat_ws(',', CASE WHEN d1 THEN 'o_custkey' END,
+                            CASE WHEN d2 THEN 'o_orderstatus' END,
+                            CASE WHEN d3 THEN 'o_orderpriority' END)
+           ELSE '' END AS changed_cols
+    FROM j WHERE ok IS NULL OR nk IS NULL OR d1 OR d2 OR d3
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_diff_cdc(spark, sf_dir):
+    """Snapshot diff / change-data capture (operators/diff.py::
+    snapshot_diff): two deterministic versions of orders (drop-by-mod
+    membership, status rewrite on a third mod class) diffed into
+    added/removed/changed rows with the exact NULL-safe changed-column
+    set. ONE co-partitioned full-outer join + codegen compares — the
+    relational Delta-CDF audit, whose output drives incremental
+    downstream refreshes (only changed keys re-enter the pipeline)."""
+    from kgforge.operators.diff import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    old = base.where(k % 3 != 0)
+    new = base.where(k % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(k % 5 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    out = snapshot_diff(
+        old, new, "o_orderkey",
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    return out.select(
+        F.col("o_orderkey").cast("long"), "change", "changed_cols"
+    ).orderBy("o_orderkey")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

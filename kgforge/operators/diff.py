@@ -1,0 +1,79 @@
+"""Snapshot diffing — change-data capture between two table versions.
+
+The lakehouse audit primitive (Delta CDF / Iceberg changelog, computed
+relationally): given OLD and NEW versions of a keyed table, emit one row
+per changed key with the change kind and the exact set of columns that
+moved. At 100 TB the point is that this is ONE full-outer join on the
+key (co-partitioned both sides) + column compares in WholeStageCodegen —
+never a row-by-row reconciliation loop — and its output feeds
+incremental downstream refreshes (only `changed`/`added` keys re-enter
+the pipeline, the `dedup_against` pattern).
+
+Semantics: `added` (key only in NEW), `removed` (key only in OLD),
+`changed` (key in both, at least one compared column differs under
+NULL-SAFE comparison). Unchanged keys are dropped. ``changed_cols`` is
+the comma-joined list of differing columns in the caller's column order
+— a string, not an array, so cross-engine compares are trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """-> (keys..., change: string, changed_cols: string).
+
+    ``compare_cols`` defaults to all shared non-key columns. NULL-safe:
+    NULL -> value and value -> NULL both count as changes; NULL -> NULL
+    does not (eqNullSafe)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in old.columns
+            if c in set(new.columns) and c not in set(key_list)
+        ]
+    for c in compare_cols:
+        if c not in old.columns or c not in new.columns:
+            raise ValueError(f"compare column {c!r} missing from a side")
+    o = old.select(
+        *key_list, *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_o"),
+    )
+    n = new.select(
+        *key_list, *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_n"),
+    )
+    j = o.join(n, on=key_list, how="full_outer")
+    diffs = [
+        F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_cols = F.array_join(
+        F.array_compact(F.array(*diffs)) if diffs else F.array(), ","
+    )
+    change = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(changed_cols != "", F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .withColumn(
+            "changed_cols",
+            F.when(F.col("change") == "changed", changed_cols).otherwise(
+                F.lit("")
+            ),
+        )
+        .select(*key_list, "change", "changed_cols")
+    )
