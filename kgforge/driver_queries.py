@@ -6666,6 +6666,40 @@ def snapshot_diff_cdc(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+@_q(
+    "stats_equidepth_hist",
+    """
+    WITH v AS (
+      SELECT o_totalprice AS val, o_orderkey AS k
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT val, (row_number() OVER (ORDER BY val, k) - 1) AS rn,
+             count(*) OVER () AS tot
+      FROM v
+    )
+    SELECT ((rn * 16) // tot)::BIGINT AS bucket,
+           count(*)::BIGINT AS cnt, min(val) AS lo, max(val) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def stats_equidepth_hist(spark, sf_dir):
+    """Exact equi-depth histogram (functions/sharding.py::
+    equidepth_histogram): 16 buckets over order totals, sizes within
+    one row of each other. Global rank via the shared two-phase
+    distributed prefix-sum — the oracle's row_number() OVER (ORDER BY
+    ...) is the single-task shape the operator exists to avoid; this
+    gate proves the distributed ranks equal it. Tie-break on
+    o_orderkey makes the boundary assignment deterministic."""
+    from kgforge.functions.sharding import equidepth_histogram
+
+    return equidepth_histogram(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        n_buckets=16,
+        key_col="o_orderkey",
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -428,3 +428,62 @@ def sample_exact_k(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 16,
+    key_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT equi-depth histogram: (bucket, cnt, lo, hi), bucket sizes
+    differing by at most one row.
+
+    The profiling primitive behind range partitioners and optimizer
+    NDV/selectivity stats — computed exactly, not sampled: global rank
+    comes from the SAME two-phase distributed prefix-sum as
+    token_shards (range repartition -> one total per partition to the
+    driver -> local windows), so no single task ever sees more than its
+    partition. A plain ``ntile() OVER (ORDER BY v)`` collapses the
+    whole table into ONE ordering task — the shape this avoids. Ties
+    break by ``key_col`` (default: the value itself — equal values may
+    then straddle a bucket boundary deterministically by range order;
+    pass a unique key for full determinism guarantees).
+    bucket = floor(rank * n_buckets / total), rank 0-based.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    tie = key_col if key_col is not None else value_col
+    d = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.struct(
+                F.col(value_col).alias("v"), F.col(tie).alias("k")
+            ).alias("__ek")
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    ranked = _prior_running(d, "__ek", "__one", num_partitions)
+    total = ranked.count()
+    if total == 0:
+        return ranked.select(
+            F.lit(0).cast("long").alias("bucket"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.col("__ek.v").alias("lo"),
+            F.col("__ek.v").alias("hi"),
+        ).limit(0)
+    return (
+        ranked.select(
+            F.floor(
+                (F.col("__run") * n_buckets) / F.lit(total)
+            ).cast("long").alias("bucket"),
+            F.col("__ek.v").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

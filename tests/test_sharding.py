@@ -768,3 +768,41 @@ def test_zordered_layout_prunes_both_dimensions(spark, workdir):
     # the x-sorted layout prunes x but cannot skip anything on y
     assert hit_fraction(lpath, "x", 0, 15) <= 0.25
     assert hit_fraction(lpath, "y", 0, 15) == 1.0
+
+
+def test_equidepth_histogram_exact_and_layout_independent(spark):
+    """Bucket sizes within one row; serial-scan twin agrees at 1/3/16
+    partitions; empty input yields an empty frame; n_buckets guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.sharding import equidepth_histogram
+
+    vals = [(i, float((i * 37) % 101)) for i in range(333)]
+    df = spark.createDataFrame(vals, "k long, v double")
+
+    ordered = sorted(vals, key=lambda t: (t[1], t[0]))
+    total = len(ordered)
+    n = 8
+    expected: dict[int, list[float]] = {}
+    for rank, (_, v) in enumerate(ordered):
+        expected.setdefault(rank * n // total, []).append(v)
+    exp = {
+        b: (len(vs), min(vs), max(vs)) for b, vs in expected.items()
+    }
+
+    for parts in (1, 3, 16):
+        got = {
+            r.bucket: (r.cnt, r.lo, r.hi)
+            for r in equidepth_histogram(
+                df.repartition(parts), "v", n_buckets=n, key_col="k"
+            ).collect()
+        }
+        assert got == exp, parts
+    sizes = [c for c, _, _ in exp.values()]
+    assert max(sizes) - min(sizes) <= 1
+
+    empty = equidepth_histogram(df.where(F.col("v") < 0), "v", n_buckets=4)
+    assert empty.count() == 0
+    with pytest.raises(ValueError):
+        equidepth_histogram(df, "v", n_buckets=0)
