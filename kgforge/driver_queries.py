@@ -6700,6 +6700,64 @@ def stats_equidepth_hist(spark, sf_dir):
     )
 
 
+_SOUNDEX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_CODES = ".123.12-.22455.12623.1-2.2"
+_SOUNDEX_COLLAPSE_SQL = "t"
+for _d in "123456":
+    _SOUNDEX_COLLAPSE_SQL = (
+        f"regexp_replace({_SOUNDEX_COLLAPSE_SQL},"
+        f" '{_d}(?:-*{_d})+', '{_d}', 'g')"
+    )
+
+
+@_q(
+    "text_soundex_keys",
+    rf"""
+    WITH w AS (
+      SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), u AS (
+      SELECT w, upper(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS u FROM w
+    ), t0 AS (
+      SELECT w, u, translate(u, '{_SOUNDEX_ALPHA}', '{_SOUNDEX_CODES}') AS t
+      FROM u WHERE length(u) > 0
+    ), c AS (
+      SELECT w, u, {_SOUNDEX_COLLAPSE_SQL} AS t FROM t0
+    )
+    SELECT w,
+           substr(u, 1, 1)
+           || rpad(substr(regexp_replace(substr(t, 2), '[.-]', '', 'g'),
+                          1, 3), 3, '0') AS sdx
+    FROM c
+    """,
+)
+def text_soundex_keys(spark, sf_dir):
+    """Portable American Soundex (functions/phonetic.py::
+    soundex_portable) over the distinct corpus vocabulary — the
+    record-linkage blocking key. RE2 has no backreferences, so the
+    duplicate-collapse runs as six per-digit backref-free
+    regexp_replace steps; H/W transparency (the NARA rule) rides a '-'
+    sentinel and vowels block via '.'. The oracle executes the SAME
+    translate + regexp chain; the NARA test vector and the blocking
+    join are pytest-pinned."""
+    from kgforge.functions.phonetic import soundex_portable
+    from kgforge.functions.textstats import _WS
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), _WS)
+            ).alias("w")
+        )
+        .dropDuplicates()
+    )
+    return w.select("w", soundex_portable(F.col("w")).alias("sdx")).where(
+        F.col("sdx").isNotNull()
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================
