@@ -691,3 +691,39 @@ def test_bloom_no_false_negatives_and_merge(spark):
 
     with _pt.raises(ValueError):
         bloom_build(df, "grp", "val", m_bits=1)
+
+
+def test_session4_event_ops_all_jvm(spark):
+    """retention, gapfill, co-occurrence, NB training, and the sketch
+    family stay entirely JVM-side — no Python evaluation nodes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kgforge.functions.classify import nb_train
+    from kgforge.functions.funnel import retention_cohorts
+    from kgforge.functions.rollup import gapfill_locf
+    from kgforge.functions.sketch import bloom_build, cm_sketch, hll_registers
+    from kgforge.functions.textstats import cooccurrence_counts
+
+    import datetime as _dt
+
+    ev = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1, 0, 0, 5), "view", 1.0)],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    frames = [
+        retention_cohorts(ev),
+        gapfill_locf(ev),
+        cooccurrence_counts(docs, window=2, min_count=1),
+        nb_train(docs, "lang").token_df,
+        hll_registers(docs, "lang", "text"),
+        cm_sketch(docs, "lang", "text", width=8, depth=2),
+        bloom_build(docs, "lang", "text", m_bits=64, k=2),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan[:400]
+        assert "ArrowEvalPython" not in plan, plan[:400]
+        assert "CartesianProduct" not in plan, plan[:400]

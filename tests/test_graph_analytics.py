@@ -848,3 +848,29 @@ def test_luby_mis_python_replay_and_properties(spark):
         adj.setdefault(b, set()).add(a)
     assert all(not (adj[v] & fix) for v in fix)          # independent
     assert all(v in fix or (adj[v] & fix) for v in adj)  # maximal
+
+
+def test_session4_graph_plans_no_cartesian_no_python(spark):
+    """k-truss edge support, HyperBall rounds, and Luby MIS compile to
+    equi-join plans: no CartesianProduct/BroadcastNestedLoopJoin and no
+    Python evaluation anywhere."""
+    from kgforge.plans.graph_query import (
+        _edge_support,
+        hyperball_registers,
+        maximal_independent_set,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0)], "src long, dst long"
+    )
+    und = edges.selectExpr("least(src,dst) AS a", "greatest(src,dst) AS b")
+    for df in (
+        _edge_support(und),
+        hyperball_registers(edges, rounds=1),
+        maximal_independent_set(edges, rounds=1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
