@@ -80,6 +80,11 @@ HEADLINE = [
     "text_tfidf_topk",
     "graph_hits",
     "events_asof_forward",
+    # r5 session-4 additions (new rows vs earlier BENCH — not regressions)
+    "sketch_hll_registers",
+    "text_cooccurrence",
+    "stats_equidepth_hist",
+    "graph_hyperball",
 ]
 
 
