@@ -869,6 +869,61 @@ class KnowledgeGraph:
             .select("label_a", "key_a", "label_b", "key_b")
         )
 
+    def independent_set(
+        self, relation: str | None = None, rounds: int | None = None
+    ) -> DataFrame:
+        """Entities forming a maximal independent set of the undirected
+        edge projection: (label, key) — derandomized Luby
+        (plans/graph_query.maximal_independent_set). The standard
+        pick-non-conflicting-representatives primitive (e.g. choose
+        audit samples no two of which are directly related)."""
+        from kgforge.plans.graph_query import maximal_independent_set
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        mis = maximal_independent_set(
+            e.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            ),
+            rounds=rounds,
+        )
+        return (
+            self.nodes()
+            .select(F.col("node_id").alias("id"), "label", "key")
+            .join(mis, on="id", how="left_semi")
+            .select("label", "key")
+        )
+
+    def neighborhood_sizes(
+        self, radius: int = 2, relation: str | None = None, p: int = 8
+    ) -> DataFrame:
+        """Approximate distance-<=radius ball size per entity:
+        (label, key, est) — HyperBall over the undirected projection
+        (plans/graph_query.hyperball_registers + hll_estimate). The
+        web-scale neighborhood-function primitive: per-entity state is
+        2^p registers regardless of ball size."""
+        from kgforge.functions.sketch import hll_estimate
+        from kgforge.plans.graph_query import hyperball_registers
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        sym = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates()
+        regs = hyperball_registers(sym, rounds=radius, p=p)
+        est = hll_estimate(regs, "id", p=p)
+        return (
+            self.nodes()
+            .select(F.col("node_id").alias("id"), "label", "key")
+            .join(est, on="id")
+            .select("label", "key", "est")
+        )
+
     def node_similarity(
         self,
         relation: str | None = None,

@@ -398,3 +398,34 @@ def test_facade_random_walks(kg):
         assert hops[0] == r.start_key and len(hops) == 3
         for a, b in zip(hops, hops[1:]):
             assert (a, b) in legal
+
+
+def test_facade_k_truss_independent_set_neighborhood(kg):
+    """Session-4 graph facades on the ACTED_IN star: bipartite graphs
+    have no triangles (k_truss empty); the MIS is either the hub or all
+    leaves, never a mix; radius-1 HyperBall sizes match exact degrees
+    in the linear-counting regime."""
+    kg.add_nodes(
+        [("Actor", {"name": f"A{i}"}) for i in range(3)]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie",
+             {"name": f"A{i}"}, {"title": "M"}, {})
+            for i in range(3)
+        ]
+    )
+    assert kg.k_truss(k=3).count() == 0  # bipartite: no triangles
+
+    mis = {(r.label, r.key) for r in kg.independent_set().collect()}
+    actors = {("Actor", f"A{i}") for i in range(3)}
+    assert mis == {("Movie", "M")} or mis == actors
+
+    sizes = {
+        (r.label, r.key): r.est
+        for r in kg.neighborhood_sizes(radius=1).collect()
+    }
+    assert sizes[("Movie", "M")] in (3, 4)  # self + 3 actors, +-collision
+    for i in range(3):
+        assert sizes[("Actor", f"A{i}")] == 2
