@@ -6758,6 +6758,85 @@ def text_soundex_keys(spark, sf_dir):
     )
 
 
+@_q(
+    "sketch_kmv_setops",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), pts AS (
+      SELECT DISTINCT lang, substr(md5(w), 1, 12) AS h FROM tok
+    ), bk AS (
+      SELECT lang, h FROM (
+        SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM pts
+      ) WHERE rn <= 128
+    ), langs AS (SELECT DISTINCT lang FROM bk),
+    pr AS (
+      SELECT a.lang AS la, b.lang AS lb
+      FROM langs a JOIN langs b ON a.lang < b.lang
+    ), m AS (
+      SELECT DISTINCT pr.la, pr.lb, bk.h
+      FROM pr JOIN bk ON bk.lang = pr.la OR bk.lang = pr.lb
+    ), cut AS (
+      SELECT la, lb, h FROM (
+        SELECT la, lb, h,
+               row_number() OVER (PARTITION BY la, lb ORDER BY h) AS rn
+        FROM m
+      ) WHERE rn <= 128
+    )
+    SELECT c.la AS lang_a, c.lb AS lang_b,
+           count(*)::BIGINT AS n_union,
+           sum(CASE WHEN EXISTS (SELECT 1 FROM bk x
+                                 WHERE x.lang = c.la AND x.h = c.h)
+                     AND EXISTS (SELECT 1 FROM bk y
+                                 WHERE y.lang = c.lb AND y.h = c.h)
+                THEN 1 ELSE 0 END)::BIGINT AS inter_cnt,
+           max(c.h) AS union_kth
+    FROM cut c GROUP BY 1, 2
+    """,
+)
+def sketch_kmv_setops(spark, sf_dir):
+    """Theta-sketch set operations (functions/sketch.py::
+    kmv_intersect_count): per language pair, the union bottom-128
+    sample of word hashes and how many of its points occur in BOTH
+    languages' sketches — the cross-corpus vocabulary-overlap estimate
+    computed from sketch state alone (the two corpora never join).
+    All artifacts (cut size, intersection count, k-th point) are pure
+    data functions; jaccard/intersection ESTIMATES derive from them
+    (pytest-pinned against exact overlaps)."""
+    from kgforge.functions.sketch import kmv_intersect_count, kmv_merge
+    from kgforge.functions.textstats import _WS
+
+    k = 128
+    words = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), _WS)
+            ).alias("w"),
+        )
+    )
+    from kgforge.functions.sketch import kmv_sketch
+
+    sk = kmv_sketch(words, "lang", "w", k=k)
+    a = sk.select(F.col("lang").alias("lang_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("lang").alias("lang_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("lang_a") < F.col("lang_b"))
+    cut = kmv_merge(F.col("ka"), F.col("kb"), k)
+    return pairs.select(
+        "lang_a",
+        "lang_b",
+        F.size(cut).cast("long").alias("n_union"),
+        kmv_intersect_count(F.col("ka"), F.col("kb"), k).alias("inter_cnt"),
+        F.element_at(cut, F.size(cut)).alias("union_kth"),
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -387,3 +387,35 @@ def bloom_probe(
             (F.coalesce("__hits", F.lit(0)) == k).alias("maybe"),
         )
     )
+
+
+# =====================================================================
+# KMV set operations — theta-sketch intersection / Jaccard
+# =====================================================================
+#
+# The bottom-k union IS a uniform sample of A ∪ B (theta sketches,
+# Dasgupta et al.): merge the two k-arrays, re-cut at k, and count how
+# many surviving points appear in BOTH inputs. jaccard ≈ inter/|cut|,
+# |A ∩ B| ≈ jaccard * est(A ∪ B). The artifacts (cut array, counts) are
+# pure data functions — oracle-checkable like the sketches themselves.
+
+def kmv_intersect_count(kmv_a: Column, kmv_b: Column, k: int = 256) -> Column:
+    """Number of union-bottom-k points present in BOTH sketches (long).
+
+    The theta-sketch intersection numerator: exact integers, no RNG.
+    NOTE the denominator is ``size(kmv_merge(a, b, k))``, not k — sub-k
+    unions make the estimate exact."""
+    cut = kmv_merge(kmv_a, kmv_b, k)
+    both = F.filter(
+        cut,
+        lambda h: F.array_contains(kmv_a, h) & F.array_contains(kmv_b, h),
+    )
+    return F.size(both).cast("long")
+
+
+def kmv_jaccard(kmv_a: Column, kmv_b: Column, k: int = 256) -> Column:
+    """Jaccard-similarity estimate (double): intersection fraction of
+    the union's bottom-k sample. Estimator — deterministic per engine;
+    the cross-engine-exact artifacts are the counts."""
+    cut = kmv_merge(kmv_a, kmv_b, k)
+    return kmv_intersect_count(kmv_a, kmv_b, k) / F.size(cut)

@@ -727,3 +727,40 @@ def test_session4_event_ops_all_jvm(spark):
         assert "BatchEvalPython" not in plan, plan[:400]
         assert "ArrowEvalPython" not in plan, plan[:400]
         assert "CartesianProduct" not in plan, plan[:400]
+
+
+def test_kmv_setops_estimates_track_exact_overlap(spark):
+    """Intersection/Jaccard estimates from sketch state track the exact
+    set overlap on controlled vocabularies (shared block + disjoint
+    tails); disjoint sets give 0; identical sets give jaccard 1."""
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.sketch import (
+        kmv_intersect_count, kmv_jaccard, kmv_merge, kmv_sketch,
+    )
+
+    shared = [f"s{i}" for i in range(400)]
+    a_only = [f"a{i}" for i in range(600)]
+    b_only = [f"b{i}" for i in range(600)]
+    rows = (
+        [("A", w) for w in shared + a_only]
+        + [("B", w) for w in shared + b_only]
+        + [("C", w) for w in a_only]  # disjoint from B
+    )
+    df = spark.createDataFrame(rows, "grp string, w string")
+    k = 128
+    sk = kmv_sketch(df, "grp", "w", k=k)
+    s = {r.grp: r.kmv for r in sk.collect()}
+    two = spark.createDataFrame([(s["A"], s["B"]), (s["A"], s["A"]), (s["B"], s["C"])],
+                                "x array<string>, y array<string>")
+    out = two.select(
+        kmv_intersect_count(F.col("x"), F.col("y"), k).alias("inter"),
+        kmv_jaccard(F.col("x"), F.col("y"), k).alias("j"),
+        F.size(kmv_merge(F.col("x"), F.col("y"), k)).alias("nu"),
+    ).collect()
+    ab, aa, bc = out
+    # true jaccard(A,B) = 400/1600 = 0.25; k=128 sample -> generous band
+    assert 0.12 <= ab.j <= 0.40, ab
+    assert ab.nu == k
+    assert aa.j == 1.0 and aa.inter == k
+    assert bc.inter == 0 and bc.j == 0.0
