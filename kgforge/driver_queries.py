@@ -6837,6 +6837,42 @@ def sketch_kmv_setops(spark, sf_dir):
     )
 
 
+_HEX12_POLY_H = _HEX12_POLY.replace("substr(h,", "substr(hh,").replace(
+    "substr(h ", "substr(hh "
+)
+
+
+@_q(
+    "embedding_hash_features",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), hx AS (
+      SELECT id, md5('fh|' || w) AS hh, substr(md5('fs|' || w), 1, 1) AS s
+      FROM toks
+    ), cell AS (
+      SELECT id, ({_HEX12_POLY_H}) % 1024 AS idx,
+             CASE WHEN s >= '8' THEN 1 ELSE -1 END AS v
+      FROM hx
+    )
+    SELECT id, idx::BIGINT AS idx, sum(v)::BIGINT AS val
+    FROM cell GROUP BY 1, 2
+    """,
+)
+def embedding_hash_features(spark, sf_dir):
+    """Feature hashing (functions/embeddings.py::hash_features): signed
+    hashing-trick doc vectors at dim=1024 — idx and +-1 sign both from
+    seed-prefixed md5, so the vectorizer has NO fitted state (nothing
+    to broadcast, nothing to drift between train and serve) and the
+    whole sparse matrix is cross-engine-exact integers. One explode +
+    one map-side-combining groupBy."""
+    from kgforge.functions.embeddings import hash_features
+
+    return hash_features(_t(spark, sf_dir, "documents"), dim=1024)
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -237,3 +237,62 @@ def pca_project(
             yield pdf
 
     return df.mapInPandas(project, f"{fields}, {out_col} array<double>")
+
+
+def hash_features(
+    df: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    signed: bool = True,
+) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    -> sparse (id, idx, val) triples, the fastText/Vowpal-Wabbit input
+    vectorizer with NO vocabulary table.
+
+    idx = md5('fh|' || token) mod dim; ``signed`` adds the +-1 sign hash
+    (md5('fs|' || token) leading bit) that makes collision noise
+    zero-mean. Everything is integer md5 arithmetic — no fitted state,
+    no vocabulary broadcast, stable across runs and engines — so a
+    trillion-token corpus vectorizes in one explode + one map-side-
+    combining groupBy, and the SAME function applied at train and
+    serve time cannot skew. Zero-sum cells are kept (they carry
+    collision evidence); filter val != 0 downstream if sparsity
+    matters."""
+    from kgforge.functions.textstats import _WS
+
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(doc_col).alias("id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), _WS)
+            ).alias("w"),
+        )
+    )
+    idx = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit("fh|"), F.col("w")), "UTF-8")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % dim
+    )
+    if signed:
+        sign_digit = F.substring(
+            F.md5(F.encode(F.concat(F.lit("fs|"), F.col("w")), "UTF-8")), 1, 1
+        )
+        val = F.when(sign_digit >= "8", F.lit(1)).otherwise(F.lit(-1))
+    else:
+        val = F.lit(1)
+    return (
+        toks.select("id", idx.alias("idx"), val.alias("__v"))
+        .groupBy("id", "idx")
+        .agg(F.sum("__v").cast("long").alias("val"))
+    )

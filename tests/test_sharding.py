@@ -806,3 +806,43 @@ def test_equidepth_histogram_exact_and_layout_independent(spark):
     assert empty.count() == 0
     with pytest.raises(ValueError):
         equidepth_histogram(df, "v", n_buckets=0)
+
+
+def test_hash_features_hashlib_replay(spark):
+    """Every sparse cell replays in pure Python; unsigned mode counts;
+    dim guard raises; collisions sum signed values."""
+    import hashlib
+
+    import pytest
+
+    from kgforge.functions.embeddings import hash_features
+
+    docs = [(1, "apple banana apple"), (2, "banana"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dim = 32
+
+    def cell(w):
+        idx = int(hashlib.md5(f"fh|{w}".encode()).hexdigest()[:12], 16) % dim
+        sgn = 1 if hashlib.md5(f"fs|{w}".encode()).hexdigest()[0] >= "8" else -1
+        return idx, sgn
+
+    expected: dict[tuple[int, int], int] = {}
+    for did, text in docs:
+        if text is None:
+            continue
+        for w in text.lower().split():
+            idx, sgn = cell(w)
+            expected[(did, idx)] = expected.get((did, idx), 0) + sgn
+    got = {
+        (r.id, r.idx): r.val
+        for r in hash_features(df, dim=dim).collect()
+    }
+    assert got == expected
+
+    unsigned = {
+        (r.id, r.idx): r.val
+        for r in hash_features(df, dim=dim, signed=False).collect()
+    }
+    assert unsigned[(1, cell("apple")[0])] >= 2  # counts, not signs
+    with pytest.raises(ValueError):
+        hash_features(df, dim=1)
