@@ -136,3 +136,62 @@ def test_windowed_rollup_streaming(spark, workdir):
     assert spark.table("rollup_test").columns == [
         "hour", "event_type", "n", "total_value"
     ]
+
+
+def test_hll_stream_matches_batch_and_replays_idempotently(spark, workdir):
+    """Streaming register maintenance over two trigger files equals the
+    batch sketch of the union; re-running the stream (new checkpoint,
+    same state) changes nothing — per-bucket max is idempotent."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kgforge.functions.sketch import hll_registers
+    from kgforge.streaming.sketch import hll_stream, merged_registers
+
+    src = f"{workdir}/src"
+    schema = "grp string, val string"
+    b1 = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(300)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(200, 500)] + [("h", "x")], schema
+    )
+    b1.write.mode("overwrite").parquet(src)
+    q = hll_stream(
+        spark, src, schema, f"{workdir}/state", f"{workdir}/ckpt",
+        "grp", "val",
+    )
+    q.awaitTermination(120)
+    b2.write.mode("append").parquet(src)
+    q = hll_stream(
+        spark, src, schema, f"{workdir}/state", f"{workdir}/ckpt",
+        "grp", "val",
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        (r.grp, r.bucket): r.max_rho
+        for r in hll_registers(
+            b1.unionByName(b2), "grp", "val"
+        ).collect()
+    }
+    got = {
+        (r.grp, r.bucket): r.max_rho
+        for r in merged_registers(spark, f"{workdir}/state").collect()
+    }
+    assert got == batch
+
+    # replay with a FRESH checkpoint (all files re-delivered): state
+    # must be unchanged — the merge is idempotent by algebra
+    os.makedirs(f"{workdir}/ckpt2", exist_ok=True)
+    q = hll_stream(
+        spark, src, schema, f"{workdir}/state", f"{workdir}/ckpt2",
+        "grp", "val",
+    )
+    q.awaitTermination(120)
+    again = {
+        (r.grp, r.bucket): r.max_rho
+        for r in merged_registers(spark, f"{workdir}/state").collect()
+    }
+    assert again == batch
