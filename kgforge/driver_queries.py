@@ -6873,6 +6873,71 @@ def embedding_hash_features(spark, sf_dir):
     return hash_features(_t(spark, sf_dir, "documents"), dim=1024)
 
 
+@_q(
+    "text_textrank",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+      FROM toks WHERE len(t) >= 2
+    ), p AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 5
+    ), c AS (
+      SELECT w1, w2 FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+    ), e AS (
+      SELECT w1 AS src, w2 AS dst FROM c
+      UNION
+      SELECT w2, w1 FROM c
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM e
+    ), deg AS (
+      SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT id, 1000000000::BIGINT AS rank FROM nodes
+    ), c1 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r0 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.id,
+             (150000000 + (85 * coalesce(c1.s, 0)) // 100)::BIGINT AS rank
+      FROM nodes n LEFT JOIN c1 ON n.id = c1.id
+    ), c2 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r1 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.id,
+             (150000000 + (85 * coalesce(c2.s, 0)) // 100)::BIGINT AS rank
+      FROM nodes n LEFT JOIN c2 ON n.id = c2.id
+    ), c3 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r2 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT n.id AS w,
+           (150000000 + (85 * coalesce(c3.s, 0)) // 100)::BIGINT AS rank
+    FROM nodes n LEFT JOIN c3 ON n.id = c3.id
+    """,
+)
+def text_textrank(spark, sf_dir):
+    """TextRank keyword scores (textstats.py::textrank_keywords): the
+    co-occurrence graph (window 5, min_cooc 5 — the text_cooccurrence
+    edge set, symmetrized) ranked by 3 iterations of BIGINT fixed-point
+    PageRank. Two scale primitives composed end-to-end; the oracle
+    chains the co-occurrence self-join into the unrolled PageRank CTEs
+    — every rank is an exact integer."""
+    from kgforge.functions.textstats import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), window=5, min_cooc=5, n_iter=3
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -321,3 +321,36 @@ def cooccurrence_counts(
         )
         .select("w1", "w2", "cooc", "cnt1", "cnt2")
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    window: int = 5,
+    min_cooc: int = 2,
+    n_iter: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): -> (w, rank).
+
+    PageRank over the corpus co-occurrence graph — tokens are nodes,
+    an (undirected) edge connects tokens co-occurring within
+    ``window``, and the stationary score ranks keywords. Composes two
+    existing scale primitives: `cooccurrence_counts` (expression-only
+    pair generation, hapax-pruned) builds the edge list, and
+    `plans/graph_query.pagerank(scaled=True)` runs the BIGINT
+    fixed-point recurrence (exact across engines and partial-agg
+    orders). Unweighted-edge variant (the original paper's keyword
+    setup); ``min_cooc`` is the graph's noise floor.
+    """
+    from kgforge.plans.graph_query import pagerank
+
+    cooc = cooccurrence_counts(
+        df, window=window, min_count=min_cooc,
+        text_col=text_col, doc_col=doc_col,
+    ).select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+    edges = cooc.unionByName(
+        cooc.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    out = pagerank(edges, n_iter=n_iter, scaled=True, dedup=False)
+    return out.select(F.col("id").alias("w"), F.col("rank"))

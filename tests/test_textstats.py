@@ -29,3 +29,21 @@ def test_cooccurrence_counts_hand_pairs(spark):
     assert {(r.w1, r.w2) for r in pruned.collect()} == {("a", "b")}
     with pytest.raises(ValueError):
         cooccurrence_counts(df, window=0)
+
+
+def test_textrank_ranks_hub_word_highest(spark):
+    """A word co-occurring with everything outranks peripheral words;
+    string node ids flow through the scaled PageRank unchanged."""
+    from kgforge.functions.textstats import textrank_keywords
+
+    docs = [
+        (1, "core alpha core beta core gamma"),
+        (2, "core delta core epsilon"),
+        (3, "alpha beta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.w: r.rank for r in textrank_keywords(df, window=2, min_cooc=1, n_iter=3).collect()}
+    assert out, "graph should be non-empty"
+    top = max(out, key=out.get)
+    assert top == "core"
+    assert all(isinstance(v, int) for v in out.values())
