@@ -6938,6 +6938,83 @@ def text_textrank(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_ppr",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS id,
+             (src < 1000000 AND src % 97 = 0) AS is_seed
+      FROM e
+    ), deg AS (
+      SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT id, is_seed,
+             (CASE WHEN is_seed THEN 1000000000 ELSE 0 END)::BIGINT AS rank
+      FROM nodes
+    ), c1 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r0 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.id, n.is_seed,
+             ((CASE WHEN n.is_seed THEN 150000000 ELSE 0 END)
+              + (85 * coalesce(c1.s, 0)) // 100)::BIGINT AS rank
+      FROM nodes n LEFT JOIN c1 ON n.id = c1.id
+    ), c2 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r1 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.id, n.is_seed,
+             ((CASE WHEN n.is_seed THEN 150000000 ELSE 0 END)
+              + (85 * coalesce(c2.s, 0)) // 100)::BIGINT AS rank
+      FROM nodes n LEFT JOIN c2 ON n.id = c2.id
+    ), c3 AS (
+      SELECT e.dst AS id, sum(r.rank // d.outdeg) AS s
+      FROM r2 r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT n.id::BIGINT AS id,
+           ((CASE WHEN n.is_seed THEN 150000000 ELSE 0 END)
+            + (85 * coalesce(c3.s, 0)) // 100)::BIGINT AS rank
+    FROM nodes n LEFT JOIN c3 ON n.id = c3.id
+    """,
+)
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (plans/graph_query.py::
+    personalized_pagerank): teleport mass restricted to seed customers
+    (custkey % 97 = 0) on the symmetrized customer—supplier graph —
+    the GraphRAG local-expansion primitive (rank the neighborhood
+    around query entities; scores decay with distance from the seed
+    set). BIGINT fixed-point recurrence, 3 rounds, oracle = the
+    pagerank CTE unroll with the seed CASE in the teleport term."""
+    from kgforge.plans.graph_query import personalized_pagerank, symmetrize
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    sym = symmetrize(edges)
+    seeds = (
+        sym.select(F.col("src").alias("id"))
+        .where((F.col("id") < 1_000_000) & (F.col("id") % 97 == 0))
+        .dropDuplicates()
+    )
+    out = personalized_pagerank(sym, seeds, n_iter=3, scaled=True, dedup=False)
+    return out.select(F.col("id").cast("long"), F.col("rank").cast("long"))
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

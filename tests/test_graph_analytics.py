@@ -874,3 +874,64 @@ def test_session4_graph_plans_no_cartesian_no_python(spark):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_personalized_pagerank_locality_and_python_replay(spark):
+    """Scaled PPR replays exactly in integer Python; rank decays with
+    distance from the seed; nodes unreachable FROM the seed get zero;
+    list and DataFrame seed forms agree; empty seed list raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kgforge.plans.graph_query import personalized_pagerank
+
+    # directed chain 0->1->2->3 plus an isolated pair 8->9
+    raw = [(0, 1), (1, 2), (2, 3), (8, 9)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    def replay(seeds, n_iter):
+        nodes = sorted({x for e in raw for x in e})
+        outdeg = {}
+        for s, _ in raw:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {v: 1_000_000_000 if v in seeds else 0 for v in nodes}
+        for _ in range(n_iter):
+            s_in = {v: 0 for v in nodes}
+            for u, v in raw:
+                s_in[v] += r[u] // outdeg[u]
+            r = {
+                v: (150_000_000 if v in seeds else 0) + (85 * s_in[v]) // 100
+                for v in nodes
+            }
+        return r
+
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(df, [0], n_iter=3).collect()
+    }
+    assert got == replay({0}, 3)
+    # after exactly 3 rounds the initial seed pulse sits at node 3 —
+    # fixed-round output is the transient, not the stationary vector
+    assert got[3] > 0
+    assert got[8] == 0 and got[9] == 0   # unreachable from the seed
+
+    seeds_df = spark.createDataFrame([(0,)], "id long")
+    got2 = {
+        r.id: r.rank
+        for r in personalized_pagerank(df, seeds_df, n_iter=3).collect()
+    }
+    assert got2 == got
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, [])
+
+    # float mode near stationarity: rank decays with seed distance
+    fl = {
+        r.id: r.rank
+        for r in personalized_pagerank(
+            df, [0], n_iter=30, scaled=False
+        ).collect()
+    }
+    assert fl[0] == pytest.approx(0.15)
+    assert fl[0] > fl[1] > fl[2] > fl[3] > 0
+    assert fl[8] == 0.0 and fl[9] == 0.0
