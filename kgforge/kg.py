@@ -869,6 +869,43 @@ class KnowledgeGraph:
             .select("label_a", "key_a", "label_b", "key_b")
         )
 
+    def personalized_rank(
+        self,
+        seeds: list[tuple[str, str]],
+        relation: str | None = None,
+        n_iter: int = 3,
+    ) -> DataFrame:
+        """Personalized PageRank from seed entities: (label, key, rank)
+        — rank the graph neighborhood around the given (label, key)
+        entities (plans/graph_query.personalized_pagerank, BIGINT
+        fixed-point). The GraphRAG retrieval expansion: score candidate
+        context entities by multi-hop proximity to the query's."""
+        if not seeds:
+            raise ValueError("seeds must be non-empty")
+        from kgforge.plans.graph_query import personalized_pagerank
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        sym = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates()
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        seed_df = n.join(
+            self.spark.createDataFrame(seeds, "label string, key string"),
+            on=["label", "key"],
+            how="left_semi",
+        ).select("id")
+        out = personalized_pagerank(
+            sym, seed_df, n_iter=n_iter, scaled=True, dedup=False
+        )
+        return n.join(out, on="id").select("label", "key", "rank")
+
     def independent_set(
         self, relation: str | None = None, rounds: int | None = None
     ) -> DataFrame:

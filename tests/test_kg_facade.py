@@ -429,3 +429,32 @@ def test_facade_k_truss_independent_set_neighborhood(kg):
     assert sizes[("Movie", "M")] in (3, 4)  # self + 3 actors, +-collision
     for i in range(3):
         assert sizes[("Actor", f"A{i}")] == 2
+
+
+def test_facade_personalized_rank(kg):
+    """PPR from one actor on the star: the hub movie accrues rank,
+    unrelated actors only via hub round-trips (strictly less than the
+    hub); the seed itself keeps the teleport mass."""
+    import pytest
+
+    kg.add_nodes(
+        [("Actor", {"name": f"A{i}"}) for i in range(3)]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie",
+             {"name": f"A{i}"}, {"title": "M"}, {})
+            for i in range(3)
+        ]
+    )
+    r = {
+        (x.label, x.key): x.rank
+        for x in kg.personalized_rank([("Actor", "A0")]).collect()
+    }
+    assert r[("Actor", "A0")] > 0
+    assert r[("Movie", "M")] > 0
+    assert r[("Movie", "M")] > r[("Actor", "A1")]
+    assert r[("Actor", "A1")] == r[("Actor", "A2")]
+    with pytest.raises(ValueError):
+        kg.personalized_rank([])
