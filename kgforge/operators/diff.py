@@ -32,7 +32,10 @@ def snapshot_diff(
 
     ``compare_cols`` defaults to all shared non-key columns. NULL-safe:
     NULL -> value and value -> NULL both count as changes; NULL -> NULL
-    does not (eqNullSafe)."""
+    does not (eqNullSafe). ``keys`` must identify rows uniquely in each
+    snapshot — duplicate keys fan out through the full-outer join and
+    produce one diff row per old x new pairing (the same contract as
+    MERGE sources)."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
     if compare_cols is None:
         compare_cols = [
