@@ -7015,6 +7015,35 @@ def graph_ppr(spark, sf_dir):
     return out.select(F.col("id").cast("long"), F.col("rank").cast("long"))
 
 
+@_q(
+    "events_path_ngrams",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), g AS (
+      SELECT event_type || '->' || e2 || '->' || e3 AS gram
+      FROM e WHERE e3 IS NOT NULL
+    )
+    SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1
+    """,
+)
+def events_path_ngrams(spark, sf_dir):
+    """Frequent event paths (functions/funnel.py::event_ngrams): every
+    3-step run of consecutive events per user, corpus-counted — the
+    sequenceCount/path-analysis primitive. Spark generates grams with
+    higher-order functions over each user's sorted event list (one
+    shuffle, no window cascade); the oracle is the equivalent double-
+    lead window. (ts, event_id) ordering is the funnel module's
+    deterministic tie rule."""
+    from kgforge.functions.funnel import event_ngrams
+
+    return event_ngrams(_t(spark, sf_dir, "events"), n=3)
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

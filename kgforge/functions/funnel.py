@@ -149,3 +149,59 @@ def retention_cohorts(
     return act.groupBy("cohort_date", "offset").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+def event_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    min_count: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Frequent event paths: (gram, cnt) — every length-``n`` run of
+    consecutive events per user, rendered ``'a->b->c'``, corpus-counted.
+
+    The path-analysis primitive behind "what do users do before X"
+    (ClickHouse sequenceCount family). Ordering is (ts, event_id) —
+    the funnel module's deterministic tie rule. Same scale shape as
+    `funnel`: ONE shuffle collects each user's sorted event list, then
+    n-gram generation is higher-order-function expressions (no
+    window-function cascade, no self-join chain — the oracle runs the
+    lead()-window form); counting is map-side combined. A hot user is
+    one fat row, not a hot reducer fan-in.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("etype"),
+        ).alias("e"),
+    )
+    # materialize the type sequence ONCE (HOF subexpressions are not
+    # CSE'd — size/slice below must read a projected column, not
+    # re-evaluate the transform per reference)
+    per_user = ev.groupBy("user").agg(
+        F.sort_array(F.collect_list("e")).alias("evs")
+    ).select(
+        "user",
+        F.transform(F.col("evs"), lambda x: x["etype"]).alias("__seq"),
+    )
+    seq = F.col("__seq")
+    idx = F.sequence(F.lit(1), F.size(seq) - (n - 1))
+    grams = F.when(
+        F.size(seq) >= n,
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(seq, i, n), "->")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        per_user.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

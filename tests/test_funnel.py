@@ -141,3 +141,37 @@ def test_retention_cohorts_hand_grid(spark):
     }
     with pytest.raises(ValueError):
         retention_cohorts(df, period_days=0)
+
+
+def test_event_ngrams_hand_paths(spark):
+    """Hand sequences: per-user consecutive runs only, (ts, event_id)
+    tie order, short users contribute nothing, min_count prunes."""
+    import datetime as dt
+
+    import pytest
+
+    from kgforge.functions.funnel import event_ngrams
+
+    d = dt.datetime
+    rows = [
+        # user 1: a b c d  -> a->b->c, b->c->d
+        (1, 1, d(2024, 1, 1, 0), "a"), (2, 1, d(2024, 1, 1, 1), "b"),
+        (3, 1, d(2024, 1, 1, 2), "c"), (4, 1, d(2024, 1, 1, 3), "d"),
+        # user 2: tie on ts broken by event_id: x(5) y(6) z(7)
+        (6, 2, d(2024, 1, 2, 0), "y"), (5, 2, d(2024, 1, 2, 0), "x"),
+        (7, 2, d(2024, 1, 2, 0), "z"),
+        # user 3: too short
+        (8, 3, d(2024, 1, 3, 0), "a"), (9, 3, d(2024, 1, 3, 1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.gram: r.cnt for r in event_ngrams(df, n=3).collect()}
+    assert got == {"a->b->c": 1, "b->c->d": 1, "x->y->z": 1}
+    # n=2 over user 3 contributes a->b; min_count=2 keeps only repeats
+    got2 = {r.gram: r.cnt for r in event_ngrams(df, n=2).collect()}
+    assert got2["a->b"] == 2  # users 1 and 3
+    pruned = {r.gram for r in event_ngrams(df, n=2, min_count=2).collect()}
+    assert pruned == {"a->b"}
+    with pytest.raises(ValueError):
+        event_ngrams(df, n=0)
