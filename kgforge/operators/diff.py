@@ -18,7 +18,7 @@ the comma-joined list of differing columns in the caller's column order
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,3 +80,67 @@ def snapshot_diff(
         )
         .select(*key_list, "change", "changed_cols")
     )
+
+
+def scd2_intervals(
+    history: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Assemble SCD-type-2 validity intervals from a keyed change
+    history: -> (keys..., attrs..., valid_from, valid_to, is_current).
+
+    Input rows are observations (key, ts, attrs...) — e.g. periodic
+    snapshot extracts or a CDC feed. Consecutive observations with
+    identical attribute values COLLAPSE into one interval
+    [valid_from, valid_to); ``valid_to`` is the next change's timestamp
+    (NULL + is_current for the open interval). The standard
+    gaps-and-islands build: one change-point flag via lag() under
+    NULL-safe compare, a running change count (island id), then one
+    aggregate per island + a lead() for the closing bound — three
+    window passes over the SAME (keys, ts) sort order, so Catalyst
+    plans ONE Exchange + one sort for all of them. Ties on ``ts_col``
+    within a key are invalid input (two states at one instant) and
+    raise — via an assert_true riding inside the change flag, so the
+    check costs no extra scan and cannot be pruned.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*key_list).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    no_tie = ~F.lag(ts_col).over(w).eqNullSafe(F.col(ts_col))
+    chg_checked = F.when(
+        F.isnull(
+            F.assert_true(
+                no_tie,
+                F.lit(
+                    f"duplicate {ts_col} within a key: two states at one "
+                    "instant"
+                ),
+            )
+        ),
+        (first | changed).cast("int"),
+    )
+    flagged = history.select(
+        *key_list, ts_col, *attr_cols, chg_checked.alias("__chg")
+    )
+    islands = flagged.withColumn(
+        "__isl",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = islands.groupBy(*key_list, "__isl").agg(
+        F.min(ts_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in attr_cols],
+    )
+    w2 = Window.partitionBy(*key_list).orderBy("valid_from")
+    return per_island.select(
+        *key_list,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

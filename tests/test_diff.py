@@ -51,3 +51,37 @@ def test_snapshot_diff_kinds_and_null_safety(spark):
     }
     with pytest.raises(ValueError):
         snapshot_diff(old, new, "k", ["nope"])
+
+
+def test_scd2_intervals_collapse_and_guard(spark):
+    """Identical consecutive states collapse; value->NULL->value opens
+    three intervals; open interval flags is_current; duplicate ts within
+    a key raises at run time."""
+    import pytest
+
+    from kgforge.operators.diff import scd2_intervals
+
+    rows = [
+        (1, 0, "a"), (1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "a"),
+        (2, 0, None), (2, 1, "x"), (2, 2, None),
+        (3, 5, "only"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, s string")
+    got = {
+        (r.k, r.valid_from): (r.s, r.valid_to, r.is_current)
+        for r in scd2_intervals(df, "k", "ts", ["s"]).collect()
+    }
+    assert got == {
+        (1, 0): ("a", 2, False),
+        (1, 2): ("b", 4, False),
+        (1, 4): ("a", None, True),
+        (2, 0): (None, 1, False),
+        (2, 1): ("x", 2, False),
+        (2, 2): (None, None, True),
+        (3, 5): ("only", None, True),
+    }
+    dup = spark.createDataFrame(
+        [(1, 0, "a"), (1, 0, "b")], "k long, ts long, s string"
+    )
+    with pytest.raises(Exception, match="two states at one instant"):
+        scd2_intervals(dup, "k", "ts", ["s"]).collect()
