@@ -7107,6 +7107,45 @@ def snapshot_scd2(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_random_projection",
+    """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             floor(unnest(embedding) * 8)::BIGINT AS qv
+      FROM embeddings
+    ), s AS (
+      SELECT i, j,
+             CASE WHEN substr(md5('rp|' || (i - 1)::VARCHAR || '|'
+                                  || j::VARCHAR), 1, 1) >= '8'
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(range(1, 65)) AS i) a
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b
+    )
+    SELECT q.vec_id AS id, s.j::BIGINT AS j,
+           sum(q.qv * s.sgn)::BIGINT AS val
+    FROM q JOIN s ON q.i = s.i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """JL ±1 random projection (functions/embeddings.py::
+    random_projection): 64 -> 16 dims with a sign matrix that is a pure
+    md5 function of (seed, i, j) — precomputed driver-side and inlined
+    as literals so the data plane pays only zip_with/aggregate folds
+    (no hashing, no shuffle); the oracle re-derives the same matrix
+    from the md5 rule in SQL. quantize=8 (exponent shift, exact) makes
+    every output an exact BIGINT."""
+    from kgforge.functions.embeddings import random_projection
+
+    out = random_projection(
+        _t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16, quantize=8
+    )
+    return out.select(
+        "id", F.posexplode("proj").alias("j", "val")
+    ).select("id", F.col("j").cast("long"), F.col("val").cast("long"))
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

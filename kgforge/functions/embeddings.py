@@ -296,3 +296,64 @@ def hash_features(
         .groupBy("id", "idx")
         .agg(F.sum("__v").cast("long").alias("val"))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp",
+    quantize: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection: -> (id, proj).
+
+    Dimensionality reduction with NO fitted state (the PCA alternative
+    when you can't afford a training pass): the sign matrix is a pure
+    function of (seed, i, j) via md5, PRECOMPUTED driver-side with
+    hashlib and inlined as literal arrays — the data plane pays
+    out_dim zip_with/aggregate folds per row, zero hashing, zero
+    shuffles, and any engine can re-derive the same matrix from the
+    md5 rule (the driver gate's DuckDB oracle does). ``quantize=q``
+    first maps components through ``floor(x * q)`` (exact when q is a
+    power of two — an exponent shift) making the projection all-BIGINT
+    for cross-engine-exact artifacts; unquantized output is a
+    deterministic sequential float fold (pytest-pinned vs numpy).
+    """
+    import hashlib
+
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("in_dim and out_dim must be >= 1")
+    signs = [
+        [
+            1
+            if hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[0] >= "8"
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+    v = F.col(vec_col)
+    if quantize is not None:
+        vq = F.transform(v, lambda x: F.floor(x * quantize).cast("long"))
+        zero = F.lit(0).cast("long")
+    else:
+        vq = F.transform(v, lambda x: x.cast("double"))
+        zero = F.lit(0.0)
+    # materialize the (possibly quantized) vector ONCE — HOF
+    # subexpressions are not CSE'd across the out_dim folds
+    base = df.select(F.col(id_col).alias("id"), vq.alias("__v"))
+    outs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, s: x * s,
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(out_dim)
+    ]
+    return base.select("id", F.array(*outs).alias("proj"))

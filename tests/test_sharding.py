@@ -846,3 +846,69 @@ def test_hash_features_hashlib_replay(spark):
     assert unsigned[(1, cell("apple")[0])] >= 2  # counts, not signs
     with pytest.raises(ValueError):
         hash_features(df, dim=1)
+
+
+def test_random_projection_numpy_parity_and_distance_preservation(spark):
+    """Float projection equals numpy's sign-matrix product (sequential
+    fold vs dot: ±1 products are exact, sums reassociate safely within
+    tolerance); quantized mode is all-integer; JL property: projected
+    distances correlate with input distances on a controlled set."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from kgforge.functions.embeddings import random_projection
+
+    rng = np.random.default_rng(5)
+    d, k, n = 24, 12, 30
+    vecs = rng.normal(size=(n, d)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    signs = np.array(
+        [
+            [
+                1 if hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[0] >= "8"
+                else -1
+                for i in range(d)
+            ]
+            for j in range(k)
+        ]
+    )
+    expected = vecs.astype("float64") @ signs.T
+    got = {
+        r.id: np.array(r.proj)
+        for r in random_projection(df, in_dim=d, out_dim=k).collect()
+    }
+    for i in range(n):
+        assert got[i] == pytest.approx(expected[i], rel=1e-9)
+
+    qgot = {
+        r.id: np.array(r.proj)
+        for r in random_projection(df, in_dim=d, out_dim=k, quantize=8).collect()
+    }
+    qexp = np.floor(vecs.astype("float64") * 8) @ signs.T
+    for i in range(n):
+        assert (qgot[i] == qexp[i]).all()
+        assert qgot[i].dtype.kind in "iu" or all(
+            float(x).is_integer() for x in qgot[i]
+        )
+
+    # JL sanity: far pair stays farther than a near pair after projection
+    a, b = vecs[0], vecs[0] + 0.01 * rng.normal(size=d).astype("float32")
+    c = vecs[1]
+    df2 = spark.createDataFrame(
+        [(0, [float(x) for x in a]), (1, [float(x) for x in b]),
+         (2, [float(x) for x in c])],
+        "vec_id long, embedding array<float>",
+    )
+    p = {
+        r.id: np.array(r.proj)
+        for r in random_projection(df2, in_dim=d, out_dim=k).collect()
+    }
+    assert np.linalg.norm(p[0] - p[1]) < np.linalg.norm(p[0] - p[2])
+
+    with pytest.raises(ValueError):
+        random_projection(df, in_dim=0)
