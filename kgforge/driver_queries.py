@@ -7146,6 +7146,66 @@ def embedding_random_projection(spark, sf_dir):
     ).select("id", F.col("j").cast("long"), F.col("val").cast("long"))
 
 
+@_q(
+    "sketch_hll_rollup",
+    """
+    WITH h AS (
+      SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000)::BIGINT AS day_us,
+             event_type, md5(user_id::VARCHAR) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), t AS (
+      SELECT day_us, event_type,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+             substr(h, 3, 12) AS tail
+      FROM h
+    ), z AS (
+      SELECT day_us, event_type, bucket, tail,
+             length(regexp_extract(tail, '^(0*)', 1)) AS lz
+      FROM t
+    ), r AS (
+      SELECT day_us, event_type, bucket,
+             CASE WHEN lz >= 12 THEN 49
+                  ELSE lz * 4
+                       + (CASE WHEN substr(tail, lz + 1, 1) >= '8' THEN 0
+                               WHEN substr(tail, lz + 1, 1) >= '4' THEN 1
+                               WHEN substr(tail, lz + 1, 1) >= '2' THEN 2
+                               ELSE 3 END)
+                       + 1
+             END AS rho
+      FROM z
+    )
+    SELECT day_us, event_type, bucket::BIGINT AS bucket,
+           max(rho)::BIGINT AS max_rho
+    FROM r GROUP BY 1, 2, 3
+    """,
+)
+def sketch_hll_rollup(spark, sf_dir):
+    """Sketch rollup cascade: daily distinct-user registers
+    RE-AGGREGATED from hourly HLL partials (per-bucket max), vs the
+    oracle's direct-from-raw daily derivation — the sketch-algebra twin
+    of events_rollup_cascade's DECIMAL partials. This is the continuous-
+    aggregate pattern for COUNT DISTINCT, which plain partials cannot
+    express: a monthly unique-users report reads 30 tiny register
+    tables, never the raw events."""
+    from kgforge.functions.sketch import hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = ev.withColumn("hour_us", (m - m % 3_600_000_000).cast("long"))
+    hregs = hll_registers(
+        hour, ["hour_us", "event_type"], "user_id", p=8
+    )
+    day = hregs.withColumn(
+        "day_us",
+        (F.col("hour_us") - F.col("hour_us") % 86_400_000_000).cast("long"),
+    )
+    return (
+        day.groupBy("day_us", "event_type", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================
