@@ -6758,6 +6758,95 @@ def text_soundex_keys(spark, sf_dir):
     )
 
 
+def _sdx_sql(col: str) -> str:
+    """DuckDB Soundex chain over a column expression (the
+    text_soundex_keys stages as one nested expression)."""
+    u = f"upper(regexp_replace({col}, '[^A-Za-z]', '', 'g'))"
+    t = f"translate({u}, '{_SOUNDEX_ALPHA}', '{_SOUNDEX_CODES}')"
+    for _d in "123456":
+        t = f"regexp_replace({t}, '{_d}(?:-*{_d})+', '{_d}', 'g')"
+    return (
+        f"CASE WHEN length({u}) > 0 THEN substr({u}, 1, 1)"
+        f" || rpad(substr(regexp_replace(substr({t}, 2),"
+        f" '[.-]', '', 'g'), 1, 3), 3, '0') END"
+    )
+
+
+@_q(
+    "text_fuzzy_join",
+    rf"""
+    WITH w AS (
+      SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), lft AS (
+      SELECT w AS w_left FROM w
+    ), rgt AS (
+      SELECT w || 'e' AS w_right FROM w
+      UNION
+      SELECT substr(w, 1, length(w) - 1) FROM w WHERE length(w) > 2
+    ), lk AS (
+      SELECT w_left, {_sdx_sql('w_left')} AS sdx,
+             substr(lower(w_left), 1, 4) AS pfx FROM lft
+    ), rk AS (
+      SELECT w_right, {_sdx_sql('w_right')} AS sdx,
+             substr(lower(w_right), 1, 4) AS pfx FROM rgt
+    ), cand AS (
+      SELECT DISTINCT w_left, w_right FROM (
+        SELECT lk.w_left, rk.w_right FROM lk JOIN rk ON lk.sdx = rk.sdx
+        UNION ALL
+        SELECT lk.w_left, rk.w_right FROM lk JOIN rk ON lk.pfx = rk.pfx
+      )
+    )
+    SELECT w_left, w_right,
+           levenshtein(w_left, w_right)::BIGINT AS lev_dist
+    FROM cand WHERE levenshtein(w_left, w_right) <= 2
+    """,
+)
+def text_fuzzy_join(spark, sf_dir):
+    """Blocked edit-distance record linkage (functions/phonetic.py::
+    fuzzy_join): corpus vocabulary fuzzy-joined against a
+    deterministically perturbed variant set (plural 'e' suffix +
+    last-char truncation) under soundex+prefix blocking, verified
+    with JVM ``levenshtein`` <= 2. Reference parity: the SDK resolves
+    entity aliases before MERGE (graphrag_sdk/steps/extract_data_step.py
+    dedups by name match); this is the scalable string-edit
+    counterpart — candidates come from two equi-joins, NEVER the
+    |L|x|R| cross product. The oracle replays the identical blocking
+    channels (portable Soundex chain + prefix4) and DuckDB's
+    levenshtein, which matches Spark's classic DP semantics exactly
+    (integer, case-sensitive)."""
+    from kgforge.functions.phonetic import fuzzy_join
+    from kgforge.functions.textstats import _WS
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), _WS)
+            ).alias("w")
+        )
+        .dropDuplicates()
+    )
+    left = vocab.select(F.col("w").alias("w_left"))
+    right = (
+        vocab.select(F.concat(F.col("w"), F.lit("e")).alias("w_right"))
+        .unionByName(
+            vocab.where(F.length("w") > 2).select(
+                F.expr("substr(w, 1, length(w) - 1)").alias("w_right")
+            )
+        )
+        .dropDuplicates()
+    )
+    out = fuzzy_join(
+        left, right, "w_left", "w_right", max_dist=2,
+        blocks=("soundex", "prefix"), prefix_len=4,
+    )
+    return out.select(
+        "w_left", "w_right", F.col("lev_dist").cast("long").alias("lev_dist")
+    )
+
+
 @_q(
     "sketch_kmv_setops",
     r"""
