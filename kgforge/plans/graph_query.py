@@ -1376,3 +1376,159 @@ def node_similarity(
         .select("a", "b", "shared", "deg_a", "deg_b")
     )
     return out
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 16,
+    max_prop: int = 64,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph: (id, scc)
+    with ``scc`` = the smallest member id of the component.
+
+    The FW-BW *coloring* algorithm (Orzan; Slota et al.) — the standard
+    distributed SCC decomposition, here as pure DataFrame rounds:
+
+    1. **Trim** — a node with in-degree 0 or out-degree 0 in the
+       remaining subgraph can sit in no cycle: it is a singleton SCC.
+       Peeled iteratively (chains of dangling nodes unravel one layer
+       per pass, like `k_core`'s peeling).
+    2. **Color** — forward min-label propagation to fixpoint:
+       ``color(v)`` = the smallest id that reaches v. Every color class
+       is closed under "reached-by-root", and the root r (the node with
+       ``color(r) == r``) is in the same SCC as exactly the nodes of
+       its color that reach it BACK.
+    3. **Backward sweep** — multi-source reverse reachability from all
+       roots at once, restricted to edges whose BOTH endpoints carry
+       the root's color. Everything reached = FW(r) ∩ BW(r) = SCC(r),
+       for every root in parallel. Assign, remove, repeat.
+
+    Directed min-label fixpoints alone are NOT sufficient (two nodes
+    can agree on both forward and backward min labels without being
+    mutually reachable — pinned in tests/test_graph_analytics), which
+    is why the backward sweep is color-restricted reachability, not a
+    label compare.
+
+    Scale shape: every step is an equi-join + min-agg (or a semi/anti
+    join) keyed on node id — no all-pairs, no driver data planes;
+    `localCheckpoint` truncates lineage per round. Outer rounds peel at
+    least one SCC per color root per pass; DAG-ish tails go through
+    trim instead. Raises RuntimeError if ``max_rounds``/``max_prop``
+    are exhausted before the decomposition completes — a partial SCC
+    answer is wrong, never returned. The reference has no graph
+    analytics; this implements the classic algo-library surface
+    (/root/reference/graphrag_sdk/fixtures/prompts.py names the algo
+    procedures broadly).
+    """
+    remaining = nodes.select("id").dropDuplicates().localCheckpoint()
+    e_all = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    done: list[DataFrame] = []
+
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        # edges of the remaining subgraph
+        e = (
+            e_all.join(remaining.select(F.col("id").alias("src")), on="src", how="left_semi")
+            .join(remaining.select(F.col("id").alias("dst")), on="dst", how="left_semi")
+            .localCheckpoint()
+        )
+
+        # -- 1. trim: in-degree-0 / out-degree-0 nodes are singleton SCCs
+        for _t in range(max_prop):
+            no_in = remaining.join(
+                e.select(F.col("dst").alias("id")), on="id", how="left_anti"
+            )
+            no_out = remaining.join(
+                e.select(F.col("src").alias("id")), on="id", how="left_anti"
+            )
+            drop = no_in.unionByName(no_out).dropDuplicates()
+            if drop.isEmpty():
+                break
+            done.append(
+                drop.select("id", F.col("id").alias("scc")).localCheckpoint()
+            )
+            remaining = remaining.join(drop, on="id", how="left_anti").localCheckpoint()
+            e = (
+                e.join(drop.select(F.col("id").alias("src")), on="src", how="left_anti")
+                .join(drop.select(F.col("id").alias("dst")), on="dst", how="left_anti")
+                .localCheckpoint()
+            )
+        if remaining.isEmpty():
+            break
+
+        # -- 2. color: forward min-label fixpoint
+        color = remaining.select("id", F.col("id").alias("color")).localCheckpoint()
+        converged = False
+        for _p in range(max_prop):
+            pushed = (
+                color.join(e, color.id == e.src)
+                .select(F.col("dst").alias("id"), "color")
+            )
+            new_color = (
+                color.unionByName(pushed)
+                .groupBy("id")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint()
+            )
+            changed = new_color.alias("n").join(
+                color.alias("o"), on="id"
+            ).filter(F.col("n.color") < F.col("o.color"))
+            if changed.isEmpty():
+                converged = True
+                color = new_color
+                break
+            color = new_color
+        if not converged:
+            raise RuntimeError(
+                f"SCC coloring did not converge within max_prop={max_prop} "
+                "propagation rounds; raise max_prop (bound ~ graph diameter)"
+            )
+
+        # -- 3. backward sweep from every root, color-restricted
+        reached = color.filter(F.col("id") == F.col("color")).select(
+            "id", F.col("color").alias("scc")
+        ).localCheckpoint()
+        for _b in range(max_prop):
+            step = (
+                e.join(
+                    reached.select(F.col("id").alias("dst"), "scc"), on="dst"
+                )
+                .select(F.col("src").alias("id"), "scc")
+                .join(
+                    color.withColumnRenamed("color", "scc"),
+                    on=["id", "scc"],
+                    how="left_semi",
+                )
+                .join(reached.select("id"), on="id", how="left_anti")
+                .dropDuplicates()
+            )
+            if step.isEmpty():
+                break
+            reached = reached.unionByName(step).localCheckpoint()
+        else:
+            raise RuntimeError(
+                f"SCC backward sweep did not converge within max_prop={max_prop}"
+            )
+        done.append(reached)
+        remaining = remaining.join(reached, on="id", how="left_anti").localCheckpoint()
+    else:
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"SCC decomposition incomplete after max_rounds={max_rounds} "
+                "FW-BW rounds; raise max_rounds (bound ~ #SCCs on the "
+                "longest inter-SCC chain)"
+            )
+
+    if not done:
+        return nodes.select("id", F.col("id").alias("scc")).limit(0)
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out

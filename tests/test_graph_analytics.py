@@ -935,3 +935,94 @@ def test_personalized_pagerank_locality_and_python_replay(spark):
     assert fl[0] == pytest.approx(0.15)
     assert fl[0] > fl[1] > fl[2] > fl[3] > 0
     assert fl[8] == 0.0 and fl[9] == 0.0
+
+
+# ---------------------------------------------------------------------
+# strongly_connected_components (FW-BW coloring)
+# ---------------------------------------------------------------------
+
+def _scc_map(spark, edge_pairs, node_ids, **kw):
+    from kgforge.plans.graph_query import strongly_connected_components
+
+    edges = spark.createDataFrame(edge_pairs, "src long, dst long")
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    out = strongly_connected_components(edges, nodes, **kw).collect()
+    got = {r.id: r.scc for r in out}
+    assert len(out) == len(got), "duplicate id rows in SCC output"
+    return got
+
+
+def _scc_brute(edge_pairs, node_ids):
+    # transitive closure by python floyd-warshall-ish expansion
+    reach = {n: {n} for n in node_ids}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in edge_pairs:
+            for n in node_ids:
+                if s in reach[n] and d not in reach[n]:
+                    reach[n].add(d)
+                    changed = True
+    return {
+        n: min(m for m in node_ids if m in reach[n] and n in reach[m])
+        for n in node_ids
+    }
+
+
+def test_scc_two_rings_one_way_bridge(spark):
+    # ring {1,2,3} -> ring {10,11}: two SCCs, no merge across the bridge
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (1, 10)]
+    got = _scc_map(spark, pairs, [1, 2, 3, 10, 11])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_scc_fb_label_equality_counterexample(spark):
+    # 1->2, 1->3, 2->0, 3->0: nodes 2 and 3 share forward min label (1)
+    # AND backward min label (0) but are NOT mutually reachable — the
+    # naive (F,B)-pair grouping merges them; real SCC keeps 4 singletons.
+    pairs = [(1, 2), (1, 3), (2, 0), (3, 0)]
+    got = _scc_map(spark, pairs, [0, 1, 2, 3])
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_scc_dag_chain_all_singletons(spark):
+    # pure chain (worst case for coloring alone) unravels through trim
+    ids = list(range(8))
+    pairs = [(i, i + 1) for i in range(7)]
+    got = _scc_map(spark, pairs, ids)
+    assert got == {i: i for i in ids}
+
+
+def test_scc_self_loop_and_isolated(spark):
+    # self-loops are dropped (no 2-cycle implied); isolated nodes appear
+    got = _scc_map(spark, [(5, 5), (1, 2), (2, 1)], [1, 2, 5, 9])
+    assert got == {1: 1, 2: 1, 5: 5, 9: 9}
+
+
+def test_scc_matches_bruteforce_random(spark):
+    # deterministic pseudo-random digraph vs python closure brute force
+    import hashlib
+
+    ids = list(range(14))
+    pairs = []
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            h = hashlib.md5(f"scc|{a}|{b}".encode()).hexdigest()
+            if int(h[:4], 16) < 0x2000:  # ~12.5% density
+                pairs.append((a, b))
+    got = _scc_map(spark, pairs, ids, max_rounds=32)
+    assert got == _scc_brute(pairs, ids)
+
+
+def test_scc_nested_sccs_with_dag_between(spark):
+    # SCC {0,1} -> chain 2 -> SCC {3,4,5} -> 6
+    pairs = [
+        (0, 1), (1, 0),
+        (1, 2), (2, 3),
+        (3, 4), (4, 5), (5, 3),
+        (5, 6),
+    ]
+    got = _scc_map(spark, pairs, list(range(7)))
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 3, 6: 6}
