@@ -7388,6 +7388,72 @@ def graph_scc(spark, sf_dir):
     return out.orderBy("id")
 
 
+@_q(
+    "events_ohlc",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+           arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                          || lpad(event_id::VARCHAR, 12, '0')) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                          || lpad(event_id::VARCHAR, 12, '0')) AS close,
+           count(*)::BIGINT AS n,
+           sum(value::DECIMAL(18,6)) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc(spark, sf_dir):
+    """OHLC candlestick bars (functions/rollup.py::ohlc_bars): daily
+    open/high/low/close/volume per event_type — one map-side-combining
+    hash aggregate; open/close are min_by/max_by picks on a zero-padded
+    (epoch_us, event_id) STRING key (lexicographic == numeric order,
+    deterministic under timestamp ties; DuckDB's arg_min takes the same
+    VARCHAR key but no struct keys). high/low/open/close are raw value
+    picks — no float arithmetic — and volume sums in DECIMAL, so every
+    column hash-compares exactly."""
+    from kgforge.functions.rollup import ohlc_bars
+
+    return ohlc_bars(_t(spark, sf_dir, "events"), bucket="day")
+
+
+@_q(
+    "events_anomaly",
+    """
+    WITH v AS (
+      SELECT event_id AS id, user_id AS key,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), st AS (
+      SELECT key, count(*)::BIGINT AS n, sum(v_cents)::BIGINT AS s,
+             sum(v_cents * v_cents)::BIGINT AS s2
+      FROM v GROUP BY key
+    )
+    SELECT v.id, v.key, v.v_cents, st.n
+    FROM v JOIN st USING (key)
+    WHERE st.n >= 2
+      AND (st.n * v.v_cents - st.s) * (st.n * v.v_cents - st.s)
+          * (st.n - 1)
+          > 4 * st.n * (st.n * st.s2 - st.s * st.s)
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Per-user z-score outliers (functions/rollup.py::anomaly_flags,
+    threshold=2 sigmas): |v - mean| > 2·stddev cross-multiplied to the
+    all-BIGINT predicate (n·v − s)²·(n−1) > 4·n·(n·s2 − s²) — no float
+    division, no sqrt, hash-exact in both engines (the standing
+    stDev-gate craft). Shape: one moment aggregate + one broadcastable
+    stats join + a scan-side Filter. 49 flagged rows at sf0.001 / 531
+    at sf0.01 — non-vacuous at both scales."""
+    from kgforge.functions.rollup import anomaly_flags
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return anomaly_flags(ev, threshold=2)
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

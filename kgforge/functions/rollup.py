@@ -159,3 +159,97 @@ def gapfill_locf(
         F.last("total", ignorenulls=True).over(w).alias("total_locf"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    bucket: str = "hour",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """OHLC candlestick bars: (bucket, *key_cols, open, high, low,
+    close, n, volume) per `date_trunc(bucket)` window — the financial/
+    telemetry downsampling aggregate (TimescaleDB `candlestick_agg`).
+
+    One map-side-combining hash aggregate: open/close are `min_by`/
+    `max_by` picks keyed on a zero-padded ``(epoch_us, id)`` STRING —
+    lexicographic order == numeric order, so ties on the timestamp
+    break deterministically by ``id_col`` and the result is a pure data
+    function (cross-engine exact: DuckDB's arg_min/arg_max accept the
+    same VARCHAR key; its arg_min does NOT accept composite struct
+    keys, which is why the key is a string). high/low/open/close are
+    raw value picks (no float arithmetic); volume sums in DECIMAL.
+    Requires non-negative epochs (pre-1970 timestamps would break the
+    zero-pad ordering).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    okey = F.concat(
+        F.lpad(F.unix_micros(ts).cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+    return events.groupBy(
+        F.date_trunc(bucket, ts).alias("bucket"), *key_cols
+    ).agg(
+        F.min_by(value_col, okey).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, okey).alias("close"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("volume"),
+    )
+
+
+def anomaly_flags(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: int = 2,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-key z-score outliers, integer-exact: rows whose value sits
+    more than ``threshold`` sample standard deviations from their key's
+    mean. Returns (id, key, v_cents, n) — one row per flagged event.
+
+    The float-free formulation (the repo's standing cross-engine rule:
+    never hash-compare a float sum): with v in integer cents and
+    per-key integer moments n, s = Σv, s2 = Σv², the predicate
+
+        |v - s/n| > t * sqrt((s2 - s²/n) / (n-1))
+
+    cross-multiplies to
+
+        (n·v - s)² · (n-1)  >  t² · n · (n·s2 - s²)
+
+    — all BIGINT, no division, no sqrt. Shape: one map-side-combining
+    moment aggregate (3 partials per key), one equi-join of the tiny
+    stats table back to the events (AQE broadcasts it), one scan-side
+    Filter. ``min_n`` guards the degenerate n=1 group (variance
+    undefined). Strict inequality; t is an integer number of sigmas.
+    """
+    if threshold < 1 or min_n < 2:
+        raise ValueError("threshold >= 1 and min_n >= 2 required")
+    v = F.round(F.col(value_col) * 100).cast("long")
+    df = events.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        v.alias("v_cents"),
+    )
+    stats = df.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_cents").alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).alias("s2"),
+    )
+    t2 = int(threshold) * int(threshold)
+    dev = F.col("n") * F.col("v_cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        df.join(stats, on="key")
+        .filter(
+            (F.col("n") >= int(min_n))
+            & (dev * dev * (F.col("n") - 1) > F.lit(t2) * F.col("n") * var_n2)
+        )
+        .select("id", "key", "v_cents", "n")
+    )

@@ -764,3 +764,72 @@ def test_kmv_setops_estimates_track_exact_overlap(spark):
     assert ab.nu == k
     assert aa.j == 1.0 and aa.inter == k
     assert bc.inter == 0 and bc.j == 0.0
+
+
+def test_ohlc_bars_hand_series(spark):
+    from datetime import datetime
+
+    from kgforge.functions.rollup import ohlc_bars
+
+    rows = [
+        # one day, one key: open=5.0 (earliest), close=2.0 (latest),
+        # high=9.0, low=1.0, n=4, volume=17.0
+        (1, datetime(2024, 3, 1, 8, 0, 0), "buy", 5.0),
+        (2, datetime(2024, 3, 1, 9, 0, 0), "buy", 9.0),
+        (3, datetime(2024, 3, 1, 10, 0, 0), "buy", 1.0),
+        (4, datetime(2024, 3, 1, 11, 0, 0), "buy", 2.0),
+        # second day: single event, open == close
+        (5, datetime(2024, 3, 2, 8, 0, 0), "buy", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.bucket.day: r for r in ohlc_bars(ev, bucket="day").collect()}
+    d1 = out[1]
+    assert (d1.open, d1.high, d1.low, d1.close, d1.n) == (5.0, 9.0, 1.0, 2.0, 4)
+    assert float(d1.volume) == 17.0
+    d2 = out[2]
+    assert (d2.open, d2.close, d2.n) == (7.0, 7.0, 1)
+
+
+def test_ohlc_bars_timestamp_tie_breaks_by_id(spark):
+    from datetime import datetime
+
+    from kgforge.functions.rollup import ohlc_bars
+
+    t = datetime(2024, 3, 1, 8, 0, 0)
+    ev = spark.createDataFrame(
+        [(2, t, "k", 20.0), (1, t, "k", 10.0), (3, t, "k", 30.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    r = ohlc_bars(ev, bucket="day").collect()[0]
+    # all three share the timestamp: open = lowest id, close = highest id
+    assert r.open == 10.0 and r.close == 30.0
+
+
+def test_anomaly_flags_python_replay(spark):
+    import statistics
+
+    from kgforge.functions.rollup import anomaly_flags
+
+    # key A: ten 10.00s + one 100.00 -> z(100) = 2.39 > 2, z(10) small
+    vals_a = [10.0] * 10 + [100.0]
+    rows = [(i, "A", v) for i, v in enumerate(vals_a)]
+    # key B: constant -> variance 0, nothing flagged
+    rows += [(100 + i, "B", 5.0) for i in range(5)]
+    # key C: single row -> n < min_n, never flagged
+    rows += [(200, "C", 999.0)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id string, value double")
+    got = {r.id for r in anomaly_flags(ev, threshold=2).collect()}
+
+    mean, sd = statistics.mean(vals_a), statistics.stdev(vals_a)
+    expect = {i for i, v in enumerate(vals_a) if abs(v - mean) > 2 * sd}
+    assert expect == {10}, "test fixture must flag exactly the outlier"
+    assert got == expect
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        anomaly_flags(ev, threshold=0)
+    with pytest.raises(ValueError):
+        anomaly_flags(ev, min_n=1)
