@@ -7454,6 +7454,50 @@ def events_anomaly(spark, sf_dir):
     return anomaly_flags(ev, threshold=2)
 
 
+_GAZETTEER_PATTERNS = ["scan", "table scan", "join", "filter", "the fast"]
+
+
+@_q(
+    "text_gazetteer",
+    r"""
+    WITH pats AS (
+      SELECT * FROM (VALUES ('scan'), ('table scan'), ('join'),
+                            ('filter'), ('the fast')) p(pattern)
+    ), d AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE text IS NOT NULL
+    ), gen AS (
+      SELECT d.doc_id, d.t, p.pattern FROM d CROSS JOIN pats p
+    ), pos AS (
+      SELECT doc_id, t, pattern,
+             unnest(range(1, length(t) - length(pattern) + 2)) AS i
+      FROM gen
+    ), hit AS (
+      SELECT doc_id, pattern, i FROM pos
+      WHERE substr(t, i, length(pattern)) = pattern
+    )
+    SELECT doc_id, pattern, count(*)::BIGINT AS cnt
+    FROM hit GROUP BY 1, 2
+    """,
+)
+def text_gazetteer(spark, sf_dir):
+    """Gazetteer tagging (functions/gazetteer.py::match_counts):
+    Aho-Corasick multi-pattern occurrence counts over the corpus — ONE
+    pass per document regardless of dictionary size (goto/fail/output
+    automaton in mapInPandas), vs the oracle's |docs|x|patterns|
+    positional replay (every start position; overlapping AND nested
+    matches count — 'scan' fires inside every 'table scan' via the
+    fail-link output chain, which is exactly what positional substr
+    equality counts). The pattern set includes a nested pair so the
+    fail-chain semantics are load-bearing at both SFs."""
+    from kgforge.functions.gazetteer import match_counts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    return match_counts(docs, _GAZETTEER_PATTERNS)
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================
