@@ -7454,6 +7454,83 @@ def events_anomaly(spark, sf_dir):
     return anomaly_flags(ev, threshold=2)
 
 
+@_q(
+    "sketch_kmv_anotb",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), pts AS (
+      SELECT DISTINCT lang, substr(md5(w), 1, 12) AS h FROM tok
+    ), bk AS (
+      SELECT lang, h FROM (
+        SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM pts
+      ) WHERE rn <= 128
+    ), langs AS (SELECT DISTINCT lang FROM bk),
+    pr AS (
+      SELECT a.lang AS la, b.lang AS lb
+      FROM langs a JOIN langs b ON a.lang < b.lang
+    ), m AS (
+      SELECT DISTINCT pr.la, pr.lb, bk.h
+      FROM pr JOIN bk ON bk.lang = pr.la OR bk.lang = pr.lb
+    ), cut AS (
+      SELECT la, lb, h FROM (
+        SELECT la, lb, h,
+               row_number() OVER (PARTITION BY la, lb ORDER BY h) AS rn
+        FROM m
+      ) WHERE rn <= 128
+    )
+    SELECT c.la AS lang_a, c.lb AS lang_b,
+           sum(CASE WHEN EXISTS (SELECT 1 FROM bk x
+                                 WHERE x.lang = c.la AND x.h = c.h)
+                     AND NOT EXISTS (SELECT 1 FROM bk y
+                                     WHERE y.lang = c.lb AND y.h = c.h)
+                THEN 1 ELSE 0 END)::BIGINT AS a_not_b,
+           sum(CASE WHEN EXISTS (SELECT 1 FROM bk y
+                                 WHERE y.lang = c.lb AND y.h = c.h)
+                     AND NOT EXISTS (SELECT 1 FROM bk x
+                                     WHERE x.lang = c.la AND x.h = c.h)
+                THEN 1 ELSE 0 END)::BIGINT AS b_not_a
+    FROM cut c GROUP BY 1, 2
+    """,
+)
+def sketch_kmv_anotb(spark, sf_dir):
+    """Theta-sketch difference (functions/sketch.py::
+    kmv_difference_count): per language pair, how many union-bottom-128
+    sample points sit in exactly one side — the a-not-b estimator
+    numerator, computed from sketch state alone (the corpora never
+    join). With kmv_intersect_count (sketch_kmv_setops gate) this
+    completes the mergeable set-algebra: union / intersect / difference
+    all from the same bottom-k arrays."""
+    from kgforge.functions.sketch import kmv_difference_count, kmv_sketch
+    from kgforge.functions.textstats import _WS
+
+    k = 128
+    words = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), _WS)
+            ).alias("w"),
+        )
+    )
+    sk = kmv_sketch(words, "lang", "w", k=k)
+    a = sk.select(F.col("lang").alias("lang_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("lang").alias("lang_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("lang_a") < F.col("lang_b"))
+    return pairs.select(
+        "lang_a",
+        "lang_b",
+        kmv_difference_count(F.col("ka"), F.col("kb"), k).alias("a_not_b"),
+        kmv_difference_count(F.col("kb"), F.col("ka"), k).alias("b_not_a"),
+    )
+
+
 _GAZETTEER_PATTERNS = ["scan", "table scan", "join", "filter", "the fast"]
 
 

@@ -419,3 +419,22 @@ def kmv_jaccard(kmv_a: Column, kmv_b: Column, k: int = 256) -> Column:
     the cross-engine-exact artifacts are the counts."""
     cut = kmv_merge(kmv_a, kmv_b, k)
     return kmv_intersect_count(kmv_a, kmv_b, k) / F.size(cut)
+
+
+def kmv_difference_count(
+    kmv_a: Column, kmv_b: Column, k: int = 256
+) -> Column:
+    """Number of union-bottom-k points present in A but NOT in B (long)
+    — the theta-sketch a-not-b numerator, completing the set-op family
+    (union = kmv_merge, intersection = kmv_intersect_count).
+
+    |A \\ B| ≈ (this / size(kmv_merge(a, b, k))) * est(A ∪ B); the
+    estimate is a derived float, the cross-engine-exact artifact is the
+    integer count. Sub-k unions make it exact (same cut rule as
+    kmv_intersect_count)."""
+    cut = kmv_merge(kmv_a, kmv_b, k)
+    only_a = F.filter(
+        cut,
+        lambda h: F.array_contains(kmv_a, h) & ~F.array_contains(kmv_b, h),
+    )
+    return F.size(only_a).cast("long")

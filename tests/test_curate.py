@@ -833,3 +833,40 @@ def test_anomaly_flags_python_replay(spark):
         anomaly_flags(ev, threshold=0)
     with pytest.raises(ValueError):
         anomaly_flags(ev, min_n=1)
+
+
+def test_kmv_difference_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.sketch import (
+        kmv_difference_count,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    shared = [f"s{i}" for i in range(400)]
+    a_only = [f"a{i}" for i in range(1200)]
+    b_only = [f"b{i}" for i in range(1200)]
+    rows = (
+        [("A", w) for w in shared + a_only]
+        + [("B", w) for w in shared + b_only]
+        + [("C", w) for w in a_only]
+    )
+    df = spark.createDataFrame(rows, "grp string, w string")
+    k = 128
+    s = {r.grp: r.kmv for r in kmv_sketch(df, "grp", "w", k=k).collect()}
+    two = spark.createDataFrame(
+        [(s["A"], s["A"]), (s["A"], s["C"]), (s["B"], s["C"])],
+        "x array<string>, y array<string>",
+    )
+    out = two.select(
+        kmv_difference_count(F.col("x"), F.col("y"), k).alias("anb"),
+        kmv_difference_count(F.col("y"), F.col("x"), k).alias("bna"),
+        F.size(kmv_merge(F.col("x"), F.col("y"), k)).alias("nu"),
+    ).collect()
+    aa, ac, bc = out
+    assert aa.anb == 0 and aa.bna == 0          # identical sketches
+    # C subset-of A: nothing in C misses A; A\C fraction ~ 400/1600
+    assert ac.bna == 0 and 0.10 * ac.nu <= ac.anb <= 0.45 * ac.nu
+    # B and C disjoint: every cut point is in exactly one side
+    assert bc.anb + bc.bna == bc.nu
