@@ -7455,6 +7455,102 @@ def events_anomaly(spark, sf_dir):
 
 
 @_q(
+    "graph_condensation",
+    """
+    WITH RECURSIVE n AS (
+      SELECT n_nationkey::BIGINT AS id, n_regionkey AS rk FROM nation
+    ), ring AS (
+      SELECT id AS src,
+             coalesce(lead(id) OVER (PARTITION BY rk ORDER BY id),
+                      min(id) OVER (PARTITION BY rk)) AS dst
+      FROM n
+    ), rmin AS (
+      SELECT rk, min(id) AS mid FROM n GROUP BY rk
+    ), cross_e AS (
+      SELECT a.mid AS src, b.mid AS dst
+      FROM rmin a JOIN rmin b ON b.rk = a.rk + 1
+    ), supp AS (
+      SELECT s_nationkey::BIGINT AS src, 1000 + s_suppkey AS dst
+      FROM supplier WHERE s_suppkey < 10
+    ), edges AS (
+      SELECT src, dst FROM ring WHERE src <> dst
+      UNION SELECT src, dst FROM cross_e
+      UNION SELECT src, dst FROM supp
+    ), nd AS (
+      SELECT id FROM n UNION SELECT DISTINCT dst AS id FROM supp
+    ), reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ), mutual AS (
+      SELECT r1.a AS id, min(r1.b) AS mb
+      FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+      GROUP BY r1.a
+    ), scc AS (
+      SELECT nd.id AS id,
+             least(nd.id, coalesce(m.mb, nd.id))::BIGINT AS scc
+      FROM nd LEFT JOIN mutual m ON m.id = nd.id
+    )
+    SELECT DISTINCT s.scc AS src_scc, d.scc AS dst_scc
+    FROM edges e
+    JOIN scc s ON s.id = e.src
+    JOIN scc d ON d.id = e.dst
+    WHERE s.scc <> d.scc
+    ORDER BY src_scc, dst_scc
+    """,
+)
+def graph_condensation(spark, sf_dir):
+    """Condensation / SCC quotient DAG (plans/graph_query.py::
+    condensation over strongly_connected_components): one edge per pair
+    of distinct components connected in the original graph — acyclic by
+    construction, the reachability skeleton DAG-only analyses run on.
+    Same nation-ring + region-bridge + supplier-spoke test graph as
+    graph_scc; expected edges = the 4 inter-ring bridges + one
+    ring->singleton edge per spoke supplier."""
+    from pyspark.sql import Window
+
+    from kgforge.plans.graph_query import (
+        condensation,
+        strongly_connected_components,
+    )
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_regionkey").alias("rk"),
+    )
+    w = Window.partitionBy("rk").orderBy("id")
+    ring = n.select(
+        F.col("id").alias("src"),
+        F.coalesce(
+            F.lead("id").over(w),
+            F.min("id").over(Window.partitionBy("rk")),
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    rmin = n.groupBy("rk").agg(F.min("id").alias("mid"))
+    cross_e = (
+        rmin.alias("a")
+        .join(rmin.alias("b"), F.col("b.rk") == F.col("a.rk") + 1)
+        .select(F.col("a.mid").alias("src"), F.col("b.mid").alias("dst"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 10)
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("dst"),
+        )
+    )
+    edges = ring.unionByName(cross_e).unionByName(supp).dropDuplicates()
+    nodes = (
+        n.select("id")
+        .unionByName(supp.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    scc = strongly_connected_components(edges, nodes)
+    return condensation(edges, scc).orderBy("src_scc", "dst_scc")
+
+
+@_q(
     "sketch_kmv_anotb",
     r"""
     WITH tok AS (

@@ -1532,3 +1532,26 @@ def strongly_connected_components(
     for d in done[1:]:
         out = out.unionByName(d)
     return out
+
+
+def condensation(
+    edges: DataFrame, scc: DataFrame
+) -> DataFrame:
+    """The condensation (SCC quotient DAG): one edge (src_scc, dst_scc)
+    per pair of DISTINCT components connected by at least one original
+    edge. Input ``scc`` is `strongly_connected_components` output
+    (id, scc). The result is acyclic by construction — every cycle of
+    the original graph is inside one component — which is what makes it
+    the planning/reachability skeleton: downstream DAG-only analyses
+    (topological layering, longest path) run on |SCCs| nodes instead of
+    |V|. Two equi-joins + a distinct, nothing else."""
+    s = scc.select(F.col("id").alias("src"), F.col("scc").alias("src_scc"))
+    d = scc.select(F.col("id").alias("dst"), F.col("scc").alias("dst_scc"))
+    return (
+        edges.select("src", "dst")
+        .join(s, on="src")
+        .join(d, on="dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .dropDuplicates()
+    )

@@ -1026,3 +1026,40 @@ def test_scc_nested_sccs_with_dag_between(spark):
     ]
     got = _scc_map(spark, pairs, list(range(7)))
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_condensation_is_acyclic_and_matches_brute(spark):
+    import hashlib
+
+    from kgforge.plans.graph_query import (
+        condensation,
+        strongly_connected_components,
+    )
+
+    ids = list(range(14))
+    pairs = []
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            h = hashlib.md5(f"scc|{a}|{b}".encode()).hexdigest()
+            if int(h[:4], 16) < 0x2000:
+                pairs.append((a, b))
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = spark.createDataFrame([(n,) for n in ids], "id long")
+    scc = strongly_connected_components(edges, nodes, max_rounds=32)
+    cond = {(r.src_scc, r.dst_scc) for r in condensation(edges, scc).collect()}
+
+    sccmap = _scc_brute(pairs, ids)
+    want = {
+        (sccmap[a], sccmap[b]) for a, b in pairs if sccmap[a] != sccmap[b]
+    }
+    assert cond == want
+    # acyclicity: kahn peeling of the quotient drains completely
+    nodes_c = {x for e in cond for x in e}
+    left = set(cond)
+    while nodes_c:
+        sinkless = nodes_c - {s for s, _ in left}
+        assert sinkless, "cycle in condensation"
+        nodes_c -= sinkless
+        left = {(s, d) for s, d in left if d not in sinkless}
