@@ -7455,6 +7455,38 @@ def events_anomaly(spark, sf_dir):
 
 
 @_q(
+    "sketch_moments",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(v)::DECIMAL(38,0) AS m1,
+           sum(v * v)::DECIMAL(38,0) AS m2,
+           sum(v * v * v)::DECIMAL(38,0) AS m3,
+           sum(v * v * v * v)::DECIMAL(38,0) AS m4
+    FROM v GROUP BY 1
+    """,
+)
+def sketch_moments(spark, sf_dir):
+    """Moments sketch (functions/sketch.py::moments_sketch, Gan et al.
+    VLDB'18): per event_type the exact integer power sums (n, Σv..Σv⁴)
+    of the cent-scaled value — the cheapest mergeable distribution
+    summary (merge = column adds, so rollup cascades and CRDT streams
+    come free; mean/var/skew/kurtosis derive exactly, quantiles via
+    Cornish-Fisher are the pytest-pinned estimate). v⁴ overflows BIGINT
+    after ~60 cent-scale rows, hence DECIMAL(38,0) accumulators — the
+    oracle's HUGEINT twin casts to the same type. Mergeability law
+    (partials == direct) is pytest-pinned in test_curate."""
+    from kgforge.functions.sketch import moments_sketch
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return moments_sketch(ev, ["event_type"], "value")
+
+
+@_q(
     "graph_condensation",
     """
     WITH RECURSIVE n AS (

@@ -438,3 +438,80 @@ def kmv_difference_count(
         lambda h: F.array_contains(kmv_a, h) & ~F.array_contains(kmv_b, h),
     )
     return F.size(only_a).cast("long")
+
+
+# =====================================================================
+# Moments sketch — mergeable power sums (Gan et al., VLDB 2018)
+# =====================================================================
+#
+# The cheapest mergeable distribution summary: per key keep
+# (n, Σv, Σv², Σv³, Σv⁴). Merging = adding the tuples (trivially
+# associative/commutative → map-side combine, rollup cascades, CRDT
+# streams all free); mean/variance/skewness/kurtosis derive exactly,
+# quantiles approximately (Cornish-Fisher). Values are scaled to
+# integers and the sums run in DECIMAL(38,0), so the sketch STATE is
+# cross-engine hash-exact — the same oracle-checkability rule as the
+# HLL/KMV/CM families above; only the derived float stats are
+# estimates.
+
+def moments_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """-> group_cols + (n, m1, m2, m3, m4): integer power sums of
+    round(value*scale). One map-side-combining hash aggregate; v⁴ at
+    cent scale overflows BIGINT after ~60 rows, hence DECIMAL(38,0)
+    accumulators (DuckDB twin: HUGEINT sums cast to DECIMAL(38,0))."""
+    v = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
+    d = df.withColumn("__v", v)
+    vv = F.col("__v")
+    return d.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(vv).cast("decimal(38,0)").alias("m1"),
+        F.sum(vv * vv).cast("decimal(38,0)").alias("m2"),
+        F.sum(vv * vv * vv).cast("decimal(38,0)").alias("m3"),
+        F.sum(vv * vv * vv * vv).cast("decimal(38,0)").alias("m4"),
+    )
+
+
+def moments_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate finer-grained moment partials to coarser keys —
+    pure column sums (the whole point of the sketch: a monthly profile
+    reads 30 daily partial rows, never the raw events)."""
+    return sketch.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("m1").cast("decimal(38,0)").alias("m1"),
+        F.sum("m2").cast("decimal(38,0)").alias("m2"),
+        F.sum("m3").cast("decimal(38,0)").alias("m3"),
+        F.sum("m4").cast("decimal(38,0)").alias("m4"),
+    )
+
+
+def moments_stats(sketch: DataFrame, scale: int = 100) -> DataFrame:
+    """Derive (mean, variance, skewness, kurtosis) float columns from
+    the exact integer state. Population moments (no Bessel); floats are
+    a read-time derivation, never part of the mergeable state."""
+    n = F.col("n").cast("double")
+    m1 = F.col("m1").cast("double") / scale
+    m2 = F.col("m2").cast("double") / (scale * scale)
+    m3 = F.col("m3").cast("double") / (scale ** 3)
+    m4 = F.col("m4").cast("double") / (scale ** 4)
+    mean = m1 / n
+    var = m2 / n - mean * mean
+    mu3 = m3 / n - 3 * mean * m2 / n + 2 * mean ** 3
+    mu4 = (
+        m4 / n
+        - 4 * mean * m3 / n
+        + 6 * mean * mean * m2 / n
+        - 3 * mean ** 4
+    )
+    sd = F.sqrt(var)
+    return sketch.select(
+        "*",
+        mean.alias("mean"),
+        var.alias("variance"),
+        F.when(var > 0, mu3 / (sd * sd * sd)).alias("skewness"),
+        F.when(var > 0, mu4 / (var * var)).alias("kurtosis"),
+    )

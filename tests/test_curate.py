@@ -870,3 +870,42 @@ def test_kmv_difference_closed_form(spark):
     assert ac.bna == 0 and 0.10 * ac.nu <= ac.anb <= 0.45 * ac.nu
     # B and C disjoint: every cut point is in exactly one side
     assert bc.anb + bc.bna == bc.nu
+
+
+def test_moments_sketch_merge_and_stats(spark):
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from kgforge.functions.sketch import (
+        moments_merge,
+        moments_sketch,
+        moments_stats,
+    )
+
+    vals = [1.25, 2.5, 2.5, 4.0, 10.0, 3.75, 0.25, 6.5]
+    rows = [("k", "h1" if i < 4 else "h2", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, part string, value double")
+
+    fine = moments_sketch(df, ["key", "part"], "value")
+    merged = moments_merge(fine, ["key"]).collect()[0]
+    direct = moments_sketch(df, ["key"], "value").collect()[0]
+    # merging partials == sketching the raw rows (the mergeability law)
+    assert (merged.n, merged.m1, merged.m2, merged.m3, merged.m4) == (
+        direct.n, direct.m1, direct.m2, direct.m3, direct.m4,
+    )
+    # exact integer state: m1 at cent scale
+    assert int(merged.m1) == round(sum(vals) * 100)
+    assert int(merged.m2) == sum(round(v * 100) ** 2 for v in vals)
+    assert int(merged.m4) == sum(round(v * 100) ** 4 for v in vals)
+
+    st = moments_stats(moments_merge(fine, ["key"])).collect()[0]
+    assert abs(st.mean - statistics.mean(vals)) < 1e-9
+    assert abs(st.variance - statistics.pvariance(vals)) < 1e-9
+    # python replay of the central-moment ratios
+    mu = statistics.mean(vals)
+    mu3 = sum((v - mu) ** 3 for v in vals) / len(vals)
+    mu4 = sum((v - mu) ** 4 for v in vals) / len(vals)
+    pv = statistics.pvariance(vals)
+    assert abs(st.skewness - mu3 / pv ** 1.5) < 1e-9
+    assert abs(st.kurtosis - mu4 / pv ** 2) < 1e-9
