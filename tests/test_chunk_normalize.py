@@ -145,3 +145,101 @@ def test_missing_required_attr_kept_by_default(spark):
     )
     assert [r["key"] for r in strict_valid.collect()] == ["A"]
     assert [r["key"] for r in strict_quar.collect()] == ["B"]
+
+
+# ---------------------------------------------------------------------
+# cdc_chunks — content-defined chunking
+# ---------------------------------------------------------------------
+
+def _cdc_brute(text, window=16, mask="0"):
+    import hashlib
+
+    L = len(text)
+    bounds = [
+        i
+        for i in range(2, L - window + 2)
+        if hashlib.md5(text[i - 1 : i - 1 + window].encode()).hexdigest()
+        .startswith(mask)
+    ]
+    starts = [1] + bounds
+    ends = bounds + [L + 1]
+    return [
+        (idx, s, e - s,
+         hashlib.md5(text[s - 1 : e - 1].encode()).hexdigest())
+        for idx, (s, e) in enumerate(zip(starts, ends))
+    ]
+
+
+def test_cdc_chunks_matches_python_replay(spark):
+    import hashlib
+
+    from kgforge.sources.chunk import cdc_chunks
+
+    text = " ".join(
+        "abcdefgh"[int(hashlib.md5(f"cdc|{i}".encode()).hexdigest()[:2], 16) % 8]
+        * (i % 3 + 1)
+        for i in range(120)
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_md5)
+        for r in cdc_chunks(docs).collect()
+    )
+    assert got == _cdc_brute(text)
+    # chunks tile the document exactly
+    assert sum(c[2] for c in got) == len(text)
+
+
+def test_cdc_chunks_edit_stability(spark):
+    import hashlib
+
+    from kgforge.sources.chunk import cdc_chunks
+
+    base = " ".join(
+        "wxyz"[int(hashlib.md5(f"st|{i}".encode()).hexdigest()[:2], 16) % 4]
+        * (i % 4 + 1)
+        for i in range(200)
+    )
+    edited = base[:10] + "INSERTED " + base[10:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs).collect()
+    a = {r.chunk_md5 for r in out if r.doc_id == 1}
+    b = {r.chunk_md5 for r in out if r.doc_id == 2}
+    # the content-defined property: a prefix edit re-chunks only its
+    # neighborhood; the vast majority of fingerprints survive
+    assert len(a & b) >= 0.8 * len(a)
+
+
+def test_cdc_chunks_short_and_empty(spark):
+    import hashlib
+
+    from kgforge.sources.chunk import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in cdc_chunks(docs).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].chunk_start, out[1].chunk_len) == (1, 4)
+    assert out[1].chunk_md5 == hashlib.md5(b"tiny").hexdigest()
+    assert (out[2].chunk_len, out[2].chunk_md5) == (
+        0, hashlib.md5(b"").hexdigest()
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, window=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, mask="")
+
+
+def test_cdc_chunks_plan_map_only(spark):
+    from kgforge.sources.chunk import cdc_chunks
+
+    docs = spark.createDataFrame([(1, "x" * 100)], "doc_id long, text string")
+    plan = cdc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
