@@ -7295,6 +7295,49 @@ def sketch_hll_rollup(spark, sf_dir):
     )
 
 
+def _scc_test_graph(spark, sf_dir):
+    """Shared directed test graph for the SCC family (graph_scc /
+    graph_condensation / graph_topo_layers): one ring per region (one
+    SCC each), one-way bridges between consecutive regions' ring minima
+    (no wraparound -> rings stay separate), one-way nation->supplier
+    spokes (singleton SCCs). Returns (edges, nodes)."""
+    from pyspark.sql import Window
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_regionkey").alias("rk"),
+    )
+    w = Window.partitionBy("rk").orderBy("id")
+    ring = n.select(
+        F.col("id").alias("src"),
+        F.coalesce(
+            F.lead("id").over(w),
+            F.min("id").over(Window.partitionBy("rk")),
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    rmin = n.groupBy("rk").agg(F.min("id").alias("mid"))
+    cross_e = (
+        rmin.alias("a")
+        .join(rmin.alias("b"), F.col("b.rk") == F.col("a.rk") + 1)
+        .select(F.col("a.mid").alias("src"), F.col("b.mid").alias("dst"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 10)
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("dst"),
+        )
+    )
+    edges = ring.unionByName(cross_e).unionByName(supp).dropDuplicates()
+    nodes = (
+        n.select("id")
+        .unionByName(supp.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    return edges, nodes
+
+
 @_q(
     "graph_scc",
     """
@@ -7348,44 +7391,10 @@ def graph_scc(spark, sf_dir):
     (F,B)-pair equality alone is NOT sufficient for SCC — pinned in
     tests/test_graph_analytics.py::
     test_scc_fb_label_equality_counterexample."""
-    from pyspark.sql import Window
-
     from kgforge.plans.graph_query import strongly_connected_components
 
-    n = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").cast("long").alias("id"),
-        F.col("n_regionkey").alias("rk"),
-    )
-    w = Window.partitionBy("rk").orderBy("id")
-    ring = n.select(
-        F.col("id").alias("src"),
-        F.coalesce(
-            F.lead("id").over(w),
-            F.min("id").over(Window.partitionBy("rk")),
-        ).alias("dst"),
-    ).filter(F.col("src") != F.col("dst"))
-    rmin = n.groupBy("rk").agg(F.min("id").alias("mid"))
-    cross_e = (
-        rmin.alias("a")
-        .join(rmin.alias("b"), F.col("b.rk") == F.col("a.rk") + 1)
-        .select(F.col("a.mid").alias("src"), F.col("b.mid").alias("dst"))
-    )
-    supp = (
-        _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") < 10)
-        .select(
-            F.col("s_nationkey").cast("long").alias("src"),
-            (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("dst"),
-        )
-    )
-    edges = ring.unionByName(cross_e).unionByName(supp).dropDuplicates()
-    nodes = (
-        n.select("id")
-        .unionByName(supp.select(F.col("dst").alias("id")))
-        .dropDuplicates()
-    )
-    out = strongly_connected_components(edges, nodes)
-    return out.orderBy("id")
+    edges, nodes = _scc_test_graph(spark, sf_dir)
+    return strongly_connected_components(edges, nodes).orderBy("id")
 
 
 @_q(
@@ -7585,47 +7594,91 @@ def graph_condensation(spark, sf_dir):
     Same nation-ring + region-bridge + supplier-spoke test graph as
     graph_scc; expected edges = the 4 inter-ring bridges + one
     ring->singleton edge per spoke supplier."""
-    from pyspark.sql import Window
-
     from kgforge.plans.graph_query import (
         condensation,
         strongly_connected_components,
     )
 
-    n = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").cast("long").alias("id"),
-        F.col("n_regionkey").alias("rk"),
-    )
-    w = Window.partitionBy("rk").orderBy("id")
-    ring = n.select(
-        F.col("id").alias("src"),
-        F.coalesce(
-            F.lead("id").over(w),
-            F.min("id").over(Window.partitionBy("rk")),
-        ).alias("dst"),
-    ).filter(F.col("src") != F.col("dst"))
-    rmin = n.groupBy("rk").agg(F.min("id").alias("mid"))
-    cross_e = (
-        rmin.alias("a")
-        .join(rmin.alias("b"), F.col("b.rk") == F.col("a.rk") + 1)
-        .select(F.col("a.mid").alias("src"), F.col("b.mid").alias("dst"))
-    )
-    supp = (
-        _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") < 10)
-        .select(
-            F.col("s_nationkey").cast("long").alias("src"),
-            (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("dst"),
-        )
-    )
-    edges = ring.unionByName(cross_e).unionByName(supp).dropDuplicates()
-    nodes = (
-        n.select("id")
-        .unionByName(supp.select(F.col("dst").alias("id")))
-        .dropDuplicates()
-    )
+    edges, nodes = _scc_test_graph(spark, sf_dir)
     scc = strongly_connected_components(edges, nodes)
     return condensation(edges, scc).orderBy("src_scc", "dst_scc")
+
+
+@_q(
+    "graph_topo_layers",
+    """
+    WITH RECURSIVE n AS (
+      SELECT n_nationkey::BIGINT AS id, n_regionkey AS rk FROM nation
+    ), ring AS (
+      SELECT id AS src,
+             coalesce(lead(id) OVER (PARTITION BY rk ORDER BY id),
+                      min(id) OVER (PARTITION BY rk)) AS dst
+      FROM n
+    ), rmin AS (
+      SELECT rk, min(id) AS mid FROM n GROUP BY rk
+    ), cross_e AS (
+      SELECT a.mid AS src, b.mid AS dst
+      FROM rmin a JOIN rmin b ON b.rk = a.rk + 1
+    ), supp AS (
+      SELECT s_nationkey::BIGINT AS src, 1000 + s_suppkey AS dst
+      FROM supplier WHERE s_suppkey < 10
+    ), edges AS (
+      SELECT src, dst FROM ring WHERE src <> dst
+      UNION SELECT src, dst FROM cross_e
+      UNION SELECT src, dst FROM supp
+    ), nd AS (
+      SELECT id FROM n UNION SELECT DISTINCT dst AS id FROM supp
+    ), reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ), mutual AS (
+      SELECT r1.a AS id, min(r1.b) AS mb
+      FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+      GROUP BY r1.a
+    ), scc AS (
+      SELECT nd.id AS id,
+             least(nd.id, coalesce(m.mb, nd.id))::BIGINT AS scc
+      FROM nd LEFT JOIN mutual m ON m.id = nd.id
+    ), qn AS (
+      SELECT DISTINCT scc AS id FROM scc
+    ), qe AS (
+      SELECT DISTINCT s.scc AS src, d.scc AS dst
+      FROM edges e
+      JOIN scc s ON s.id = e.src
+      JOIN scc d ON d.id = e.dst
+      WHERE s.scc <> d.scc
+    ), walk(v, d) AS (
+      SELECT id, 0 FROM qn WHERE id NOT IN (SELECT dst FROM qe)
+      UNION
+      SELECT qe.dst, w.d + 1 FROM walk w JOIN qe ON qe.src = w.v
+    )
+    SELECT v AS id, max(d)::BIGINT AS layer
+    FROM walk GROUP BY v ORDER BY id
+    """,
+)
+def graph_topo_layers(spark, sf_dir):
+    """DAG layering (plans/graph_query.py::topological_layers) over the
+    condensation of the SCC-family test graph — the full cycle-safe
+    scheduling composition: strongly_connected_components collapses the
+    region rings, condensation yields the quotient DAG, Kahn peeling
+    stamps layer = longest dependency depth (ring r sits at layer r,
+    its supplier spokes at r+1). Oracle = recursive-CTE max-depth walk
+    from the in-degree-0 quotient sources; cycle input raises
+    (pytest-pinned) instead of looping."""
+    from kgforge.plans.graph_query import (
+        condensation,
+        strongly_connected_components,
+        topological_layers,
+    )
+
+    edges, nodes = _scc_test_graph(spark, sf_dir)
+    scc = strongly_connected_components(edges, nodes)
+    cond = condensation(edges, scc).select(
+        F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+    )
+    qnodes = scc.select(F.col("scc").alias("id")).dropDuplicates()
+    return topological_layers(cond, qnodes).orderBy("id")
 
 
 @_q(

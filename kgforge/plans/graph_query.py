@@ -1555,3 +1555,66 @@ def condensation(
         .select("src_scc", "dst_scc")
         .dropDuplicates()
     )
+
+
+def topological_layers(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """DAG layering: (id, layer) with layer = the LONGEST path length
+    from any source (in-degree-0 node) — i.e. the earliest parallel
+    wave in which a task can run once all its dependencies ran. The
+    scheduling primitive over `condensation` output (run SCC first;
+    this raises on cycles rather than loop forever).
+
+    Kahn-style iterative peeling: round t removes the current
+    in-degree-0 set and stamps it layer t — one anti-join (who has no
+    remaining in-edge) + two semi-joins (shrink the edge list) per
+    round, `localCheckpoint` lineage truncation, early exit when the
+    graph drains. Rounds = DAG depth, the same bounded-loop contract as
+    `k_core`. If ``max_rounds`` passes leave nodes but no round
+    removed them (or rounds run out), the remainder contains a cycle —
+    RuntimeError, never a partial answer.
+    """
+    remaining = nodes.select("id").dropDuplicates().localCheckpoint()
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .join(remaining.select(F.col("id").alias("src")),
+              on="src", how="left_semi")
+        .join(remaining.select(F.col("id").alias("dst")),
+              on="dst", how="left_semi")
+        .localCheckpoint()
+    )
+    out: list[DataFrame] = []
+    for layer in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        ready = remaining.join(
+            e.select(F.col("dst").alias("id")), on="id", how="left_anti"
+        ).localCheckpoint()
+        if ready.isEmpty():
+            raise RuntimeError(
+                "cycle detected: no in-degree-0 node remains — run "
+                "strongly_connected_components/condensation first"
+            )
+        out.append(
+            ready.select("id", F.lit(layer).cast("long").alias("layer"))
+        )
+        remaining = remaining.join(ready, on="id", how="left_anti")
+        e = (
+            e.join(ready.select(F.col("id").alias("src")),
+                   on="src", how="left_anti")
+            .localCheckpoint()
+        )
+    else:
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"DAG deeper than max_rounds={max_rounds}; raise the bound"
+            )
+    if not out:
+        return nodes.select("id", F.lit(0).cast("long").alias("layer")).limit(0)
+    res = out[0]
+    for d in out[1:]:
+        res = res.unionByName(d)
+    return res

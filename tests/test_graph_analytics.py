@@ -1063,3 +1063,74 @@ def test_condensation_is_acyclic_and_matches_brute(spark):
         assert sinkless, "cycle in condensation"
         nodes_c -= sinkless
         left = {(s, d) for s, d in left if d not in sinkless}
+
+
+def test_topological_layers_longest_path_semantics(spark):
+    from kgforge.plans.graph_query import topological_layers
+
+    # diamond with a long leg: layer(d) = 2 (longest), not 1
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (1, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    got = {r.id: r.layer for r in topological_layers(edges, nodes).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_topological_layers_cycle_raises_and_isolated(spark):
+    import pytest
+
+    from kgforge.plans.graph_query import topological_layers
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        topological_layers(cyc, nodes)
+    # isolated nodes land in layer 0; stray edge endpoints are ignored
+    e2 = spark.createDataFrame([(0, 1), (99, 1)], "src long, dst long")
+    got = {r.id: r.layer for r in topological_layers(e2, nodes).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 0}
+
+
+def test_topological_layers_on_condensation_matches_brute(spark):
+    import hashlib
+
+    from kgforge.plans.graph_query import (
+        condensation,
+        strongly_connected_components,
+        topological_layers,
+    )
+
+    ids = list(range(14))
+    pairs = []
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            h = hashlib.md5(f"scc|{a}|{b}".encode()).hexdigest()
+            if int(h[:4], 16) < 0x2000:
+                pairs.append((a, b))
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = spark.createDataFrame([(n,) for n in ids], "id long")
+    scc = strongly_connected_components(edges, nodes, max_rounds=32)
+    cond = condensation(edges, scc).select(
+        F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+    )
+    qnodes = scc.select(F.col("scc").alias("id")).dropDuplicates()
+    got = {
+        r.id: r.layer
+        for r in topological_layers(cond, qnodes).collect()
+    }
+
+    sccmap = _scc_brute(pairs, ids)
+    qe = {(sccmap[a], sccmap[b]) for a, b in pairs if sccmap[a] != sccmap[b]}
+    qn = set(sccmap.values())
+    # brute longest-path layering
+    want, rest, lvl = {}, set(qn), 0
+    while rest:
+        ready = {v for v in rest if not any(d == v and s in rest for s, d in qe)}
+        for v in ready:
+            want[v] = lvl
+        rest -= ready
+        lvl += 1
+    assert got == want
