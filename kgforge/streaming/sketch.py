@@ -85,3 +85,58 @@ def hll_stream(
 def merged_registers(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read the maintained register table back."""
     return spark.read.parquet(state_dir)
+
+
+def moments_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str] | str,
+    value_col: str,
+    scale: int = 100,
+    available_now: bool = True,
+):
+    """Maintain grouped moments-sketch partials over a file stream.
+
+    The additive complement of `hll_stream`: moment sums MERGE by
+    addition, which is NOT idempotent — a replayed micro-batch would
+    double-count — so exactly-once comes from the OTHER standing trick
+    (streaming/incremental.py): each batch writes its own partial rows
+    into a ``batch_id=N`` partition with dynamic partition overwrite.
+    Redelivery rewrites the same partition with the same rows; the
+    read-time `merged_moments` re-aggregation (one `moments_merge` over
+    the tiny partial table) never sees duplicates. Returns the
+    StreamingQuery."""
+    from kgforge.functions.sketch import moments_sketch
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        partial = moments_sketch(batch_df, groups, value_col, scale=scale)
+        (
+            partial.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_moments(
+    spark: SparkSession, state_dir: str, group_cols: list[str] | str
+) -> DataFrame:
+    """Fold the per-batch partials to the final per-key sketch."""
+    from kgforge.functions.sketch import moments_merge
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return moments_merge(spark.read.parquet(state_dir), groups)

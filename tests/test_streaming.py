@@ -195,3 +195,57 @@ def test_hll_stream_matches_batch_and_replays_idempotently(spark, workdir):
         for r in merged_registers(spark, f"{workdir}/state").collect()
     }
     assert again == batch
+
+
+def test_moments_stream_matches_batch_and_replay_overwrites(spark, workdir):
+    """Streaming moment partials over two trigger files equal the batch
+    sketch of the union. Moment sums are additive (NOT idempotent), so
+    exactly-once is the batch_id dynamic-overwrite trick: a redelivered
+    micro-batch (checkpoint rolled back to before the commit) rewrites
+    its own partition with identical rows instead of double-counting."""
+    import shutil
+
+    from kgforge.functions.sketch import moments_sketch
+    from kgforge.streaming.sketch import merged_moments, moments_stream
+
+    src = f"{workdir}/src"
+    ckpt = f"{workdir}/ckpt"
+    state = f"{workdir}/state"
+    schema = "grp string, value double"
+    b1 = spark.createDataFrame(
+        [("g", float(i % 7) + 0.25) for i in range(100)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("g", float(i % 5)) for i in range(50)] + [("h", 9.5)], schema
+    )
+    b1.write.mode("overwrite").parquet(src)
+    q = moments_stream(spark, src, schema, state, ckpt, "grp", "value")
+    q.awaitTermination(120)
+
+    # snapshot the checkpoint BEFORE batch 1 commits (crash simulation)
+    shutil.copytree(ckpt, f"{workdir}/ckpt_snap")
+    b2.write.mode("append").parquet(src)
+    q = moments_stream(spark, src, schema, state, ckpt, "grp", "value")
+    q.awaitTermination(120)
+
+    def _merged():
+        return {
+            r.grp: (r.n, r.m1, r.m2, r.m3, r.m4)
+            for r in merged_moments(spark, state, "grp").collect()
+        }
+
+    batch = {
+        r.grp: (r.n, r.m1, r.m2, r.m3, r.m4)
+        for r in moments_sketch(
+            b1.unionByName(b2), ["grp"], "value"
+        ).collect()
+    }
+    assert _merged() == batch
+
+    # roll the checkpoint back and re-run: batch 1 is REDELIVERED with
+    # the same batch_id -> same partition overwritten, no double count
+    shutil.rmtree(ckpt)
+    shutil.copytree(f"{workdir}/ckpt_snap", ckpt)
+    q = moments_stream(spark, src, schema, state, ckpt, "grp", "value")
+    q.awaitTermination(120)
+    assert _merged() == batch
