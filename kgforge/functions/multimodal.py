@@ -443,8 +443,9 @@ def decode_media(payload: bytes, meta: dict | None = None) -> np.ndarray:
         return audio_features(*decode_wav(payload))
     mt = (meta or {}).get("mime", "unknown")
     raise NotImplementedError(
-        f"no stdlib decoder for {mt!r} (PNG/JPEG/PPM/PGM/WAV supported; "
-        "plug a PIL/ffmpeg kernel through extract_features(kernel=...))"
+        f"no stdlib decoder for {mt!r} (PNG/JPEG/PPM/PGM/BMP/WAV "
+        "supported; plug a PIL/ffmpeg kernel through "
+        "extract_features(kernel=...))"
     )
 
 
@@ -459,6 +460,8 @@ def _decode_pixels(payload: bytes) -> np.ndarray | None:
         return decode_jpeg(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     return None
 
 
@@ -527,6 +530,18 @@ def probe_media(payload: bytes) -> dict:
         out = probe_mp4(payload)
         out.update({"kind": "video_container", "format": "mp4"})
         return out
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return {
+            "kind": "image", "format": "bmp", "width": w, "height": abs(h),
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # probe-only: logical screen descriptor; LZW decode stays at
+        # the extract_features(kernel=...) seam
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {
+            "kind": "image", "format": "gif", "width": w, "height": h,
+        }
     raise ValueError("unrecognized media payload")
 
 
@@ -699,3 +714,66 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------
+# BMP (Windows DIB) — uncompressed BI_RGB, the remaining stdlib-decodable
+# raster format a crawl actually yields (r5 s6). LZW formats (GIF/TIFF)
+# stay probe-only at the documented seam.
+# ---------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB BMP -> (H, W, 3) uint8 RGB.
+
+    Subset: BITMAPINFOHEADER (40+ bytes), 24/32-bit, compression 0
+    (BI_RGB); bottom-up rows (positive height, the overwhelmingly
+    common layout) and top-down (negative height) both handled; rows
+    are 4-byte aligned; channel order on disk is BGR(A). Everything
+    else (palettes, RLE, 16-bit masks) raises at the seam."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} not supported")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    body = payload[data_off:data_off + stride * h]
+    if len(body) < stride * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB, alpha dropped
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP (writer twin
+    for round-trip tests and synthetic corpora)."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    pix_off = 14 + 40
+    hdr = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(body), 0, 0, pix_off
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + dib + body

@@ -319,3 +319,105 @@ def test_png_unfilter_throughput_10x():
         best = min(best, time.perf_counter() - t0)
     assert (got.reshape(h, w * ch) == want).all()
     assert t_ref / best >= 10.0, f"only {t_ref / best:.1f}x"
+
+
+# ---------------------------------------------------------------------
+# BMP decode/encode + BMP/GIF probe (r5 s6)
+# ---------------------------------------------------------------------
+
+def _px(h, w, seed=7):
+    import hashlib
+
+    import numpy as np
+
+    raw = hashlib.sha256(f"bmp|{seed}|{h}x{w}".encode()).digest()
+    reps = (h * w * 3 + len(raw) - 1) // len(raw)
+    return np.frombuffer((raw * reps)[: h * w * 3], dtype="uint8").reshape(
+        h, w, 3
+    ).copy()
+
+
+def test_bmp_round_trip_including_row_padding():
+    import numpy as np
+
+    from kgforge.functions.multimodal import decode_bmp, encode_bmp
+
+    for h, w in ((8, 8), (5, 7), (3, 1), (16, 6)):  # odd widths pad
+        px = _px(h, w)
+        out = decode_bmp(encode_bmp(px))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, px)
+
+
+def test_bmp_top_down_and_32bit_alpha_drop():
+    import struct
+
+    import numpy as np
+
+    from kgforge.functions.multimodal import decode_bmp, encode_bmp
+
+    px = _px(4, 4)
+    buf = bytearray(encode_bmp(px))
+    # flip to top-down: negate height, reorder rows to compensate
+    buf[22:26] = struct.pack("<i", -4)
+    body = bytes(buf[54:])
+    stride = 12  # 4px * 3ch, already 4-aligned
+    flipped = b"".join(
+        body[i * stride:(i + 1) * stride] for i in reversed(range(4))
+    )
+    out = decode_bmp(bytes(buf[:54]) + flipped)
+    assert np.array_equal(out, px)
+
+    # hand-build a 32-bit BGRA payload: alpha must drop
+    h, w = 2, 2
+    bgra = np.zeros((h, w, 4), dtype=np.uint8)
+    bgra[..., 0], bgra[..., 1], bgra[..., 2] = 10, 20, 30  # B,G,R
+    bgra[..., 3] = 200
+    pix_off = 54
+    body32 = bgra[::-1].tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + len(body32), 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0,
+                      len(body32), 0, 0, 0, 0)
+    out32 = decode_bmp(hdr + dib + body32)
+    assert out32.shape == (2, 2, 3)
+    assert (out32 == [30, 20, 10]).all()  # RGB order
+
+
+def test_bmp_guards():
+    import struct
+
+    import pytest
+
+    from kgforge.functions.multimodal import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    px = _px(4, 4)
+    buf = bytearray(encode_bmp(px))
+    buf[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(buf))
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(px)[:-8])  # truncated body
+
+
+def test_bmp_and_gif_probe_and_decode_media():
+    import struct
+
+    from kgforge.functions.multimodal import (
+        decode_media,
+        encode_bmp,
+        probe_media,
+    )
+
+    bmp = encode_bmp(_px(6, 5))
+    assert probe_media(bmp) == {
+        "kind": "image", "format": "bmp", "width": 5, "height": 6,
+    }
+    feats = decode_media(bmp)
+    assert feats.shape and feats.dtype.name == "float32"
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert probe_media(gif) == {
+        "kind": "image", "format": "gif", "width": 320, "height": 200,
+    }
