@@ -7605,6 +7605,78 @@ def graph_condensation(spark, sf_dir):
 
 
 @_q(
+    "graph_matching",
+    """
+    WITH pe AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e0 AS (
+      SELECT a, b,
+             md5('mm|' || a::VARCHAR || '|' || b::VARCHAR)
+             || lpad(a::VARCHAR, 20, '0')
+             || lpad(b::VARCHAR, 20, '0') AS pr
+      FROM pe
+    ), inc0 AS (
+      SELECT v, min(pr) AS mn FROM (
+        SELECT a AS v, pr FROM e0 UNION ALL SELECT b AS v, pr FROM e0
+      ) GROUP BY v
+    ), w0 AS (
+      SELECT e.a, e.b FROM e0 e
+      JOIN inc0 x ON x.v = e.a JOIN inc0 y ON y.v = e.b
+      WHERE e.pr = x.mn AND e.pr = y.mn
+    ), m0 AS (
+      SELECT a AS v FROM w0 UNION SELECT b AS v FROM w0
+    ), e1 AS (
+      SELECT e.a, e.b, e.pr FROM e0 e
+      WHERE e.a NOT IN (SELECT v FROM m0)
+        AND e.b NOT IN (SELECT v FROM m0)
+    ), inc1 AS (
+      SELECT v, min(pr) AS mn FROM (
+        SELECT a AS v, pr FROM e1 UNION ALL SELECT b AS v, pr FROM e1
+      ) GROUP BY v
+    ), w1 AS (
+      SELECT e.a, e.b FROM e1 e
+      JOIN inc1 x ON x.v = e.a JOIN inc1 y ON y.v = e.b
+      WHERE e.pr = x.mn AND e.pr = y.mn
+    )
+    SELECT a::BIGINT AS a, b::BIGINT AS b
+    FROM (SELECT a, b FROM w0 UNION SELECT a, b FROM w1) u
+    ORDER BY a, b
+    """,
+)
+def graph_matching(spark, sf_dir):
+    """Derandomized parallel greedy maximal matching
+    (plans/graph_query.py::maximal_matching), two fixed rounds on the
+    parts co-purchase graph — the edge-side twin of graph_luby_mis (a
+    matching IS an independent set of the line graph). An edge wins a
+    round iff its md5 priority is the strict min at BOTH endpoints;
+    distinct priorities make winners vertex-disjoint and the fixpoint
+    equal to sequential greedy by priority (pytest-pinned). The ER use:
+    pick one pairing per entity from a candidate-pair table."""
+    from kgforge.plans.graph_query import maximal_matching
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    out = maximal_matching(pe, rounds=2)
+    return out.select(
+        F.col("a").cast("long"), F.col("b").cast("long")
+    ).orderBy("a", "b")
+
+
+@_q(
     "graph_topo_layers",
     """
     WITH RECURSIVE n AS (

@@ -1618,3 +1618,81 @@ def topological_layers(
     for d in out[1:]:
         res = res.unionByName(d)
     return res
+
+
+def maximal_matching(
+    edges: DataFrame, rounds: int | None = None, max_rounds: int = 32,
+    seed: str = "mm",
+) -> DataFrame:
+    """Derandomized parallel greedy MAXIMAL MATCHING: -> (a, b), a
+    vertex-disjoint edge set no alive edge can extend — the edge-side
+    twin of `maximal_independent_set` (it IS the lexicographically-
+    first MIS of the line graph). The ER/blocking workhorse: pick one
+    pairing per entity out of a candidate-pair table in O(log m)
+    coordination-free rounds.
+
+    Each round an alive edge wins iff its priority is the strict
+    minimum among alive edges at BOTH endpoints (priorities are
+    md5('<seed>|a|b') + zero-padded ids — strictly distinct, so
+    winners within a round are automatically vertex-disjoint and the
+    whole result equals SEQUENTIAL greedy by ascending priority —
+    pytest-pinned against that replay). Winners' endpoints leave the
+    graph. Per round: one endpoint-min aggregate + two joins + two
+    anti-joins, localCheckpoint hygiene; fixed ``rounds`` is the
+    SQL-unrollable gate contract, ``rounds=None`` runs to maximality.
+    Direction ignored (canonicalized a < b)."""
+    fwd = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        fwd.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates()
+    )
+    pr = F.concat(
+        F.md5(F.encode(
+            F.concat_ws("|", F.lit(seed),
+                        F.col("a").cast("string"),
+                        F.col("b").cast("string")),
+            "UTF-8",
+        )),
+        F.lpad(F.col("a").cast("string"), 20, "0"),
+        F.lpad(F.col("b").cast("string"), 20, "0"),
+    )
+    e = und.select("a", "b", pr.alias("pr")).localCheckpoint()
+    out: DataFrame | None = None
+    n_rounds = rounds if rounds is not None else max_rounds
+    for _ in range(n_rounds):
+        if e.isEmpty():
+            break
+        inc = e.select(F.col("a").alias("v"), "pr").unionAll(
+            e.select(F.col("b").alias("v"), "pr")
+        )
+        mn = inc.groupBy("v").agg(F.min("pr").alias("mn"))
+        win = (
+            e.join(
+                mn.select(F.col("v").alias("a"), F.col("mn").alias("mna")),
+                on="a",
+            )
+            .join(
+                mn.select(F.col("v").alias("b"), F.col("mn").alias("mnb")),
+                on="b",
+            )
+            .where((F.col("pr") == F.col("mna")) & (F.col("pr") == F.col("mnb")))
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        out = win if out is None else out.unionByName(win).localCheckpoint()
+        matched = (
+            win.select(F.col("a").alias("v"))
+            .unionByName(win.select(F.col("b").alias("v")))
+            .dropDuplicates()
+        )
+        e = (
+            e.join(matched.withColumnRenamed("v", "a"), on="a", how="left_anti")
+            .join(matched.withColumnRenamed("v", "b"), on="b", how="left_anti")
+            .localCheckpoint()
+        )
+    if out is None:
+        return und.limit(0)
+    return out.dropDuplicates()

@@ -1134,3 +1134,59 @@ def test_topological_layers_on_condensation_matches_brute(spark):
         rest -= ready
         lvl += 1
     assert got == want
+
+
+def test_maximal_matching_equals_sequential_greedy(spark):
+    import hashlib
+
+    from kgforge.plans.graph_query import maximal_matching
+
+    ids = list(range(20))
+    pairs = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            h = hashlib.md5(f"mm-g|{a}|{b}".encode()).hexdigest()
+            if int(h[:4], 16) < 0x3000:
+                pairs.append((a, b))
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r.a, r.b) for r in maximal_matching(edges).collect()}
+
+    # sequential greedy by ascending priority == the parallel fixpoint
+    def pr(a, b):
+        return (
+            hashlib.md5(f"mm|{a}|{b}".encode()).hexdigest()
+            + str(a).zfill(20) + str(b).zfill(20)
+        )
+
+    want, used = set(), set()
+    for a, b in sorted(pairs, key=lambda e: pr(*e)):
+        if a not in used and b not in used:
+            want.add((a, b))
+            used.update((a, b))
+    assert got == want
+
+    # vertex-disjoint
+    eps = [x for e in got for x in e]
+    assert len(eps) == len(set(eps))
+    # maximal: every input edge touches a matched vertex
+    assert all(a in set(eps) or b in set(eps) for a, b in pairs)
+
+
+def test_maximal_matching_fixed_rounds_and_edge_cases(spark):
+    from kgforge.plans.graph_query import maximal_matching
+
+    # single edge, duplicate + reversed + self-loop noise
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3)], "src long, dst long"
+    )
+    got = [(r.a, r.b) for r in maximal_matching(edges).collect()]
+    assert got == [(1, 2)]
+    # rounds=1 is a subset of the fixpoint
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    one = {(r.a, r.b) for r in maximal_matching(path, rounds=1).collect()}
+    full = {(r.a, r.b) for r in maximal_matching(path).collect()}
+    assert one <= full and full
