@@ -7605,6 +7605,46 @@ def graph_condensation(spark, sf_dir):
 
 
 @_q(
+    "skyline_parts",
+    """
+    SELECT a.p_partkey, a.p_retailprice, a.p_size::BIGINT AS p_size
+    FROM part a
+    WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+          AND q.p_retailprice <= a.p_retailprice
+          AND q.p_size >= a.p_size
+          AND (q.p_retailprice < a.p_retailprice
+               OR q.p_size > a.p_size)
+      )
+    ORDER BY p_partkey
+    """,
+)
+def skyline_parts(spark, sf_dir):
+    """2-D skyline / Pareto front (operators/skyline.py::skyline_2d):
+    parts no other part beats on BOTH (cheaper-or-equal retail price,
+    larger-or-equal size, strictly better on one) — the multi-criteria
+    shortlist. Engine side is ONE range-shuffle ordered pass (per-
+    partition window minima + the _prior_running-style prefix-min
+    carried through the driver, one row per partition — never the
+    quadratic self-join); the oracle IS the quadratic NOT EXISTS
+    definition, so the pass is verified against first principles.
+    Duplicate points survive together; partition-count invariance is
+    pytest-pinned (tests/test_skyline.py)."""
+    from kgforge.operators.skyline import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    out = skyline_2d(part, "p_retailprice", "p_size",
+                     x_dir="min", y_dir="max")
+    return out.select("p_partkey", "p_retailprice", "p_size").orderBy(
+        "p_partkey"
+    )
+
+
+@_q(
     "graph_matching",
     """
     WITH pe AS (
