@@ -7605,6 +7605,50 @@ def graph_condensation(spark, sf_dir):
 
 
 @_q(
+    "events_winsorize",
+    """
+    WITH v AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE value IS NOT NULL
+    ), r AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), b AS (
+      SELECT event_type,
+             min(CASE WHEN rn = greatest((n * 10 + 99) // 100, 1)
+                      THEN value END) AS plo,
+             min(CASE WHEN rn = greatest((n * 90 + 99) // 100, 1)
+                      THEN value END) AS phi
+      FROM r GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type, v.value,
+           least(greatest(v.value, b.plo), b.phi) AS v_winsor
+    FROM v JOIN b USING (event_type)
+    """,
+)
+def events_winsorize(spark, sf_dir):
+    """Per-type winsorization (functions/sharding.py::winsorize) of the
+    events value at the exact 10th/90th discrete percentiles — outlier
+    clamping for curation/quality averaging. Percentile indexes are
+    pure integer arithmetic (max(ceil(n*q/100),1) as (n*q+99)//100 —
+    the cypher percentileDisc rule), bounds are raw value PICKS and the
+    clamp is least/greatest, so every double column hash-compares
+    exactly (no float arithmetic anywhere). One window shuffle + a
+    2-rows-per-key bounds aggregate + a broadcastable join back."""
+    from kgforge.functions.sharding import winsorize
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    out = winsorize(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"], "value", lo_pct=10, hi_pct=90,
+    )
+    return out.select("event_id", "event_type", "value", "v_winsor")
+
+
+@_q(
     "skyline_parts",
     """
     SELECT a.p_partkey, a.p_retailprice, a.p_size::BIGINT AS p_size

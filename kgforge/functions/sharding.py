@@ -487,3 +487,68 @@ def equidepth_histogram(
             F.max("v").alias("hi"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    out_col: str = "v_winsor",
+) -> DataFrame:
+    """Per-key winsorization: clamp ``value_col`` into its key's
+    [p_lo, p_hi] discrete-percentile band — the outlier-taming stage a
+    quality/curation funnel applies before averaging noisy signals.
+
+    EXACT discrete percentiles (the cypher percentileDisc index rule):
+    p_q = the max(ceil(n*q/100), 1)-th smallest value, computed with
+    pure integer index arithmetic ((n*q + 99) // 100 — no float ceil)
+    and picked by row_number, so the bounds are raw value PICKS and the
+    clamp is least/greatest — no arithmetic anywhere, every output
+    hash-exact cross-engine even on doubles. Ties in the value order
+    don't matter: the k-th smallest of a multiset is order-free.
+
+    Shape: one window shuffle keyed on ``key_cols`` (rank + count), a
+    2-rows-per-key bounds aggregate, one equi-join back (AQE broadcasts
+    the tiny bounds side). NULL values pass through unclamped.
+    """
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        raise ValueError("need 0 <= lo_pct <= hi_pct <= 100")
+    keys = list(key_cols)
+    v = F.col(value_col)
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    wn = Window.partitionBy(*keys)
+    ranked = (
+        df.where(v.isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+    )
+    lo_idx = F.greatest(
+        (F.col("__n") * lo_pct + 99) / F.lit(100), F.lit(1)
+    ).cast("long")
+    hi_idx = F.greatest(
+        (F.col("__n") * hi_pct + 99) / F.lit(100), F.lit(1)
+    ).cast("long")
+    bounds = (
+        ranked.withColumn("__lo", lo_idx)
+        .withColumn("__hi", hi_idx)
+        .where((F.col("__rn") == F.col("__lo"))
+               | (F.col("__rn") == F.col("__hi")))
+        .groupBy(*keys)
+        .agg(
+            F.min(F.when(F.col("__rn") == F.col("__lo"), v)).alias("__plo"),
+            F.min(F.when(F.col("__rn") == F.col("__hi"), v)).alias("__phi"),
+        )
+    )
+    return (
+        df.join(bounds, on=keys, how="left")
+        .withColumn(
+            out_col,
+            F.when(
+                v.isNotNull(),
+                F.least(F.greatest(v, F.col("__plo")), F.col("__phi")),
+            ),
+        )
+        .drop("__plo", "__phi")
+    )

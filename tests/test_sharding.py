@@ -912,3 +912,53 @@ def test_random_projection_numpy_parity_and_distance_preservation(spark):
 
     with pytest.raises(ValueError):
         random_projection(df, in_dim=0)
+
+
+# ---------------------------------------------------------------------
+# winsorize — exact per-key discrete-percentile clamping (r5 s6)
+# ---------------------------------------------------------------------
+
+def _wins_brute(vals, lo, hi):
+    s = sorted(vals)
+    n = len(s)
+    plo = s[max(-(-n * lo // 100), 1) - 1]
+    phi = s[max(-(-n * hi // 100), 1) - 1]
+    return [min(max(v, plo), phi) for v in vals]
+
+
+def test_winsorize_matches_python_replay(spark):
+    import hashlib
+
+    from kgforge.functions.sharding import winsorize
+
+    rows = []
+    for k in ("a", "b"):
+        for i in range(37 if k == "a" else 8):
+            h = hashlib.md5(f"w|{k}|{i}".encode()).hexdigest()
+            rows.append((k, i, float(int(h[:4], 16) % 1000) / 4))
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = winsorize(df, ["k"], "v", lo_pct=10, hi_pct=90)
+    got = {(r.k, r.i): r.v_winsor for r in out.collect()}
+    for k in ("a", "b"):
+        vals = [v for kk, _, v in rows if kk == k]
+        want = _wins_brute(vals, 10, 90)
+        idx = [i for kk, i, _ in rows if kk == k]
+        for i, w in zip(idx, want):
+            assert got[(k, i)] == w, (k, i)
+
+
+def test_winsorize_edges(spark):
+    import pytest
+
+    from kgforge.functions.sharding import winsorize
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("b", 7.0)], "k string, v double"
+    )
+    out = {(r.k, r.v): r.v_winsor for r in winsorize(df, ["k"], "v").collect()}
+    # singleton group clamps to itself; NULL passes through
+    assert out[("a", 5.0)] == 5.0
+    assert out[("a", None)] is None
+    assert out[("b", 7.0)] == 7.0
+    with pytest.raises(ValueError):
+        winsorize(df, ["k"], "v", lo_pct=60, hi_pct=40)
