@@ -1260,6 +1260,104 @@ class KnowledgeGraph:
             )
         )
 
+    def scc(self, relation: str | None = None) -> DataFrame:
+        """Strongly connected components of the DIRECTED edge
+        projection: (label, key, scc_label, scc_key) — each node tagged
+        with its component representative (the member with the smallest
+        internal id). plans/graph_query.strongly_connected_components
+        (FW-BW coloring); unlike k_core/communities this does NOT
+        symmetrize — mutual reachability is the point."""
+        from kgforge.plans.graph_query import (
+            strongly_connected_components as _scc,
+        )
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        edges = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        out = _scc(edges, n.select("id"))
+        rep = n.select(
+            F.col("id").alias("scc"),
+            F.col("label").alias("scc_label"),
+            F.col("key").alias("scc_key"),
+        )
+        return (
+            out.join(n, on="id")
+            .join(rep, on="scc")
+            .select("label", "key", "scc_label", "scc_key")
+        )
+
+    def dependency_layers(self, relation: str | None = None) -> DataFrame:
+        """Cycle-safe topological waves: (label, key, layer) with layer
+        = the longest dependency depth of the node's SCC in the
+        condensation DAG (every member of a cycle shares its
+        component's layer). The full composition: SCC -> condensation
+        -> Kahn longest-path layering (plans/graph_query.py)."""
+        from kgforge.plans.graph_query import (
+            condensation as _cond,
+            strongly_connected_components as _scc,
+            topological_layers as _layers,
+        )
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        edges = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        scc = _scc(edges, n.select("id"))
+        cond = _cond(edges, scc).select(
+            F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+        )
+        qnodes = scc.select(F.col("scc").alias("id")).dropDuplicates()
+        layers = _layers(cond, qnodes).withColumnRenamed("id", "scc")
+        return (
+            scc.join(layers, on="scc")
+            .join(n, on="id")
+            .select("label", "key", "layer")
+        )
+
+    def matching(self, relation: str | None = None) -> DataFrame:
+        """Maximal matching over the undirected edge projection: one
+        disjoint pairing per node, (label_a, key_a, label_b, key_b) —
+        the deterministic pick-one-partner primitive for entity-pair
+        shortlists (plans/graph_query.maximal_matching)."""
+        from kgforge.plans.graph_query import maximal_matching as _mm
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        edges = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        m = _mm(edges)
+        na = n.select(
+            F.col("id").alias("a"),
+            F.col("label").alias("label_a"),
+            F.col("key").alias("key_a"),
+        )
+        nb = n.select(
+            F.col("id").alias("b"),
+            F.col("label").alias("label_b"),
+            F.col("key").alias("key_b"),
+        )
+        return (
+            m.join(na, on="a")
+            .join(nb, on="b")
+            .select("label_a", "key_a", "label_b", "key_b")
+        )
+
     def register_views(self, prefix: str | None = None) -> None:
         """Expose the graph to Spark SQL: <name>_nodes / <name>_edges."""
         p = prefix or self.name

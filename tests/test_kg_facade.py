@@ -458,3 +458,36 @@ def test_facade_personalized_rank(kg):
     assert r[("Actor", "A1")] == r[("Actor", "A2")]
     with pytest.raises(ValueError):
         kg.personalized_rank([])
+
+
+def test_kg_facade_scc_layers_matching(spark, workdir):
+    """SCC family facades: a ROAD cycle a->b->c->a plus a spur c->d.
+    scc groups the cycle, dependency_layers puts the cycle at wave 0
+    and the spur at 1, matching pairs disjoint nodes."""
+    from kgforge.kg import KnowledgeGraph
+    from kgforge.ontology import Attribute, Entity, Ontology, Relation
+
+    onto = Ontology(
+        entities=[Entity("City", [Attribute("name", "string", True, True)])],
+        relations=[Relation("ROAD", "City", "City", [])],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes([("City", {"name": c}) for c in "abcd"])
+    kg.add_edges([
+        ("ROAD", "City", "City", {"name": s}, {"name": d}, {})
+        for s, d in [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    ])
+
+    scc = {r.key: r.scc_key for r in kg.scc().collect()}
+    assert scc["a"] == scc["b"] == scc["c"]
+    assert scc["d"] == "d" and scc["d"] != scc["a"]
+
+    layers = {r.key: r.layer for r in kg.dependency_layers().collect()}
+    assert layers["a"] == layers["b"] == layers["c"] == 0
+    assert layers["d"] == 1
+
+    m = [
+        (r.key_a, r.key_b) for r in kg.matching().collect()
+    ]
+    eps = [x for p in m for x in p]
+    assert m and len(eps) == len(set(eps))  # disjoint, non-empty
