@@ -85,6 +85,10 @@ HEADLINE = [
     "text_cooccurrence",
     "stats_equidepth_hist",
     "graph_hyperball",
+    # r5 session-6 additions (new rows vs earlier BENCH — not regressions)
+    "text_gazetteer",
+    "corpus_cdc_chunks",
+    "events_winsorize",
 ]
 
 
