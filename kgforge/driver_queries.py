@@ -7605,6 +7605,56 @@ def graph_condensation(spark, sf_dir):
 
 
 @_q(
+    "link_survivorship",
+    """
+    WITH n AS (
+      SELECT c_nationkey::BIGINT AS cid, count(*)::BIGINT AS n_members
+      FROM customer GROUP BY 1
+    ), seg AS (
+      SELECT cid, c_mktsegment FROM (
+        SELECT c_nationkey::BIGINT AS cid, c_mktsegment,
+               row_number() OVER (
+                 PARTITION BY c_nationkey
+                 ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+        FROM customer WHERE c_mktsegment IS NOT NULL
+        GROUP BY c_nationkey, c_mktsegment
+      ) WHERE rn = 1
+    ), nm AS (
+      SELECT cid, c_name FROM (
+        SELECT c_nationkey::BIGINT AS cid, c_name,
+               row_number() OVER (
+                 PARTITION BY c_nationkey
+                 ORDER BY count(*) DESC, c_name ASC) AS rn
+        FROM customer WHERE c_name IS NOT NULL
+        GROUP BY c_nationkey, c_name
+      ) WHERE rn = 1
+    )
+    SELECT n.cid, n.n_members, seg.c_mktsegment, nm.c_name
+    FROM n LEFT JOIN seg USING (cid) LEFT JOIN nm USING (cid)
+    ORDER BY cid
+    """,
+)
+def link_survivorship(spark, sf_dir):
+    """Golden-record survivorship (operators/canon.py::survivorship):
+    per cluster each attribute resolves independently to its majority
+    non-null value, ties to the smallest — the deterministic last mile
+    of entity resolution after blocking + transitive clustering.
+    Clusters here are customers by nationkey: c_mktsegment exercises a
+    real majority vote, c_name is an all-distinct full tie so the
+    lexicographic rule is load-bearing. k attributes = k cheap
+    count+top-1 passes + cluster-keyed joins, never a row explosion."""
+    from kgforge.operators.canon import survivorship
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("cid"),
+        "c_mktsegment",
+        "c_name",
+    )
+    out = survivorship(cust, "cid", ["c_mktsegment", "c_name"])
+    return out.orderBy("cid")
+
+
+@_q(
     "events_winsorize",
     """
     WITH v AS (

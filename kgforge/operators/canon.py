@@ -84,3 +84,47 @@ def connected_components(
             break
     sym.unpersist()
     return comp
+
+
+def survivorship(
+    df: DataFrame,
+    cluster_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Golden-record resolution over matched clusters: one row per
+    cluster with each attribute resolved INDEPENDENTLY by majority vote
+    over its non-null values, ties broken by the value's natural order
+    (smallest wins) — fully deterministic, so the driver gate replays
+    it in SQL. Returns (cluster_col, n_members, *attr_cols).
+
+    The last mile of entity resolution: after blocking/matching
+    (link.py, phonetic.fuzzy_join) and transitive clustering
+    (connected_components above), the cluster's member records must
+    collapse to ONE canonical row. Majority-with-deterministic-ties is
+    the survivorship rule that needs no per-source trust model.
+
+    Shape: per attribute one (cluster, value) count + window top-1 over
+    a two-column projection, then cluster-keyed joins of the tiny
+    resolved tables — k attributes cost k cheap passes, never a row
+    explosion; an all-NULL attribute resolves to NULL (left join)."""
+    from pyspark.sql import Window
+
+    base = df.select(cluster_col, *attr_cols)
+    out = base.groupBy(cluster_col).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    for a in attr_cols:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col("__c").desc(), F.col(a).asc()
+        )
+        top = (
+            base.select(cluster_col, a)
+            .where(F.col(a).isNotNull())
+            .groupBy(cluster_col, a)
+            .agg(F.count("*").alias("__c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(cluster_col, a)
+        )
+        out = out.join(top, on=cluster_col, how="left")
+    return out

@@ -125,3 +125,32 @@ def test_cc_supernode_star(spark):
     edf = spark.createDataFrame([(0, i) for i in range(1, n)], "src long, dst long")
     got = connected_components(vdf, edf)
     assert got.select(F.count_distinct("component")).collect()[0][0] == 1
+
+
+def test_survivorship_majority_ties_and_nulls(spark):
+    from kgforge.operators.canon import survivorship
+
+    rows = [
+        # cluster 1: 'x' wins 2-1; name full tie -> lexicographic min
+        (1, "x", "bob"),
+        (1, "x", "alice"),
+        (1, "y", "carol"),
+        # cluster 2: 2-2 tie on seg -> smaller value 'a' wins; NULLs
+        # don't vote
+        (2, "b", None),
+        (2, "b", "zed"),
+        (2, "a", None),
+        (2, "a", None),
+        # cluster 3: all-NULL attr resolves to NULL
+        (3, None, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "cid long, seg string, name string")
+    got = {
+        r.cid: (r.n_members, r.seg, r.name)
+        for r in survivorship(df, "cid", ["seg", "name"]).collect()
+    }
+    assert got == {
+        1: (3, "x", "alice"),
+        2: (4, "a", "zed"),
+        3: (1, None, "solo"),
+    }
