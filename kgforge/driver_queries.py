@@ -7605,6 +7605,93 @@ def graph_condensation(spark, sf_dir):
 
 
 @_q(
+    "robots_admission",
+    """
+    WITH rules AS (
+      SELECT lower(n_name) || '.example' AS host, '*' AS agent,
+             'disallow' AS rule,
+             '/c' || (n_nationkey % 10)::VARCHAR AS path
+      FROM nation
+      UNION ALL
+      SELECT lower(n_name) || '.example', '*', 'allow',
+             '/c' || (n_nationkey % 10)::VARCHAR || '/pub'
+      FROM nation
+    ), urls AS (
+      SELECT c_custkey,
+             'https://' || lower(n.n_name) || '.example/c'
+             || (c.c_custkey % 10)::VARCHAR
+             || CASE WHEN c.c_custkey % 3 = 0
+                     THEN '/pub/x' ELSE '/y' END AS url
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), parsed AS (
+      SELECT c_custkey, url,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+               AS host,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1)
+               AS pth
+      FROM urls
+    ), j AS (
+      SELECT p.c_custkey, p.url, r.rule, r.path,
+             row_number() OVER (
+               PARTITION BY p.c_custkey
+               ORDER BY length(r.path) DESC NULLS LAST, r.rule ASC
+             ) AS rn
+      FROM parsed p
+      LEFT JOIN rules r
+        ON r.host = p.host
+       AND substr(p.pth, 1, length(r.path)) = r.path
+    )
+    SELECT c_custkey, url,
+           (rule IS NULL OR rule = 'allow') AS allowed
+    FROM j WHERE rn = 1 ORDER BY c_custkey
+    """,
+)
+def robots_admission(spark, sf_dir):
+    """robots.txt admission filtering (sources/robots.py::
+    robots_filter, REP core subset): per-host rule tables joined
+    broadcast against the URL corpus, longest matching path prefix
+    wins, Allow beats Disallow on equal length, no rule = allowed.
+    Hosts/rules derive from nation (disallow '/cN', allow '/cN/pub'),
+    URLs from customers — every path hits a real precedence case:
+    '/cK/pub/x' matches BOTH rules and the longer Allow must win.
+    Group-selection semantics (exact agent shadows '*', wildcard-rule
+    subset, duplicate rows) are pytest-pinned in tests/test_robots."""
+    from kgforge.sources.robots import robots_filter
+
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(F.lower(F.col("n_name")), F.lit(".example"))
+    dis = n.select(
+        host.alias("host"), F.lit("*").alias("agent"),
+        F.lit("disallow").alias("rule"),
+        F.concat(F.lit("/c"), (F.col("n_nationkey") % 10).cast("string"))
+        .alias("path"),
+    )
+    allow = n.select(
+        host.alias("host"), F.lit("*").alias("agent"),
+        F.lit("allow").alias("rule"),
+        F.concat(F.lit("/c"), (F.col("n_nationkey") % 10).cast("string"),
+                 F.lit("/pub")).alias("path"),
+    )
+    rules = dis.unionByName(allow)
+    cust = _t(spark, sf_dir, "customer").join(
+        _t(spark, sf_dir, "nation"),
+        F.col("n_nationkey") == F.col("c_nationkey"),
+    )
+    urls = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://"), F.lower(F.col("n_name")),
+            F.lit(".example/c"),
+            (F.col("c_custkey") % 10).cast("string"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("/pub/x"))
+            .otherwise(F.lit("/y")),
+        ).alias("url"),
+    )
+    out = robots_filter(urls, rules, agent="kgforge-bot")
+    return out.select("c_custkey", "url", "allowed").orderBy("c_custkey")
+
+
+@_q(
     "link_survivorship",
     """
     WITH n AS (
