@@ -7605,6 +7605,41 @@ def graph_condensation(spark, sf_dir):
 
 
 @_q(
+    "events_lifecycle",
+    """
+    SELECT user_id AS key,
+           min(CASE WHEN event_type = 'signup'
+                    THEN epoch_us(ts) END)::BIGINT AS ts_signup,
+           min(CASE WHEN event_type = 'view'
+                    THEN epoch_us(ts) END)::BIGINT AS ts_view,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END)::BIGINT AS ts_purchase,
+           (min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+            - min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           )::BIGINT AS us_signup_to_view,
+           (min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+            - min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           )::BIGINT AS us_view_to_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_lifecycle(spark, sf_dir):
+    """Accumulating-snapshot lifecycle table (functions/funnel.py::
+    lifecycle_snapshot): one row per user with the FIRST signup / view /
+    purchase microsecond timestamps pivoted to columns and the lags
+    between consecutive milestones — k conditional MINs in ONE hash
+    aggregate, never k self-joins. Integer picks/diffs only; negative
+    lags (reordered funnels) and missing-stage NULLs are semantics, not
+    errors (pytest-pinned)."""
+    from kgforge.functions.funnel import lifecycle_snapshot
+
+    return lifecycle_snapshot(
+        _t(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    )
+
+
+@_q(
     "robots_admission",
     """
     WITH rules AS (

@@ -205,3 +205,39 @@ def event_ngrams(
         .agg(F.count("*").cast("long").alias("cnt"))
         .where(F.col("cnt") >= min_count)
     )
+
+
+def lifecycle_snapshot(
+    events: DataFrame,
+    stages: list[str],
+    key_col: str = "user_id",
+    stage_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Accumulating-snapshot fact table: ONE row per key with the FIRST
+    occurrence time of each lifecycle stage pivoted to a column
+    (``ts_<stage>``, BIGINT epoch microseconds) plus the lag between
+    consecutive stages (``us_<a>_to_<b>``, NULL when either side is
+    missing). The Kimball milestone-tracking shape: signup->view->
+    purchase latency reports read one tiny row per entity instead of
+    re-scanning the event log.
+
+    One map-side-combining hash aggregate (k conditional MINs in a
+    single pass — never k self-joins); all outputs are integer
+    microsecond picks/diffs, hash-exact cross-engine. ``stages`` is the
+    explicit ordered milestone list; durations may be negative if a
+    later-listed stage actually happened first (the report's signal
+    that the funnel was skipped or reordered)."""
+    if not stages or len(set(stages)) != len(stages):
+        raise ValueError("stages must be a non-empty list of unique names")
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    aggs = [
+        F.min(F.when(F.col(stage_col) == s, m)).alias(f"ts_{s}")
+        for s in stages
+    ]
+    out = events.groupBy(F.col(key_col).alias("key")).agg(*aggs)
+    for a, b in zip(stages, stages[1:]):
+        out = out.withColumn(
+            f"us_{a}_to_{b}", F.col(f"ts_{b}") - F.col(f"ts_{a}")
+        )
+    return out

@@ -175,3 +175,45 @@ def test_event_ngrams_hand_paths(spark):
     assert pruned == {"a->b"}
     with pytest.raises(ValueError):
         event_ngrams(df, n=0)
+
+
+def test_lifecycle_snapshot_hand_case(spark):
+    from datetime import datetime
+
+    import pytest
+
+    from kgforge.functions.funnel import lifecycle_snapshot
+
+    rows = [
+        # user 1: full ordered funnel; duplicate signup keeps the FIRST
+        (1, "signup", datetime(2024, 1, 1, 0, 0, 0)),
+        (1, "signup", datetime(2024, 1, 2, 0, 0, 0)),
+        (1, "view", datetime(2024, 1, 1, 0, 0, 10)),
+        (1, "purchase", datetime(2024, 1, 1, 0, 1, 0)),
+        # user 2: skipped 'view' -> NULL column and NULL durations
+        (2, "signup", datetime(2024, 1, 1, 0, 0, 0)),
+        (2, "purchase", datetime(2024, 1, 1, 2, 0, 0)),
+        # user 3: reordered funnel -> negative duration is the signal
+        (3, "view", datetime(2024, 1, 1, 1, 0, 0)),
+        (3, "signup", datetime(2024, 1, 1, 2, 0, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r.key: r
+        for r in lifecycle_snapshot(
+            ev, ["signup", "view", "purchase"]
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.us_signup_to_view == 10_000_000
+    assert r1.us_view_to_purchase == 50_000_000
+    r2 = out[2]
+    assert r2.ts_view is None
+    assert r2.us_signup_to_view is None and r2.us_view_to_purchase is None
+    r3 = out[3]
+    assert r3.us_signup_to_view == -3_600_000_000
+
+    with pytest.raises(ValueError):
+        lifecycle_snapshot(ev, [])
+    with pytest.raises(ValueError):
+        lifecycle_snapshot(ev, ["a", "a"])
