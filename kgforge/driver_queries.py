@@ -8130,6 +8130,137 @@ def text_gazetteer(spark, sf_dir):
     return match_counts(docs, _GAZETTEER_PATTERNS)
 
 
+@_q(
+    "events_cusum",
+    """
+    WITH v AS (
+      SELECT user_id AS key, event_id AS id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) - 10000 AS a
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), p AS (
+      SELECT key,
+             row_number() OVER (PARTITION BY key ORDER BY ts_us, id) AS rn,
+             sum(a) OVER (PARTITION BY key ORDER BY ts_us, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS p
+      FROM v
+    ), s AS (
+      SELECT key, rn,
+             p - least(0, min(p) OVER (PARTITION BY key ORDER BY rn
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)) AS s
+      FROM p
+    )
+    SELECT key, count(*)::BIGINT AS n,
+           sum(CASE WHEN s > 15000 THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+           max(s)::BIGINT AS max_stat,
+           min(CASE WHEN s > 15000 THEN rn END)::BIGINT AS first_alarm_rn
+    FROM s GROUP BY key
+    """,
+)
+def events_cusum(spark, sf_dir):
+    """Per-user CUSUM change detection (functions/rollup.py::
+    cusum_stats, Page 1954). The sequential recurrence
+    S_i = max(0, S_{i-1} + v_i - k) is rewritten to its prefix-sum
+    closed form S_i = P_i - min(0, running-min P) — two stacked window
+    functions sharing ONE sort on the key, no recursion, no Python;
+    cent-scaled integers end to end (the standing float rule). Alarm
+    threshold h=15000 cents over drift k=10000 is non-vacuous at both
+    SFs (some-but-not-all users alarm); the oracle replays the same
+    two-window algebra."""
+    from kgforge.functions.rollup import cusum_stats
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return cusum_stats(ev, drift_cents=10_000, threshold_cents=15_000)
+
+
+@_q(
+    "events_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + greatest(1, floor(value * 1000)::BIGINT) * 1000 * 3600 AS e
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), d AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv
+    ), c AS (
+      SELECT event_type,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM d
+    )
+    SELECT event_type, (count(*) / 2)::BIGINT AS n_intervals,
+           max(c)::BIGINT AS max_concurrent
+    FROM c GROUP BY event_type
+    """,
+)
+def events_concurrency(spark, sf_dir):
+    """Sweep-line max-concurrency (functions/rollup.py::
+    interval_concurrency): each event an interval [ts, ts+dur), max
+    overlapping intervals per event_type. The +1/-1 delta explode +
+    one window sum is the classic O(n log n) shape — one Exchange on
+    the key, no self-join (the naive interval-overlap join is
+    quadratic). The -1<+1 tie order encodes half-open semantics;
+    max is invariant within equal-(t,d) ties so the window result is
+    a pure data function. dur_scale=3600 stretches value-ms to hours
+    so the 30-day gate window genuinely overlaps (peaks 20-300 at the
+    two SFs)."""
+    from kgforge.functions.rollup import interval_concurrency
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return interval_concurrency(ev, dur_scale=3600)
+
+
+@_q(
+    "stats_linfit",
+    """
+    WITH v AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS HUGEINT) AS x,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem
+    ), a AS (
+      SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM v GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, n,
+           sx::DECIMAL(38,0) AS sx, sy::DECIMAL(38,0) AS sy,
+           (n * sxy - sx * sy)::DECIMAL(38,0) AS slope_num,
+           (n * sxx - sx * sx)::DECIMAL(38,0) AS slope_den,
+           (n * syy - sy * sy)::DECIMAL(38,0) AS syy_det
+    FROM a
+    """,
+)
+def stats_linfit(spark, sf_dir):
+    """Grouped exact OLS sufficient statistics (functions/regress.py::
+    linfit_sums): slope/intercept/r² of extendedprice-cents vs quantity
+    per (returnflag, linestatus) as integer DETERMINANTS
+    (n·Σxy−ΣxΣy, n·Σx²−(Σx)², n·Σy²−(Σy)²) — ONE map-side-combining
+    hash aggregate, six numbers of state per group, floats only at
+    read time (linfit_eval). Σy² at cent scale exceeds BIGINT, hence
+    DECIMAL(38,0) accumulators and the HUGEINT oracle twin (the
+    sketch_moments craft)."""
+    from kgforge.functions.regress import linfit_sums
+
+    li = _t(spark, sf_dir, "lineitem")
+    return linfit_sums(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

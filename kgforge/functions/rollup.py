@@ -253,3 +253,125 @@ def anomaly_flags(
         )
         .select("id", "key", "v_cents", "n")
     )
+
+
+def cusum_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    drift_cents: int = 10_000,
+    threshold_cents: int = 30_000,
+) -> DataFrame:
+    """Per-key one-sided CUSUM change detection (Page 1954) over the
+    event stream, integer-exact. Returns one row per key:
+    (key, n, n_alarms, max_stat, first_alarm_rn).
+
+    The textbook recurrence S_i = max(0, S_{i-1} + v_i - k) is
+    sequential, which naively forces a per-row loop. It has a closed
+    form over prefix sums: with a_i = v_i - k and P_i = Σ_{j<=i} a_j,
+
+        S_i = P_i - min(0, min_{j<=i} P_j)
+
+    so the whole detector is two stacked window functions (running sum,
+    then running min of that sum) sharing ONE sort/Exchange on the key —
+    no recursion, no Python, scale = a single shuffle regardless of
+    per-key history length. v is cent-scaled (round(value*100), the
+    repo's standing integer rule), k/h are integer cents, everything
+    downstream is BIGINT — hash-exact cross-engine.
+
+    Alarm = S_i > h. Output per key: event count, alarm count, the peak
+    statistic, and the 1-based row rank (ordered by ts, id) of the first
+    alarm (NULL if none) — rank rather than id so the column is BIGINT
+    and oracle-trivial.
+    """
+    v = F.round(F.col(value_col) * 100).cast("long")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = events.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        ts_us.alias("ts_us"),
+        (v - F.lit(int(drift_cents))).alias("a"),
+    )
+    w = Window.partitionBy("key").orderBy("ts_us", "id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = d.select(
+        "key",
+        F.row_number().over(w).alias("rn"),
+        F.sum("a").over(run).alias("p"),
+    )
+    run2 = (
+        Window.partitionBy("key")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("m", F.min("p").over(run2))
+    s = F.col("p") - F.least(F.lit(0).cast("long"), F.col("m"))
+    alarm = s > F.lit(int(threshold_cents))
+    return d.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(alarm.cast("long")).cast("long").alias("n_alarms"),
+        F.max(s).cast("long").alias("max_stat"),
+        F.min(F.when(alarm, F.col("rn"))).cast("long").alias("first_alarm_rn"),
+    )
+
+
+def interval_concurrency(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    dur_scale: int = 1,
+) -> DataFrame:
+    """Max concurrent overlapping intervals per key — the sweep-line
+    counting aggregate (room occupancy / connection concurrency /
+    session overlap). Each event is the half-open interval
+    [ts, ts + max(1ms, floor(value*1000)) ms · dur_scale)
+    (``dur_scale`` stretches the value-derived duration so sparse
+    test data still overlaps; production callers pass real end
+    timestamps via a computed ``value_col``).
+
+    Explode every interval into (+1 at start, -1 at end) deltas, one
+    running sum ordered by (t, delta) per key — the -1 < +1 tie order
+    IS the half-open semantic (an interval ending at t frees its slot
+    before one starting at t takes it). Max concurrency is invariant to
+    row order within equal (t, delta) ties (equal increments commute),
+    so the result is a pure data function despite the window.
+
+    Shape: one generate (2 rows/event), ONE Exchange + sort on the key,
+    one window sum, one hash aggregate. At 100 TB the key is the
+    partition unit; no joins, no Python. Returns
+    (*key_cols, n_intervals, max_concurrent).
+    """
+    start_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur_us = (
+        F.greatest(F.lit(1), F.floor(F.col(value_col) * 1000)).cast("long")
+        * 1000
+        * int(dur_scale)
+    )
+    d = events.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    start_us.alias("t"), F.lit(1).cast("long").alias("d")
+                ),
+                F.struct(
+                    (start_us + dur_us).alias("t"),
+                    F.lit(-1).cast("long").alias("d"),
+                ),
+            )
+        ).alias("ev"),
+    ).select(*key_cols, F.col("ev.t").alias("t"), F.col("ev.d").alias("d"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("c", F.sum("d").over(w))
+    return d.groupBy(*key_cols).agg(
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+        F.max("c").cast("long").alias("max_concurrent"),
+    )

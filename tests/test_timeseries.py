@@ -1,0 +1,203 @@
+"""CUSUM / interval-concurrency / exact-OLS unit tests: each operator is
+replayed by an independent pure-Python reference on randomized data, and
+the plan shapes are pinned (no Python on the data plane, windows share
+one Exchange)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.functions.regress import linfit_eval, linfit_sums
+from kgforge.functions.rollup import cusum_stats, interval_concurrency
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (event_id, key, ts_offset_s, value)."""
+    return spark.createDataFrame(
+        [
+            (eid, EPOCH + dt.timedelta(seconds=off), key, float(v))
+            for (eid, key, off, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+
+def _cusum_ref(values_cents, k, h):
+    """The textbook sequential recurrence the closed form must match."""
+    s, mx, alarms, first = 0, 0, 0, None
+    for i, v in enumerate(values_cents, start=1):
+        s = max(0, s + v - k)
+        mx = max(mx, s)
+        if s > h:
+            alarms += 1
+            if first is None:
+                first = i
+    return alarms, mx, first
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    rng = random.Random(7)
+    rows, expect = [], {}
+    eid = 0
+    for key in range(6):
+        vals = [rng.randint(0, 120) / 1.0 for _ in range(rng.randint(1, 60))]
+        # inject an upward shift for half the keys so alarms are real
+        if key % 2 == 0:
+            vals += [250 + rng.randint(0, 60) for _ in range(10)]
+        cents = [round(v * 100) for v in vals]
+        expect[key] = (len(vals),) + _cusum_ref(cents, 10_000, 30_000)
+        for i, v in enumerate(vals):
+            rows.append((eid, key, i * 60, v))
+            eid += 1
+    out = {
+        r["key"]: (r["n"], r["n_alarms"], r["max_stat"], r["first_alarm_rn"])
+        for r in cusum_stats(
+            _events(spark, rows), drift_cents=10_000, threshold_cents=30_000
+        ).collect()
+    }
+    for key, (n, alarms, mx, first) in expect.items():
+        assert out[key] == (n, alarms, mx, first), key
+    # non-vacuous: some keys alarm, some don't
+    alarmed = [k for k, v in expect.items() if v[1] > 0]
+    assert alarmed and len(alarmed) < len(expect)
+
+
+def test_cusum_tie_order_is_ts_then_id(spark):
+    # two events share a timestamp: ordering must break by event_id
+    rows = [(2, 1, 0, 400.0), (1, 1, 0, 10.0), (3, 1, 60, 400.0)]
+    out = cusum_stats(
+        _events(spark, rows), drift_cents=10_000, threshold_cents=20_000
+    ).collect()[0]
+    # order by id: 1000, 40000, 40000 cents; a = -9000, +30000, +30000
+    assert out["max_stat"] == 60_000
+    assert out["n_alarms"] == 2
+    assert out["first_alarm_rn"] == 2
+
+
+def test_cusum_plan_one_exchange_no_python(spark):
+    ev = _events(spark, [(i, i % 3, i * 10, float(i)) for i in range(30)])
+    plan = (
+        cusum_stats(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # both windows + the final agg hash-partition on the key: the sort
+    # column set changes (rn vs ts), but there is exactly ONE
+    # hashpartitioning subject (key), so shuffles stay bounded
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def _conc_ref(intervals):
+    """Brute-force sweep: max concurrency over half-open intervals."""
+    best = 0
+    for s, _ in intervals:
+        c = sum(1 for a, b in intervals if a <= s < b)
+        best = max(best, c)
+    return best
+
+
+def test_concurrency_matches_bruteforce(spark):
+    rng = random.Random(11)
+    rows = []
+    intervals = {"a": [], "b": []}
+    eid = 0
+    for key in ["a", "b"]:
+        for _ in range(40):
+            off = rng.randint(0, 3600)
+            dur_ms = max(1, int(rng.randint(1, 900) * 1000 / 1000) * 1000)
+            v = dur_ms / 1000.0  # value seconds -> floor(value*1000) ms
+            s_us = off * 1_000_000
+            intervals[key].append((s_us, s_us + dur_ms * 1000))
+            rows.append((eid, EPOCH + dt.timedelta(seconds=off), key, v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r["event_type"]: (r["n_intervals"], r["max_concurrent"])
+        for r in interval_concurrency(df).collect()
+    }
+    for key in intervals:
+        assert out[key] == (40, _conc_ref(intervals[key])), key
+
+
+def test_concurrency_half_open_no_touch_overlap(spark):
+    # interval A ends exactly where B starts: never concurrent
+    rows = [
+        (1, EPOCH, "k", 10.0),  # [0, 10s)
+        (2, EPOCH + dt.timedelta(seconds=10), "k", 10.0),  # [10s, 20s)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = interval_concurrency(df).collect()[0]
+    assert out["max_concurrent"] == 1
+
+
+def test_linfit_exact_on_known_line(spark):
+    # y = 3x + 7 exactly: slope_num/slope_den == 3, r2 == 1
+    rows = [(i, "g", float(i), float(3 * i + 7)) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "i long, g string, x double, y double")
+    sums = linfit_sums(
+        df, ["g"], F.col("x").cast("long"), F.col("y").cast("long")
+    )
+    r = linfit_eval(sums).collect()[0]
+    assert int(r["slope_num"]) % int(r["slope_den"]) == 0
+    assert int(r["slope_num"]) // int(r["slope_den"]) == 3
+    assert r["slope"] == pytest.approx(3.0)
+    assert r["intercept"] == pytest.approx(7.0)
+    assert r["r2"] == pytest.approx(1.0)
+
+
+def test_linfit_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    rng = random.Random(3)
+    xs = [rng.randint(1, 50) for _ in range(200)]
+    ys = [5 * x + rng.randint(-40, 40) for x in xs]
+    df = spark.createDataFrame(
+        [(i, "g", float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "i long, g string, x double, y double",
+    )
+    r = linfit_eval(
+        linfit_sums(df, ["g"], F.col("x").cast("long"), F.col("y").cast("long"))
+    ).collect()[0]
+    slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+    assert r["slope"] == pytest.approx(float(slope), rel=1e-9)
+    assert r["intercept"] == pytest.approx(float(intercept), rel=1e-9)
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert r["r2"] == pytest.approx(float(corr) ** 2, rel=1e-9)
+
+
+def test_linfit_degenerate_constant_x_yields_null_slope(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 4.0, 1.0), (2, "g", 4.0, 9.0)],
+        "i long, g string, x double, y double",
+    )
+    r = linfit_eval(
+        linfit_sums(df, ["g"], F.col("x").cast("long"), F.col("y").cast("long"))
+    ).collect()[0]
+    assert int(r["slope_den"]) == 0 and r["slope"] is None and r["r2"] is None
+
+
+def test_linfit_plan_single_agg_no_python(spark):
+    df = spark.createDataFrame(
+        [(i, "g", float(i), float(i)) for i in range(10)],
+        "i long, g string, x double, y double",
+    )
+    plan = (
+        linfit_sums(df, ["g"], F.col("x").cast("long"), F.col("y").cast("long"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one partial+final agg
