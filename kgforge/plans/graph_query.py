@@ -1696,3 +1696,115 @@ def maximal_matching(
     if out is None:
         return und.limit(0)
     return out.dropDuplicates()
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity sufficient statistics of an UNDIRECTED graph
+    — one row of exact integer sums/determinants; the float Pearson
+    coefficient r = slope_num / sqrt(slope_den * syy_det) derives at
+    read time (Newman 2002, eq. 4, in its "Pearson over edge-endpoint
+    degree pairs" form).
+
+    Both orientations of every undirected edge contribute one
+    (deg(u), deg(v)) sample, which makes the statistic symmetric in
+    x/y exactly as Newman defines it. The heavy lifting is delegated to
+    functions/regress.py::linfit_sums with an empty group list: ONE
+    map-side-combining hash aggregate over the oriented edge list, six
+    numbers of driver state, DECIMAL(38,0) accumulators (deg² sums at
+    web scale exceed BIGINT). Scale shape: a degree groupBy + two
+    equi-joins keyed on node id + the global agg — no all-pairs, no
+    iteration. The reference has no graph analytics; this is the
+    GDS/NetworkX `degree_assortativity_coefficient` surface.
+    """
+    from kgforge.functions.regress import linfit_sums
+
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates()
+    )
+    oriented = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = oriented.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    samples = oriented.join(
+        deg.select(F.col("u"), F.col("deg").alias("deg_u")), on="u"
+    ).join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
+        on="v",
+    )
+    return linfit_sums(samples, [], "deg_u", "deg_v")
+
+
+def reciprocity_counts(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity as exact integer counts: ONE row
+    (n_edges, n_reciprocated, n_self_loops). The float reciprocity
+    ratio n_reciprocated / n_edges is a read-time expression.
+
+    ``n_reciprocated`` counts ORDERED edges (u,v), u != v, whose
+    reverse (v,u) is also present — i.e. both members of a mutual pair
+    count, the NetworkX `reciprocity` convention. Scale shape: distinct
+    edge set persisted once, reversed-key LEFT SEMI self-join (an
+    existence probe, never a row multiplication), then one global agg.
+    """
+    e = edges.select("src", "dst").dropDuplicates().persist()
+    loops = e.where(F.col("src") == F.col("dst"))
+    straight = e.where(F.col("src") != F.col("dst"))
+    recip = straight.join(
+        straight.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        on=["src", "dst"],
+        how="left_semi",
+    )
+    return (
+        straight.agg(F.count("*").cast("long").alias("n_edges"))
+        .crossJoin(
+            recip.agg(F.count("*").cast("long").alias("n_reciprocated"))
+        )
+        .crossJoin(
+            loops.agg(F.count("*").cast("long").alias("n_self_loops"))
+        )
+    )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph: for
+    every CANDIDATE pair (a, b), a < b, that shares >= ``min_common``
+    neighbors but is NOT an existing edge, emit the all-BIGINT score
+    decomposition (a, b, common, deg_a, deg_b). The classic ranking
+    scores derive at read time: common-neighbors = common, preferential
+    attachment = deg_a * deg_b, Jaccard = common / (deg_a + deg_b -
+    common) (Liben-Nowell & Kleinberg 2003).
+
+    Scale shape: symmetrize once, then the wedge join is exactly
+    node_similarity's inverted-index self-join (row count = sum over
+    hub of degree² — ``max_degree`` caps viral hubs BEFORE the join,
+    with degrees recomputed over the capped adjacency so scores stay
+    internally consistent), then one LEFT ANTI join removes pairs that
+    are already edges. No all-pairs, no iteration, no Python.
+    """
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates()
+    )
+    adj = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sim = node_similarity(
+        adj, min_shared=min_common, max_dst_degree=max_degree
+    ).withColumnRenamed("shared", "common")
+    return sim.join(und, on=["a", "b"], how="left_anti")

@@ -1190,3 +1190,100 @@ def test_maximal_matching_fixed_rounds_and_edge_cases(spark):
     one = {(r.a, r.b) for r in maximal_matching(path, rounds=1).collect()}
     full = {(r.a, r.b) for r in maximal_matching(path).collect()}
     assert one <= full and full
+
+
+# ---------------------------------------------------------------------
+# degree assortativity / reciprocity / link prediction (r5 session 7)
+# ---------------------------------------------------------------------
+
+
+def test_assortativity_path_graph_exact(spark):
+    # P4 (1-2-3-4): Newman's coefficient is exactly -1/2.
+    from kgforge.plans.graph_query import degree_assortativity
+
+    row = degree_assortativity(
+        _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    ).collect()[0]
+    assert row.n == 6  # both orientations of each of 3 edges
+    # r = slope_num / sqrt(slope_den * syy_det) = -4 / sqrt(64)
+    assert (int(row.slope_num), int(row.slope_den), int(row.syy_det)) == (
+        -4,
+        8,
+        8,
+    )
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    # 4-cycle: all degrees equal -> zero variance determinants.
+    from kgforge.plans.graph_query import degree_assortativity
+
+    row = degree_assortativity(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    ).collect()[0]
+    assert int(row.slope_den) == 0 and int(row.syy_det) == 0
+
+
+def test_assortativity_dedups_and_drops_loops(spark):
+    from kgforge.plans.graph_query import degree_assortativity
+
+    base = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    noisy = _edges(
+        spark, [(1, 2), (2, 1), (2, 3), (3, 4), (3, 4), (2, 2)]
+    )
+    assert (
+        degree_assortativity(base).collect()
+        == degree_assortativity(noisy).collect()
+    )
+
+
+def test_reciprocity_counts(spark):
+    from kgforge.plans.graph_query import reciprocity_counts
+
+    row = reciprocity_counts(
+        _edges(spark, [(1, 2), (2, 1), (1, 3), (3, 3), (1, 2)])
+    ).collect()[0]
+    assert (row.n_edges, row.n_reciprocated, row.n_self_loops) == (3, 2, 1)
+
+
+def test_link_prediction_square(spark):
+    # C4: the two diagonals are the only candidates, each with 2
+    # common neighbors and endpoint degrees 2.
+    from kgforge.plans.graph_query import link_prediction_scores
+
+    got = sorted(
+        (r.a, r.b, r.common, r.deg_a, r.deg_b)
+        for r in link_prediction_scores(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        ).collect()
+    )
+    assert got == [(1, 3, 2, 2, 2), (2, 4, 2, 2, 2)]
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # triangle + pendant: (1,3) IS an edge -> excluded even though the
+    # pair shares neighbor 2; candidate (2,4) shares neighbor 1.
+    from kgforge.plans.graph_query import link_prediction_scores
+
+    got = sorted(
+        (r.a, r.b, r.common)
+        for r in link_prediction_scores(
+            _edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4)])
+        ).collect()
+    )
+    assert got == [(2, 4, 1), (3, 4, 1)]
+
+
+def test_link_prediction_degree_cap_recomputes_degrees(spark):
+    # star hub 9 with leaves 1..4: uncapped, all leaf pairs share the
+    # hub; capping the hub's degree (as a wedge center) removes every
+    # candidate that relied on it.
+    from kgforge.plans.graph_query import link_prediction_scores
+
+    e = _edges(spark, [(1, 9), (2, 9), (3, 9), (4, 9), (1, 2)])
+    uncapped = link_prediction_scores(e).collect()
+    assert {(r.a, r.b) for r in uncapped} >= {(1, 3), (2, 3), (3, 4)}
+    capped = link_prediction_scores(e, max_degree=3).collect()
+    # hub (degree 4) is dropped as a wedge CENTER; the only wedges left
+    # run through nodes 1 and 2, and both pairs they witness ((1,9),
+    # (2,9)) are existing edges -> zero candidates.
+    assert capped == []
