@@ -8262,6 +8262,104 @@ def stats_linfit(spark, sf_dir):
 
 
 @_q(
+    "events_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + greatest(1, floor(value * 1000)::BIGINT) * 1000 * 3600 AS e
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), p AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv
+    ), f AS (
+      SELECT user_id, s, e,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS opens
+      FROM p
+    ), g AS (
+      SELECT user_id, s, e,
+             sum(opens) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+      FROM f
+    )
+    SELECT user_id, min(s)::BIGINT AS start_us, max(e)::BIGINT AS end_us,
+           count(*)::BIGINT AS n_intervals
+    FROM g GROUP BY user_id, island
+    """,
+)
+def events_interval_merge(spark, sf_dir):
+    """Gaps-and-islands interval coalescing (functions/rollup.py::
+    merge_intervals): per-user CLOSED intervals [ts, ts+dur] merged
+    into maximal busy blocks — running-max-of-end closed form (two
+    windows sharing ONE sort), never the quadratic overlap self-join
+    and never a merge-until-fixpoint loop. Same dur_scale=3600 stretch
+    as events_concurrency so islands genuinely coalesce at both SFs
+    (multi-interval islands exist, single-interval islands too). The
+    oracle replays the window algebra verbatim."""
+    from kgforge.functions.rollup import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return merge_intervals(ev, ("user_id",), dur_scale=3600)
+
+
+@_q(
+    "stats_chisq",
+    """
+    WITH v AS (
+      SELECT event_type AS row_key,
+             (epoch_us(ts) // 3600000000) % 24 AS col_key
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), cells AS (
+      SELECT row_key, col_key, count(*)::BIGINT AS o
+      FROM v GROUP BY 1, 2
+    ), rt AS (
+      SELECT row_key, sum(o)::BIGINT AS row_tot FROM cells GROUP BY 1
+    ), ct AS (
+      SELECT col_key, sum(o)::BIGINT AS col_tot FROM cells GROUP BY 1
+    ), nn AS (
+      SELECT sum(o)::BIGINT AS n FROM cells
+    )
+    SELECT rt.row_key, ct.col_key, coalesce(cells.o, 0)::BIGINT AS o,
+           rt.row_tot, ct.col_tot, nn.n,
+           (nn.n::HUGEINT * coalesce(cells.o, 0)
+              - rt.row_tot::HUGEINT * ct.col_tot)::DECIMAL(38,0) AS det
+    FROM rt CROSS JOIN ct CROSS JOIN nn
+    LEFT JOIN cells ON cells.row_key = rt.row_key
+                   AND cells.col_key = ct.col_key
+    """,
+)
+def stats_chisq(spark, sf_dir):
+    """Chi-square contingency decomposition (functions/regress.py::
+    chisq_sums) of event_type x hour-of-day — the feature-vs-label
+    independence screen as exact integer determinants
+    det = n·o − row_tot·col_tot over the FULL category grid (absent
+    cells emitted with o=0: their expected counts belong in chi²).
+    Hour derives from epoch integer division, never an engine-local
+    calendar. One data-scale hash aggregate; marginals and the grid
+    come from the cell table (category-cardinality scale). chi² and
+    Cramér's V are read-time floats (chisq_eval), outside the hash
+    compare."""
+    from kgforge.functions.regress import chisq_sums
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+        ).alias("hour"),
+    )
+    return chisq_sums(d, "event_type", "hour")
+
+
+@_q(
     "graph_assortativity",
     """
     WITH und AS (

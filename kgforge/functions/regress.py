@@ -94,3 +94,97 @@ def linfit_eval(sums: DataFrame) -> DataFrame:
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def chisq_sums(
+    df: DataFrame, row_col: str | Column, col_col: str | Column
+) -> DataFrame:
+    """Chi-square contingency decomposition — exact integer sufficient
+    statistics for the independence test of two categorical columns
+    (feature-vs-label screening in a training-data pipeline; the
+    scipy.stats.chi2_contingency shape).
+
+    Emits ONE row per (row_key, col_key) cell of the FULL grid —
+    including never-observed combinations, whose expected counts still
+    contribute to the statistic — with
+
+        o        observed count (0 for absent cells)
+        row_tot, col_tot, n   the marginals
+        det      n·o − row_tot·col_tot   (DECIMAL(38,0), exact)
+
+    so chi² = Σ det² / (n · row_tot · col_tot) and Cramér's V derive
+    losslessly at read time — floats never enter the aggregation (the
+    repo's standing float rule).
+
+    Shape: ONE map-side-combining hash aggregate over the data produces
+    the cell counts; marginals, n, and the grid (distinct-rows ×
+    distinct-cols cross join) all derive from that CELL table, which is
+    |rows|·|cols| — category-cardinality-scale, never data-scale. No
+    second scan, no Python.
+    """
+    r = (F.col(row_col) if isinstance(row_col, str) else row_col).alias(
+        "row_key"
+    )
+    c = (F.col(col_col) if isinstance(col_col, str) else col_col).alias(
+        "col_key"
+    )
+    cells = df.select(r, c).groupBy("row_key", "col_key").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    cells = cells.persist()
+    rtot = cells.groupBy("row_key").agg(
+        F.sum("o").cast("long").alias("row_tot")
+    )
+    ctot = cells.groupBy("col_key").agg(
+        F.sum("o").cast("long").alias("col_tot")
+    )
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = rtot.crossJoin(ctot).crossJoin(F.broadcast(n))
+    out = grid.join(cells, on=["row_key", "col_key"], how="left").select(
+        "row_key",
+        "col_key",
+        F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        "row_tot",
+        "col_tot",
+        "n",
+        (
+            F.col("n").cast(_DEC)
+            * F.coalesce(F.col("o"), F.lit(0)).cast(_DEC)
+            - F.col("row_tot").cast(_DEC) * F.col("col_tot").cast(_DEC)
+        )
+        .cast(_DEC)
+        .alias("det"),
+    )
+    return out
+
+
+def chisq_eval(cells: DataFrame) -> DataFrame:
+    """Read-time chi² statistic from chisq_sums' exact cells: one row
+    (n, dof, chi2, cramers_v). Floats appear HERE, after all counts."""
+    term = (
+        F.col("det").cast("double")
+        * F.col("det").cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("row_tot").cast("double")
+            * F.col("col_tot").cast("double")
+        )
+    )
+    agg = cells.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(term).alias("chi2"),
+        F.count_distinct("row_key").cast("long").alias("nr"),
+        F.count_distinct("col_key").cast("long").alias("nc"),
+    )
+    return agg.select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+    )

@@ -375,3 +375,67 @@ def interval_concurrency(
         (F.count("*") / 2).cast("long").alias("n_intervals"),
         F.max("c").cast("long").alias("max_concurrent"),
     )
+
+
+def merge_intervals(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dur_scale: int = 1,
+) -> DataFrame:
+    """Coalesce overlapping/touching CLOSED intervals per key — the
+    gaps-and-islands merge (calendar busy-blocks, coverage spans, CDN
+    outage windows). Each event is [ts, ts + max(1ms, floor(value*1000))
+    ms · dur_scale]; production callers pass real end timestamps via a
+    computed ``value_col`` (the interval_concurrency convention).
+
+    Two stacked window functions sharing ONE sort on (key, start, end):
+    a row opens a new island iff its start exceeds the running max end
+    of all earlier rows (closed semantics: touching intervals merge);
+    the running sum of those open-flags is the island id; one hash
+    aggregate emits (min start, max end, n) per island. Result is a
+    pure data function despite ties — two rows with equal (start, end)
+    land in the same island in either order, so the merged spans are
+    order-independent.
+
+    Shape: ONE Exchange + sort per key, two windows on that sort, one
+    aggregate — no self-join (the naive overlap-join is quadratic), no
+    Python, no iteration (the running-max closed form replaces the
+    "merge until fixpoint" loop). Returns
+    (*key_cols, start_us, end_us, n_intervals) with BIGINT bounds.
+    """
+    start_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur_us = (
+        F.greatest(F.lit(1), F.floor(F.col(value_col) * 1000)).cast("long")
+        * 1000
+        * int(dur_scale)
+    )
+    d = events.select(
+        *key_cols, start_us.alias("s"), (start_us + dur_us).alias("e")
+    )
+    order = Window.partitionBy(*key_cols).orderBy("s", "e")
+    prev_max = (
+        F.max("e")
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("pm")
+    )
+    d = d.withColumn("pm", prev_max).withColumn(
+        "opens",
+        F.when(
+            F.col("pm").isNull() | (F.col("s") > F.col("pm")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    d = d.withColumn(
+        "island",
+        F.sum("opens").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return d.groupBy(*key_cols, "island").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count("*").cast("long").alias("n_intervals"),
+    ).drop("island")

@@ -201,3 +201,107 @@ def test_linfit_plan_single_agg_no_python(spark):
     )
     assert "Python" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # one partial+final agg
+
+
+# ---------------------------------------------------------------------
+# merge_intervals (gaps-and-islands coalescing)
+# ---------------------------------------------------------------------
+
+
+def _merge_ref(intervals):
+    """Pure-Python closed-interval coalescing reference."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e), out[-1][2] + 1)
+        else:
+            out.append((s, e, 1))
+    return sorted(out)
+
+
+def test_merge_intervals_matches_bruteforce(spark):
+    from kgforge.functions.rollup import merge_intervals
+
+    rng = random.Random(17)
+    rows, ref = [], {1: [], 2: []}
+    eid = 0
+    for key in (1, 2):
+        for _ in range(60):
+            off = rng.randint(0, 2000)
+            dur_s = rng.randint(1, 120)
+            s_us = off * 1_000_000
+            e_us = s_us + dur_s * 1_000_000
+            ref[key].append((s_us, e_us))
+            rows.append((eid, key, off, float(dur_s)))
+            eid += 1
+    out = merge_intervals(_events(spark, rows)).collect()
+    # session tz = local; ts literals were built from naive EPOCH
+    t0 = int(EPOCH.timestamp() * 1e6)
+    for key in ref:
+        got = sorted(
+            (r.start_us - t0, r.end_us - t0, r.n_intervals)
+            for r in out
+            if r.user_id == key
+        )
+        assert got == [(s, e, n) for s, e, n in _merge_ref(ref[key])], key
+
+
+def test_merge_intervals_touching_closed_semantics(spark):
+    from kgforge.functions.rollup import merge_intervals
+
+    # [0,5] and [5,8] touch -> ONE island (closed intervals)
+    rows = [(1, 1, 0, 5.0), (2, 1, 5, 3.0)]
+    out = merge_intervals(_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0].n_intervals == 2
+
+
+def test_merge_intervals_plan_one_exchange_no_python(spark):
+    from kgforge.functions.rollup import merge_intervals
+
+    plan = (
+        merge_intervals(_events(spark, [(1, 1, 0, 5.0)]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------
+# chi-square contingency sums
+# ---------------------------------------------------------------------
+
+
+def test_chisq_exact_and_full_grid(spark):
+    from kgforge.functions.regress import chisq_eval, chisq_sums
+
+    d = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 30,
+        "r string, c string",
+    )
+    cells = {
+        (r.row_key, r.col_key): (r.o, int(r.det))
+        for r in chisq_sums(d, "r", "c").collect()
+    }
+    # absent cell (b, y) IS emitted with o=0
+    assert cells == {
+        ("a", "x"): (10, -600),
+        ("a", "y"): (20, 600),
+        ("b", "x"): (30, 600),
+        ("b", "y"): (0, -600),
+    }
+    ev = chisq_eval(chisq_sums(d, "r", "c")).collect()[0]
+    assert ev.n == 60 and ev.dof == 1
+    assert ev.chi2 == pytest.approx(30.0)
+
+
+def test_chisq_independent_is_zero(spark):
+    from kgforge.functions.regress import chisq_sums
+
+    # perfectly independent 2x2 (balanced): every determinant is 0
+    d = spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 5,
+        "r string, c string",
+    )
+    assert {int(r.det) for r in chisq_sums(d, "r", "c").collect()} == {0}
