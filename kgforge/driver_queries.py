@@ -8262,6 +8262,175 @@ def stats_linfit(spark, sf_dir):
 
 
 @_q(
+    "link_pair_scores",
+    """
+    WITH r AS (
+      SELECT c_custkey AS id, c_nationkey, c_mktsegment,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000)
+               // 100000 AS bal_bucket,
+             length(c_name)::BIGINT AS name_len,
+             c_custkey % 7 AS key_mod
+      FROM customer
+    ), p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN a.bal_bucket = b.bal_bucket THEN 1 ELSE 0 END
+               ::BIGINT AS agree_bal,
+             CASE WHEN a.name_len = b.name_len THEN 1 ELSE 0 END
+               ::BIGINT AS agree_len,
+             CASE WHEN a.key_mod = b.key_mod THEN 1 ELSE 0 END
+               ::BIGINT AS agree_mod
+      FROM r a JOIN r b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.id < b.id
+    )
+    SELECT id_a, id_b, agree_bal, agree_len, agree_mod,
+           (agree_bal * 7 + agree_len * 3 + agree_mod * 2)::BIGINT AS score
+    FROM p
+    WHERE agree_bal * 7 + agree_len * 3 + agree_mod * 2 >= 5
+    """,
+)
+def link_pair_scores(spark, sf_dir):
+    """Blocked pairwise record-linkage scoring (operators/canon.py::
+    pair_scores) — the deterministic Fellegi-Sunter stage between
+    blocking and transitive clustering: customers blocked on
+    (nation, mktsegment), integer agreement weights 7/3/2 over
+    acctbal-bucket (floor-division via +offset so negative balances
+    floor identically cross-engine — Spark `div` truncates, DuckDB
+    `//` floors), name length, and custkey%7; threshold 5 keeps
+    "balance-bucket agreement or both weak features". All-integer
+    output hash-compares exactly; the oracle replays the blocked
+    self-join. Pair count = sum over blocks of |block|² — never
+    all-pairs (125 blocks at both SFs)."""
+    from kgforge.operators.canon import pair_scores
+
+    cust = _t(spark, sf_dir, "customer")
+    feats = [
+        (
+            "bal",
+            F.expr(
+                "(cast(round(c_acctbal * 100) as bigint) + 10000000)"
+                " div 100000"
+            ),
+            7,
+        ),
+        ("len", F.length("c_name").cast("long"), 3),
+        ("mod", (F.col("c_custkey") % 7).cast("long"), 2),
+    ]
+    out = pair_scores(
+        cust, "c_custkey", ["c_nationkey", "c_mktsegment"], feats,
+        min_score=5,
+    )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("agree_bal"),
+        F.col("agree_len"),
+        F.col("agree_mod"),
+        "score",
+    )
+
+
+@_q(
+    "sitemap_ingest",
+    """
+    WITH docs AS (
+      SELECT '<?xml version="1.0"?><urlset>'
+             || '<url><loc> https://example.com/sup/' || s_name
+             || '?n=' || s_nationkey || '&amp;k=' || s_suppkey
+             || ' </loc><lastmod>2024-01-'
+             || lpad((s_suppkey % 27 + 1)::VARCHAR, 2, '0')
+             || '</lastmod><priority>0.' || (s_suppkey % 10)
+             || '</priority></url>'
+             || '<url><loc>https://example.com/plain/' || s_suppkey
+             || '</loc><changefreq>daily</changefreq></url>'
+             || '<url><lastmod>2025-01-01</lastmod></url></urlset>'
+               AS xml
+      FROM supplier
+      UNION ALL
+      SELECT '<sitemapindex><sitemap><loc>https://example.com/sm/'
+             || r_regionkey || '.xml</loc><lastmod>2024-02-0'
+             || (r_regionkey + 1)
+             || '</lastmod></sitemap></sitemapindex>'
+      FROM region
+    ), b AS (
+      SELECT 'url' AS kind,
+             unnest(regexp_extract_all(xml,
+               '<url>([\\s\\S]*?)</url>', 1)) AS blk
+      FROM docs
+      UNION ALL
+      SELECT 'sitemap',
+             unnest(regexp_extract_all(xml,
+               '<sitemap>([\\s\\S]*?)</sitemap>', 1))
+      FROM docs
+    ), p AS (
+      SELECT kind,
+        nullif(regexp_extract(blk,
+          '<loc>\\s*([\\s\\S]*?)\\s*</loc>', 1), '') AS loc,
+        nullif(regexp_extract(blk,
+          '<lastmod>\\s*([\\s\\S]*?)\\s*</lastmod>', 1), '') AS lastmod,
+        nullif(regexp_extract(blk,
+          '<changefreq>\\s*([\\s\\S]*?)\\s*</changefreq>', 1), '')
+          AS changefreq,
+        nullif(regexp_extract(blk,
+          '<priority>\\s*([\\s\\S]*?)\\s*</priority>', 1), '') AS priority
+      FROM b
+    )
+    SELECT kind,
+           replace(replace(replace(replace(replace(loc,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&apos;', ''''), '&amp;', '&') AS loc,
+           lastmod, changefreq, priority
+    FROM p WHERE loc IS NOT NULL
+    """,
+)
+def sitemap_ingest(spark, sf_dir):
+    """Sitemap-protocol parsing (sources/sitemap.py::parse_sitemaps),
+    the warc_ingest pattern: synthesize urlset docs (three entries per
+    supplier — full fields with an entity-escaped query string and
+    leading/trailing loc whitespace, a minimal loc+changefreq entry,
+    and a loc-LESS entry that must be dropped) plus sitemapindex docs
+    per region, entirely from table columns across both engines, then
+    parse with the identical RE2-portable regexps. Exercises: block
+    extraction, optional-child NULLs, whitespace trim, XML entity
+    unescape, the urlset/sitemapindex split, and loc-missing
+    admission."""
+    from kgforge.sources.sitemap import parse_sitemaps
+
+    sup = _t(spark, sf_dir, "supplier")
+    urlset = sup.select(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.lit("<url><loc> https://example.com/sup/"),
+            F.col("s_name"),
+            F.lit("?n="),
+            F.col("s_nationkey").cast("string"),
+            F.lit("&amp;k="),
+            F.col("s_suppkey").cast("string"),
+            F.lit(" </loc><lastmod>2024-01-"),
+            F.lpad((F.col("s_suppkey") % 27 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod><priority>0."),
+            (F.col("s_suppkey") % 10).cast("string"),
+            F.lit("</priority></url>"),
+            F.lit("<url><loc>https://example.com/plain/"),
+            F.col("s_suppkey").cast("string"),
+            F.lit("</loc><changefreq>daily</changefreq></url>"),
+            F.lit("<url><lastmod>2025-01-01</lastmod></url></urlset>"),
+        ).alias("xml")
+    )
+    index = _t(spark, sf_dir, "region").select(
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://example.com/sm/"),
+            F.col("r_regionkey").cast("string"),
+            F.lit(".xml</loc><lastmod>2024-02-0"),
+            (F.col("r_regionkey") + 1).cast("string"),
+            F.lit("</lastmod></sitemap></sitemapindex>"),
+        ).alias("xml")
+    )
+    return parse_sitemaps(urlset.unionByName(index), "xml")
+
+
+@_q(
     "events_interval_merge",
     """
     WITH iv AS (

@@ -128,3 +128,74 @@ def survivorship(
         )
         out = out.join(top, on=cluster_col, how="left")
     return out
+
+
+def pair_scores(
+    records: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    features: list[tuple[str, "F.Column", int]],
+    min_score: int = 0,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Blocked pairwise record-linkage scoring — the deterministic
+    (integer-weight) Fellegi-Sunter shape that precedes transitive
+    clustering: candidate pairs come ONLY from shared blocking keys,
+    each pair scores the sum of per-feature agreement weights, and
+    pairs at or above ``min_score`` survive as match candidates.
+
+    ``features`` is ``[(name, column_expr, weight)]``; agreement is
+    "both sides non-null AND equal" (a shared missing value is NOT
+    evidence, the classical FS convention). Returns
+    (id_a, id_b, agree_<name>..., score) — all-integer columns, so the
+    driver gate hash-compares exactly; probabilistic m/u log-odds are a
+    caller-side calibration of the same agreement vector.
+
+    Scale shape: the self-join is keyed on the blocking columns — pair
+    count is sum over blocks of |block|², never all-pairs. ``max_block``
+    row-number-caps oversized blocks BEFORE the join (the LSH
+    bucket-cap discipline from functions/dedup.py: a documented recall
+    trade on skewed blocks, not a silent truncation — the cap keeps the
+    ``id_col``-smallest members, deterministic). No Python, one
+    Exchange per side on the block key.
+    """
+    from pyspark.sql import Window
+
+    names = [n for n, _, _ in features]
+    base = records.select(
+        F.col(id_col).alias("__id"),
+        *block_cols,
+        *[c.alias(f"__f_{n}") for n, c, _ in features],
+    )
+    w = Window.partitionBy(*block_cols).orderBy("__id")
+    base = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(max_block))
+        .drop("__rn")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(b, on=block_cols).where(
+        F.col("a.__id") < F.col("b.__id")
+    )
+    agrees = [
+        (
+            F.col(f"a.__f_{n}").isNotNull()
+            & F.col(f"b.__f_{n}").isNotNull()
+            & (F.col(f"a.__f_{n}") == F.col(f"b.__f_{n}"))
+        )
+        .cast("long")
+        .alias(f"agree_{n}")
+        for n, _, _ in features
+    ]
+    out = pairs.select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        *agrees,
+    )
+    score = sum(
+        (F.col(f"agree_{n}") * int(wt) for (n, _, wt) in features),
+        F.lit(0).cast("long"),
+    )
+    out = out.withColumn("score", score.cast("long"))
+    return out.where(F.col("score") >= int(min_score))

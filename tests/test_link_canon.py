@@ -154,3 +154,45 @@ def test_survivorship_majority_ties_and_nulls(spark):
         2: (4, "a", "zed"),
         3: (1, None, "solo"),
     }
+
+
+def test_pair_scores_agreement_and_threshold(spark):
+    from kgforge.operators.canon import pair_scores
+
+    recs = spark.createDataFrame(
+        [
+            (1, "b1", 10, "x"),
+            (2, "b1", 10, "y"),
+            (3, "b1", 20, "x"),
+            (4, "b2", 10, "x"),  # different block: never paired with 1-3
+            (5, "b2", None, None),
+        ],
+        "id long, blk string, f1 int, f2 string",
+    )
+    feats = [("f1", F.col("f1"), 7), ("f2", F.col("f2"), 3)]
+    all_pairs = {
+        (r.id_a, r.id_b): (r.agree_f1, r.agree_f2, r.score)
+        for r in pair_scores(recs, "id", ["blk"], feats).collect()
+    }
+    # NULL on either side is NOT agreement (4,5); cross-block absent
+    assert all_pairs == {
+        (1, 2): (1, 0, 7),
+        (1, 3): (0, 1, 3),
+        (2, 3): (0, 0, 0),
+        (4, 5): (0, 0, 0),
+    }
+    kept = pair_scores(recs, "id", ["blk"], feats, min_score=5).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 2)}
+
+
+def test_pair_scores_block_cap_keeps_smallest_ids(spark):
+    from kgforge.operators.canon import pair_scores
+
+    recs = spark.createDataFrame(
+        [(i, "b", 1) for i in range(1, 6)], "id long, blk string, f1 int"
+    )
+    out = pair_scores(
+        recs, "id", ["blk"], [("f1", F.col("f1"), 1)], max_block=3
+    ).collect()
+    # cap keeps ids 1..3 -> exactly C(3,2) pairs
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2), (1, 3), (2, 3)}
