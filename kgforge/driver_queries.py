@@ -8262,6 +8262,108 @@ def stats_linfit(spark, sf_dir):
 
 
 @_q(
+    "media_audio_stats",
+    """
+    WITH s AS (
+      SELECT s_name AS name, s_suppkey AS k,
+             (8000 + (s_suppkey % 5) * 1000)::BIGINT AS rate,
+             (200 + (s_suppkey % 57))::BIGINT AS n
+      FROM supplier
+    ), idx AS (
+      SELECT name, k, rate, n, unnest(range(0, n)) AS i FROM s
+    ), v AS (
+      SELECT name, rate, n, i,
+             ((k * 31 + i * 17) % 201 - 100)::BIGINT AS v
+      FROM idx
+    ), lg AS (
+      SELECT name, rate, n, v,
+             lag(v) OVER (PARTITION BY name ORDER BY i) AS pv
+      FROM v
+    )
+    SELECT name, rate, max(n)::BIGINT AS n_samples,
+           sum(v)::BIGINT AS sum_v, sum(abs(v))::BIGINT AS sum_abs,
+           min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+           sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+                    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+    FROM lg GROUP BY name, rate
+    """,
+)
+def media_audio_stats(spark, sf_dir):
+    """Audio sample statistics through the REAL WAV codec
+    (functions/multimodal.py::decode_wav) — the media_probe_mp4
+    certification pattern: per supplier a deterministic PCM series
+    v_i = (k·31 + i·17) % 201 − 100 is WRITTEN as a real WAV on the
+    executors (8-bit unsigned PCM when k%3==0, else 16-bit — both
+    decoder paths), DECODED back through the wave codec across the
+    Arrow boundary, and reduced to exact BIGINT stats (n, Σv, Σ|v|,
+    min, max, sign-transition zero crossings). The int->float->int
+    round trip is lossless by construction (v/2^7 and v/2^15 are
+    dyadic), so the oracle COMPUTES the same stats from the formula
+    via unnest(range) + one lag window — no frozen gold."""
+    import numpy as np
+    import pandas as pd
+
+    from kgforge.functions.multimodal import decode_wav
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_suppkey").alias("k")
+    )
+
+    def build_and_stat(batches):
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for name, k in zip(pdf["name"], pdf["k"]):
+                k = int(k)
+                rate = 8000 + (k % 5) * 1000
+                n = 200 + (k % 57)
+                v = (k * 31 + np.arange(n) * 17) % 201 - 100
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    if k % 3 == 0:
+                        wf.setsampwidth(1)
+                        wf.setframerate(rate)
+                        wf.writeframes(
+                            (v + 128).astype(np.uint8).tobytes()
+                        )
+                        scale = 128.0
+                    else:
+                        wf.setsampwidth(2)
+                        wf.setframerate(rate)
+                        wf.writeframes(
+                            v.astype("<i2").tobytes()
+                        )
+                        scale = 32768.0
+                samples, got_rate = decode_wav(buf.getvalue())
+                iv = np.rint(samples[:, 0] * scale).astype(np.int64)
+                neg = iv < 0
+                zc = int((neg[1:] != neg[:-1]).sum())
+                rows.append(
+                    (
+                        name, int(got_rate), int(len(iv)),
+                        int(iv.sum()), int(np.abs(iv).sum()),
+                        int(iv.min()), int(iv.max()), zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "name", "rate", "n_samples", "sum_v", "sum_abs",
+                    "min_v", "max_v", "zero_crossings",
+                ],
+            )
+
+    return sup.mapInPandas(
+        build_and_stat,
+        "name string, rate long, n_samples long, sum_v long, "
+        "sum_abs long, min_v long, max_v long, zero_crossings long",
+    )
+
+
+@_q(
     "link_pair_scores",
     """
     WITH r AS (
