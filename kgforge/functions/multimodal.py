@@ -443,7 +443,7 @@ def decode_media(payload: bytes, meta: dict | None = None) -> np.ndarray:
         return audio_features(*decode_wav(payload))
     mt = (meta or {}).get("mime", "unknown")
     raise NotImplementedError(
-        f"no stdlib decoder for {mt!r} (PNG/JPEG/PPM/PGM/BMP/WAV "
+        f"no stdlib decoder for {mt!r} (PNG/JPEG/PPM/PGM/BMP/GIF/WAV "
         "supported; plug a PIL/ffmpeg kernel through "
         "extract_features(kernel=...))"
     )
@@ -462,6 +462,8 @@ def _decode_pixels(payload: bytes) -> np.ndarray | None:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     return None
 
 
@@ -536,11 +538,35 @@ def probe_media(payload: bytes) -> dict:
             "kind": "image", "format": "bmp", "width": w, "height": abs(h),
         }
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        # probe-only: logical screen descriptor; LZW decode stays at
-        # the extract_features(kernel=...) seam
+        # logical screen descriptor (decode_gif is the full decoder)
         w, h = struct.unpack("<HH", payload[6:10])
         return {
             "kind": "image", "format": "gif", "width": w, "height": h,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # header-only dims for all three WebP flavors (probe stays
+        # cheap; full VP8 entropy decode is out of stdlib scope)
+        fourcc = payload[12:16]
+        body = payload[20:]
+        if fourcc == b"VP8X" and len(body) >= 10:
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+        elif fourcc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            w = 1 + (bits & 0x3FFF)
+            h = 1 + ((bits >> 14) & 0x3FFF)
+        elif fourcc == b"VP8 " and len(body) >= 10 \
+                and body[3:6] == b"\x9d\x01\x2a":
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+        else:
+            raise ValueError("unrecognized WebP chunk layout")
+        return {
+            "kind": "image",
+            "format": "webp",
+            "variant": fourcc.decode().strip().lower(),
+            "width": w,
+            "height": h,
         }
     raise ValueError("unrecognized media payload")
 
@@ -717,9 +743,8 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# BMP (Windows DIB) — uncompressed BI_RGB, the remaining stdlib-decodable
-# raster format a crawl actually yields (r5 s6). LZW formats (GIF/TIFF)
-# stay probe-only at the documented seam.
+# BMP (Windows DIB) — uncompressed BI_RGB (r5 s6). GIF gained a real
+# LZW decoder below (r5 s7); TIFF stays probe/seam-only.
 # ---------------------------------------------------------------------
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -777,3 +802,207 @@ def encode_bmp(px: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return hdr + dib + body
+
+
+# ---------------------------------------------------------------------
+# GIF (LZW) — the last widely-crawled legacy raster format; decodes the
+# FIRST frame (animated GIFs: frame 1), non-interlaced subset. The LZW
+# dictionary build is inherently sequential, so the code loop is per-
+# image Python over the CODE stream (not per pixel: each code emits a
+# whole dictionary string); throughput bound ~1-3 MB/s of decoded
+# indices — fine for gate-scale corpora, swap a native kernel through
+# extract_features(kernel=...) for bulk archives (the PNG/JPEG rule).
+# ---------------------------------------------------------------------
+
+
+def _lzw_decode(stream: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: LSB-first codes, clear/end controls, code width
+    grows when the table reaches 2^width (max 12 bits)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = mcs + 1
+    buf = bits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in stream:
+        buf |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt LZW stream (bad first code)")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]  # the KwKwK special case
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream (code out of range)")
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)  # tolerant: missing end code on truncated tails
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Encoder twin of _lzw_decode: greedy longest-match dictionary
+    LZW; emits CLEAR up front and again whenever the table fills (no
+    deferred-clear ambiguity). Round-trip parity is pinned in tests."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal buf, bits
+        buf |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    code_size = mcs + 1
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        c = w + bytes([b])
+        if c in table:
+            w = c
+            continue
+        emit(table[w], code_size)
+        table[c] = next_code
+        next_code += 1
+        # decoder's table lags one entry; it widens when ITS size hits
+        # 2^width, i.e. when our next_code passes 2^width + 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+            code_size = mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if bits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a -> (H, W, 3) uint8 RGB of the FIRST image frame.
+
+    Subset: non-interlaced frames, global or local color table;
+    extensions (including GCE transparency) are skipped — the frame's
+    palette colors are returned opaque; later frames of an animation
+    are ignored. Interlaced frames raise at the seam."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    sw, sh, packed, _bg, _aspect = struct.unpack(
+        "<HHBBB", payload[pos:pos + 7]
+    )
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos:pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos:pos + 9]
+            )
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload[pos:pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), mcs)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data underrun")
+            arr = np.frombuffer(
+                idx[: w * h], dtype=np.uint8
+            ).reshape(h, w)
+            if int(arr.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index out of palette range")
+            return pal[arr]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> single-frame GIF89a (writer twin for
+    round-trip tests and synthetic corpora). Builds the global color
+    table from the image's unique colors; > 256 distinct colors raise
+    (quantization is a caller concern)."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    cbits = max(1, int(len(colors) - 1).bit_length())
+    n_pal = 1 << cbits
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    mcs = max(2, cbits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (cbits - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(mcs)
+    data = _lzw_encode(inverse.astype(np.uint8).tobytes(), mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

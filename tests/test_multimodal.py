@@ -3,6 +3,9 @@ payloads, frame-sampling plans, and the decode gate."""
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -421,3 +424,162 @@ def test_bmp_and_gif_probe_and_decode_media():
     assert probe_media(gif) == {
         "kind": "image", "format": "gif", "width": 320, "height": 200,
     }
+
+
+# ---------------------------------------------------------------------
+# GIF LZW decode/encode (r5 s7)
+# ---------------------------------------------------------------------
+
+
+def _spec_gif_literal_stream(indices, w, h, pal):
+    """Independent spec-exact GIF writer used ONLY by tests: emits every
+    pixel as a LITERAL code with a CLEAR before each one, so the code
+    width never grows and no dictionary entry is ever referenced — a
+    degenerate but valid stream any conformant decoder must accept,
+    written by a bit-packer independent of _lzw_encode."""
+    import struct as st
+
+    cbits = max(1, (len(pal) - 1).bit_length())
+    mcs = max(2, cbits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    buf = bits = 0
+    out = bytearray()
+    codes = [clear]
+    for i in indices:
+        codes.extend([i, clear])
+    codes.append(end)
+    for c in codes:
+        buf |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+    if bits:
+        out.append(buf & 0xFF)
+    n_pal = 1 << cbits
+    table = bytearray()
+    for rgb in list(pal) + [(0, 0, 0)] * (n_pal - len(pal)):
+        table += bytes(rgb)
+    gif = bytearray(b"GIF89a")
+    gif += st.pack("<HHBBB", w, h, 0x80 | (cbits - 1), 0, 0)
+    gif += table
+    gif += st.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    gif.append(mcs)
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif += b"\x00\x3b"
+    return bytes(gif)
+
+
+def test_gif_decodes_independent_spec_stream():
+    from kgforge.functions.multimodal import decode_gif
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [0, 1, 2, 2, 1, 0]
+    px = decode_gif(_spec_gif_literal_stream(idx, 3, 2, pal))
+    expect = np.array(
+        [[pal[0], pal[1], pal[2]], [pal[2], pal[1], pal[0]]],
+        dtype=np.uint8,
+    )
+    assert (px == expect).all()
+
+
+def test_gif_round_trip_and_dispatch():
+    from kgforge.functions.multimodal import (
+        decode_gif, decode_media, encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = np.unique(
+        rng.integers(0, 256, (64, 3), dtype=np.uint8), axis=0
+    )
+    px = pal[rng.integers(0, len(pal), (33, 47))]
+    payload = encode_gif(px)
+    assert (decode_gif(payload) == px).all()
+    feats = decode_media(payload)
+    assert feats.shape == (FEATURE_DIM,) and feats.dtype == np.float32
+
+
+def test_gif_table_growth_and_full_reset():
+    # 256-color noise at 128x128 forces code-width growth through every
+    # boundary and a 4096-entry table reset mid-stream
+    from kgforge.functions.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    pal = np.array(
+        [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)],
+        dtype=np.uint8,
+    )
+    px = pal[rng.integers(0, 256, (128, 128))]
+    assert (decode_gif(encode_gif(px)) == px).all()
+
+
+def test_gif_guards():
+    from kgforge.functions.multimodal import decode_gif, encode_gif
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    good = bytearray(_spec_gif_literal_stream([0, 1, 1, 0], 2, 2, pal))
+    interlaced = bytearray(good)
+    # image descriptor packed byte: 6 (header) + 7 (LSD) + 6 (GCT)
+    # + 9th byte of the 0x2C block
+    desc = interlaced.index(0x2C, 13)
+    interlaced[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(interlaced))
+    with pytest.raises(ValueError, match="256 distinct"):
+        rng = np.random.default_rng(3)
+        encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 20)  # no image frame
+
+
+def test_gif_skips_extensions_and_animation_first_frame():
+    from kgforge.functions.multimodal import decode_gif
+
+    pal = [(9, 9, 9), (200, 10, 30)]
+    base = _spec_gif_literal_stream([1, 0], 2, 1, pal)
+    # splice a Graphic Control Extension before the image descriptor
+    desc = base.index(b"\x2c", 13)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = base[:desc] + gce + base[desc:]
+    px = decode_gif(spliced)
+    assert (px == np.array([[pal[1], pal[0]]], dtype=np.uint8)).all()
+
+
+def test_webp_probe_all_variants():
+    from kgforge.functions.multimodal import probe_media
+
+    def riff(fourcc, body):
+        chunk = fourcc + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8x = riff(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"),
+    )
+    assert probe_media(vp8x) == {
+        "kind": "image", "format": "webp", "variant": "vp8x",
+        "width": 640, "height": 480,
+    }
+    bits = (319) | ((239) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    assert probe_media(vp8l) == {
+        "kind": "image", "format": "webp", "variant": "vp8l",
+        "width": 320, "height": 240,
+    }
+    vp8 = riff(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 800, 600) + b"\x00\x00",
+    )
+    assert probe_media(vp8) == {
+        "kind": "image", "format": "webp", "variant": "vp8",
+        "width": 800, "height": 600,
+    }
+    with pytest.raises(ValueError, match="WebP chunk"):
+        probe_media(riff(b"XXXX", b"\x00" * 12))
