@@ -5774,7 +5774,19 @@ def media_features(spark, sf_dir):
         (44, 'image', '8b60adaac644e2f9f900e46a7d4e7006'),
         (45, 'image', '5ef4a1854e75bf7a2ec957e0915ab403'),
         (46, 'image', '6daf8286448bceb39a86cda1d90eb205'),
-        (47, 'audio', 'f25b8636b84ae96f6b22327d15d72470')
+        (47, 'audio', 'f25b8636b84ae96f6b22327d15d72470'),
+        (48, 'image', 'c6b96b492aefc318c2808d2ceb70f63e'),
+        (49, 'image', '8a91792a0263c46e559a4e824ae5cb71'),
+        (50, 'image', '4a810748ee65914d3ef6d6e6f16b8260'),
+        (51, 'image', '90f710b8bc78285d364a82ff6143b302'),
+        (52, 'image', 'dad155640013bf28991cf7d638c79508'),
+        (53, 'image', '73194e11c1519f20011b88d67bf0ad1a'),
+        (54, 'image', '72e903323210970c8b0044789e78ff9a'),
+        (55, 'image', '605d7d28071d9bdd822494a22f620267'),
+        (56, 'image', '48ae1d2786c39dff467bb2735ac9e70c'),
+        (57, 'image', '2b00cbded25ae0fa2b44eb89a55cd83b'),
+        (58, 'image', '9bb187516dfdcc1fdbc9af85a2684982'),
+        (59, 'image', 'a65b6355397a28079207baa7d9c9299e')
     ) AS t(media_id, media_type, digest) ORDER BY media_id
     """,
 )
@@ -5782,9 +5794,13 @@ def media_decode_real(spark, sf_dir):
     """REAL pure-numpy/stdlib media decode on the executors, now
     value-hash ORACLED (verdict r04 #6): deterministic PNG (all five
     scanline filters, gray/RGB/RGBA), baseline JPEG (4:4:4/4:2:0/gray,
-    quality + restart-interval varied, functions/jpeg.py), PPM, and
-    16-bit-PCM WAV payloads decoded by the `decode_media` decoders;
-    each row returns md5(canonical decoded bytes) via `decode_digest`.
+    quality + restart-interval varied, functions/jpeg.py), PPM,
+    16-bit-PCM WAV, and (rows 48+, r5 s7) GIF payloads through the LZW
+    decoder, decoded by the `decode_media` decoders; each row returns
+    md5(canonical decoded bytes) via `decode_digest`. Rows 0..47 are
+    byte-identical to the r5 gold (append-only extension — the review
+    anchor); the 12 GIF digests were independently certified against
+    SOURCE pixels (no codec) at derivation time.
     The oracle is a FROZEN literal table derived driver-side by
     tools/derive_media_gold.py (same freeze discipline as the fixture
     gold: regenerate only after re-reviewing the decoders) — the gate
@@ -5795,7 +5811,7 @@ def media_decode_real(spark, sf_dir):
 
     from kgforge.functions.multimodal import decode_digest, synth_real_media
 
-    media = synth_real_media(spark, n=48, seed=42)
+    media = synth_real_media(spark, n=60, seed=42)
 
     def digest(batches):
         for pdf in batches:

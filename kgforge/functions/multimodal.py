@@ -652,13 +652,19 @@ def synth_real_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
     """Deterministic REAL media table: PNG (cycling all five scanline
     filters and gray/RGB/RGBA), baseline JPEG (4:4:4 / 4:2:0 / grayscale,
     quality + restart-interval varied), binary PPM, and 16-bit PCM WAV
-    payloads — decodable by `decode_media` with no native libraries."""
+    payloads — decodable by `decode_media` with no native libraries.
+
+    Rows 48+ are GIF (LZW, palette sizes 4..100) — appended AFTER the
+    original 4-format cycle rather than interleaved, so ids 0..47 and
+    their frozen decode digests are byte-identical across rounds (the
+    media_decode_real gold's review anchor). Keep in LOCKSTEP with
+    tools/derive_media_gold.py."""
     from kgforge.functions.jpeg import encode_jpeg
 
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        kind = i % 4
+        kind = 4 if i >= 48 else i % 4
         if kind == 0:  # PNG
             ch = [1, 3, 4][(i // 4) % 3]
             h, w = 8 + int(rng.randint(0, 9)), 8 + int(rng.randint(0, 9))
@@ -695,7 +701,7 @@ def synth_real_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = (f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
             meta = ("image", "image/x-portable-pixmap", w, h, 0)
-        else:  # WAV: freq-varied sine, 16-bit PCM mono
+        elif kind == 3:  # WAV: freq-varied sine, 16-bit PCM mono
             rate = 8000
             dur = 0.05 + 0.01 * (i % 5)
             t = np.arange(int(rate * dur)) / rate
@@ -707,6 +713,15 @@ def synth_real_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
                 wf.writeframes(pcm.tobytes())
             payload = buf.getvalue()
             meta = ("audio", "audio/wav", 0, 0, int(dur * 1000))
+        else:  # GIF: random palette image through the LZW encoder twin
+            ncol = 4 + (i % 13) * 8
+            pal = np.unique(
+                rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8), axis=0
+            )
+            h, w = 8 + int(rng.randint(0, 17)), 8 + int(rng.randint(0, 17))
+            px = pal[rng.randint(0, len(pal), size=(h, w))]
+            payload = encode_gif(px)
+            meta = ("image", "image/gif", w, h, 0)
         rows.append((i, bytearray(payload), meta))
     schema = T.StructType(
         [

@@ -23,15 +23,19 @@ def main() -> None:
     import numpy as np
 
     from kgforge.functions.jpeg import encode_jpeg
-    from kgforge.functions.multimodal import decode_digest, encode_png
+    from kgforge.functions.multimodal import (
+        decode_digest,
+        encode_gif,
+        encode_png,
+    )
 
     # mirror synth_real_media's generation loop WITHOUT Spark (payload
     # synthesis is driver-deterministic; keep in lockstep with
     # kgforge/functions/multimodal.py::synth_real_media)
     rng = np.random.RandomState(42)
     rows = []
-    for i in range(48):
-        kind = i % 4
+    for i in range(60):
+        kind = 4 if i >= 48 else i % 4
         if kind == 0:
             ch = [1, 3, 4][(i // 4) % 3]
             h, w = 8 + int(rng.randint(0, 9)), 8 + int(rng.randint(0, 9))
@@ -68,7 +72,7 @@ def main() -> None:
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
             mt = "image"
-        else:
+        elif kind == 3:
             rate = 8000
             dur = 0.05 + 0.01 * (i % 5)
             t = np.arange(int(rate * dur)) / rate
@@ -82,6 +86,15 @@ def main() -> None:
                 wf.writeframes(pcm.tobytes())
             payload = buf.getvalue()
             mt = "audio"
+        else:
+            ncol = 4 + (i % 13) * 8
+            pal = np.unique(
+                rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8), axis=0
+            )
+            h, w = 8 + int(rng.randint(0, 17)), 8 + int(rng.randint(0, 17))
+            px = pal[rng.randint(0, len(pal), size=(h, w))]
+            payload = encode_gif(px)
+            mt = "image"
         rows.append((i, mt, decode_digest(bytes(payload))))
 
     print("    SELECT * FROM (VALUES")
