@@ -8278,6 +8278,158 @@ def stats_linfit(spark, sf_dir):
 
 
 @_q(
+    "profile_table",
+    """
+    SELECT 'c_custkey' AS col_name, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_nulls,
+           count(DISTINCT c_custkey)::BIGINT AS n_distinct,
+           min(c_custkey)::VARCHAR AS min_str,
+           max(c_custkey)::VARCHAR AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*)::BIGINT,
+           sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_name)::BIGINT,
+           min(c_name), max(c_name)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*)::BIGINT,
+           sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_nationkey)::BIGINT,
+           min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*)::BIGINT,
+           sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT c_mktsegment)::BIGINT,
+           min(c_mktsegment), max(c_mktsegment)
+    FROM customer
+    """,
+)
+def profile_table(spark, sf_dir):
+    """Single-pass table profiling (operators/profile.py::
+    profile_columns): exact per-column (rows, nulls, distincts,
+    min/max-as-string) from ONE hash aggregate over ONE scan — the
+    DuckDB SUMMARIZE surface, exact. The gate profiles the integer and
+    string columns of customer; DOUBLE columns are profiled too in
+    production but excluded here because float-to-string RENDERING is
+    engine-specific (Java vs DuckDB shortest-roundtrip) — the values
+    agree, their text does not; pinned instead in
+    tests/test_profile.py."""
+    from kgforge.operators.profile import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    return profile_columns(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
+@_q(
+    "profile_inclusion",
+    """
+    WITH oc AS (SELECT DISTINCT o_custkey AS v FROM orders
+                WHERE o_custkey IS NOT NULL),
+         cc AS (SELECT DISTINCT c_custkey AS v FROM customer
+                WHERE c_custkey IS NOT NULL),
+         lp AS (SELECT DISTINCT l_partkey AS v FROM lineitem
+                WHERE l_partkey IS NOT NULL),
+         pp AS (SELECT DISTINCT p_partkey AS v FROM part
+                WHERE p_partkey IS NOT NULL),
+         eu AS (SELECT DISTINCT user_id AS v FROM events
+                WHERE user_id IS NOT NULL)
+    SELECT 'orders_in_customer' AS pair,
+           (SELECT count(*) FROM oc)::BIGINT AS n_child_distinct,
+           (SELECT count(*) FROM cc)::BIGINT AS n_parent_distinct,
+           (SELECT count(*) FROM oc WHERE EXISTS
+              (SELECT 1 FROM cc WHERE cc.v = oc.v))::BIGINT AS n_contained
+    UNION ALL
+    SELECT 'lineitem_in_part',
+           (SELECT count(*) FROM lp)::BIGINT,
+           (SELECT count(*) FROM pp)::BIGINT,
+           (SELECT count(*) FROM lp WHERE EXISTS
+              (SELECT 1 FROM pp WHERE pp.v = lp.v))::BIGINT
+    UNION ALL
+    SELECT 'customer_in_events',
+           (SELECT count(*) FROM cc)::BIGINT,
+           (SELECT count(*) FROM eu)::BIGINT,
+           (SELECT count(*) FROM cc WHERE EXISTS
+              (SELECT 1 FROM eu WHERE eu.v = cc.v))::BIGINT
+    """,
+)
+def profile_inclusion(spark, sf_dir):
+    """FK-candidate discovery (operators/profile.py::inclusion_stats):
+    distinct-set containment counts for two true foreign keys
+    (orders→customer, lineitem→part: n_contained == n_child_distinct)
+    and one deliberately FAILING pair (customer→events.user_id: only
+    a tenth of customers appear as event users at both SFs, so
+    containment fails non-vacuously). Distinct sets first, then a LEFT SEMI probe — the
+    raw tables are never joined row-to-row."""
+    from kgforge.operators.profile import inclusion_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    legs = [
+        ("orders_in_customer",
+         inclusion_stats(orders, "o_custkey", cust, "c_custkey")),
+        ("lineitem_in_part",
+         inclusion_stats(li, "l_partkey", part, "p_partkey")),
+        ("customer_in_events",
+         inclusion_stats(cust, "c_custkey",
+                         _t(spark, sf_dir, "events"), "user_id")),
+    ]
+    out = None
+    for name, df in legs:
+        leg = df.select(F.lit(name).alias("pair"), "*")
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+@_q(
+    "events_forecast_baseline",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND ts IS NOT NULL
+    ), lg AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER (PARTITION BY event_type
+                             ORDER BY ts_us, event_id) AS naive,
+             lag(v, 24) OVER (PARTITION BY event_type
+                              ORDER BY ts_us, event_id) AS seasonal
+      FROM v
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           count(naive)::BIGINT AS n_naive,
+           sum(abs(v - naive))::BIGINT AS sum_abs_naive,
+           count(seasonal)::BIGINT AS n_seasonal,
+           sum(abs(v - seasonal))::BIGINT AS sum_abs_seasonal
+    FROM lg GROUP BY event_type
+    """,
+)
+def events_forecast_baseline(spark, sf_dir):
+    """Forecast-baseline MASE decomposition (functions/rollup.py::
+    forecast_error_sums): per event_type, exact cent-integer absolute
+    error sums of the one-step-naive and season-24 forecasts — two lag
+    windows on ONE sort, one aggregate; the scale-free MASE ratio is a
+    read-time float over these sums. The oracle replays the window
+    algebra."""
+    from kgforge.functions.rollup import forecast_error_sums
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    return forecast_error_sums(ev, ("event_type",), season=24)
+
+
+@_q(
     "media_audio_stats",
     """
     WITH s AS (

@@ -439,3 +439,46 @@ def merge_intervals(
         F.max("e").alias("end_us"),
         F.count("*").cast("long").alias("n_intervals"),
     ).drop("island")
+
+
+def forecast_error_sums(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    season: int = 24,
+) -> DataFrame:
+    """Forecast-baseline evaluation sums — the MASE (Hyndman &
+    Koehler 2006) decomposition as exact integers: per key, the
+    one-step naive forecast (previous value) and the seasonal-naive
+    forecast (value ``season`` steps back) are scored by absolute
+    error in cents, and ONE row per key carries
+    (n, n_naive, sum_abs_naive, n_seasonal, sum_abs_seasonal).
+    The scale-free ratios — MAE_seasonal / MAE_naive and friends —
+    are read-time float expressions over these exact sums.
+
+    Shape: two lag windows sharing ONE sort on (key, ts, id) (a single
+    Exchange), then a map-side-combining aggregate; cents end to end
+    (the standing float rule), no Python, no joins.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("ts_us", id_col)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = events.select(
+        *key_cols,
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        cents.alias("v"),
+    )
+    d = d.withColumn("naive", F.lag("v", 1).over(w)).withColumn(
+        "seasonal", F.lag("v", int(season)).over(w)
+    )
+    abs_n = F.abs(F.col("v") - F.col("naive"))
+    abs_s = F.abs(F.col("v") - F.col("seasonal"))
+    return d.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("naive").cast("long").alias("n_naive"),
+        F.sum(abs_n).cast("long").alias("sum_abs_naive"),
+        F.count("seasonal").cast("long").alias("n_seasonal"),
+        F.sum(abs_s).cast("long").alias("sum_abs_seasonal"),
+    )

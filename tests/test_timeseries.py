@@ -305,3 +305,37 @@ def test_chisq_independent_is_zero(spark):
         "r string, c string",
     )
     assert {int(r.det) for r in chisq_sums(d, "r", "c").collect()} == {0}
+
+
+# ---------------------------------------------------------------------
+# forecast-baseline error sums (MASE decomposition)
+# ---------------------------------------------------------------------
+
+
+def test_forecast_error_sums_hand_computed(spark):
+    from kgforge.functions.rollup import forecast_error_sums
+
+    # one key, values 1,3,2,5 (dollars) at seconds 0..3; season=2
+    rows = [(i, 1, i, float(v)) for i, v in enumerate([1, 3, 2, 5])]
+    out = forecast_error_sums(
+        _events(spark, rows), ("user_id",), season=2
+    ).collect()[0]
+    # cents: 100,300,200,500; naive errs |300-100|,|200-300|,|500-200|
+    assert (out.n, out.n_naive, out.sum_abs_naive) == (4, 3, 600)
+    # seasonal lag2 errs: |200-100|, |500-300|
+    assert (out.n_seasonal, out.sum_abs_seasonal) == (2, 300)
+
+
+def test_forecast_error_sums_one_exchange(spark):
+    from kgforge.functions.rollup import forecast_error_sums
+
+    plan = (
+        forecast_error_sums(
+            _events(spark, [(1, 1, 0, 1.0)]), ("user_id",)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
