@@ -8430,6 +8430,50 @@ def events_forecast_baseline(spark, sf_dir):
 
 
 @_q(
+    "events_mad",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), r1 AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), med AS (
+      SELECT event_type, v AS median_cents, n FROM r1
+      WHERE rn = greatest((n * 50 + 99) // 100, 1)
+    ), dev AS (
+      SELECT v.event_type, abs(v.v - m.median_cents) AS d
+      FROM v JOIN med m ON m.event_type = v.event_type
+    ), r2 AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type, d AS mad_cents FROM r2
+      WHERE rn = greatest((n * 50 + 99) // 100, 1)
+    )
+    SELECT med.event_type, med.n::BIGINT AS n, med.median_cents,
+           mad.mad_cents
+    FROM med JOIN mad ON mad.event_type = med.event_type
+    """,
+)
+def events_mad(spark, sf_dir):
+    """Exact per-key median + MAD (functions/rollup.py::mad_stats):
+    the robust anomaly-detection scale, both medians as discrete
+    PICKS (the winsorize integer index rule — never interpolation, so
+    cent values hash-compare exactly). Two window-rank passes with a
+    broadcastable per-key median join between them; the oracle replays
+    both windows."""
+    from kgforge.functions.rollup import mad_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_stats(ev, ("event_type",))
+
+
+@_q(
     "media_audio_stats",
     """
     WITH s AS (

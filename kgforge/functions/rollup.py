@@ -482,3 +482,56 @@ def forecast_error_sums(
         F.count("seasonal").cast("long").alias("n_seasonal"),
         F.sum(abs_s).cast("long").alias("sum_abs_seasonal"),
     )
+
+
+def mad_stats(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key robust location/scale: exact discrete median and median
+    absolute deviation in cents — the outlier-resistant counterpart of
+    anomaly_flags' mean/variance z-score (MAD-based detection survives
+    the contaminated tails that inflate a variance estimate).
+
+    Both medians are discrete-percentile PICKS (the winsorize index
+    rule: the max(ceil(n/2), 1)-th smallest value via integer index
+    arithmetic), so every output is a raw data value — hash-exact
+    cross-engine, no interpolation. Returns
+    (*key_cols, n, median_cents, mad_cents).
+
+    Shape: two window-rank passes (one per median), each ONE Exchange
+    on the key, with a tiny per-key median table joined back between
+    them (AQE broadcasts it). NULL values are excluded.
+    """
+    keys = list(key_cols)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = events.where(F.col(value_col).isNotNull()).select(
+        *keys, cents.alias("__v")
+    )
+
+    def _median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(col)
+        wn = Window.partitionBy(*keys)
+        ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count("*").over(wn)
+        )
+        idx = F.greatest(
+            ((F.col("__n") * 50 + 99) / F.lit(100)).cast("long"), F.lit(1)
+        )
+        return ranked.where(F.col("__rn") == idx).select(
+            *keys,
+            F.col(col).alias(out),
+            F.col("__n").alias("n"),
+        )
+
+    med = _median(d, "__v", "median_cents")
+    dev = d.join(
+        med.select(*keys, "median_cents"), on=keys
+    ).select(
+        *keys, F.abs(F.col("__v") - F.col("median_cents")).alias("__d")
+    )
+    mad = _median(dev, "__d", "mad_cents").select(*keys, "mad_cents")
+    return med.join(mad, on=keys).select(
+        *keys, "n", "median_cents", "mad_cents"
+    )

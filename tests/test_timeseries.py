@@ -339,3 +339,36 @@ def test_forecast_error_sums_one_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------
+# exact median + MAD
+# ---------------------------------------------------------------------
+
+
+def test_mad_hand_computed_and_python_replay(spark):
+    from kgforge.functions.rollup import mad_stats
+
+    # key 1: cents 100,200,300,1000 -> n=4, median pick idx ceil(2)=2
+    # -> 200; devs 100,0,100,800 sorted 0,100,100,800 -> pick idx 2 = 100
+    rows = [(i, 1, i, v) for i, v in enumerate([1.0, 2.0, 3.0, 10.0])]
+    rows += [(10 + i, 2, i, v) for i, v in enumerate([5.0])]  # singleton
+    out = {
+        r.user_id: (r.n, r.median_cents, r.mad_cents)
+        for r in mad_stats(
+            _events(spark, rows), ("user_id",)
+        ).collect()
+    }
+    assert out[1] == (4, 200, 100)
+    assert out[2] == (1, 500, 0)
+
+    # randomized python replay of the pick rule
+    rng = random.Random(23)
+    vals = [rng.randint(-500, 500) / 1.0 for _ in range(101)]
+    rows = [(i, 7, i, v) for i, v in enumerate(vals)]
+    got = mad_stats(_events(spark, rows), ("user_id",)).collect()[0]
+    cents = sorted(round(v * 100) for v in vals)
+    med = cents[(len(cents) * 50 + 99) // 100 - 1]
+    devs = sorted(abs(c - med) for c in cents)
+    mad = devs[(len(devs) * 50 + 99) // 100 - 1]
+    assert (got.median_cents, got.mad_cents) == (med, mad)
