@@ -8430,6 +8430,56 @@ def events_forecast_baseline(spark, sf_dir):
 
 
 @_q(
+    "text_rake_scores",
+    f"""
+    WITH dd AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), dd2 AS (
+      SELECT doc_id, t FROM dd WHERE len(t) >= 1
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM dd2
+    ), tok AS (
+      SELECT doc_id, i, t[i] AS w FROM pos
+    ), fl AS (
+      SELECT doc_id, i, w,
+             CASE WHEN NOT regexp_full_match(w, '[a-z]+')
+                    OR list_contains({_STOPLIST_SQL}, w)
+                  THEN 1 ELSE 0 END AS delim
+      FROM tok
+    ), ph AS (
+      SELECT doc_id, i, w, delim,
+             sum(delim) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS phrase
+      FROM fl
+    ), cw AS (
+      SELECT doc_id, w, phrase FROM ph WHERE delim = 0
+    ), pl AS (
+      SELECT doc_id, w,
+             count(*) OVER (PARTITION BY doc_id, phrase) AS plen
+      FROM cw
+    )
+    SELECT w AS word, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg
+    FROM pl GROUP BY w HAVING count(*) >= 3
+    """,
+)
+def text_rake_scores(spark, sf_dir):
+    """RAKE keyword statistics (functions/textstats.py::
+    rake_word_scores, Rose et al. 2010): candidate phrases = maximal
+    content-token runs between delimiters (stopwords / non-alpha), per
+    word the exact (freq, deg=Σ phrase length) pair; score = deg/freq
+    is read-time. Phrase ids are the gaps-and-islands running sum —
+    one window sort per doc, no self-join; the oracle replays
+    tokenization (string_split_regex = the \\s+ split), the RE2 alpha
+    test, both windows, and the min_freq=3 prune."""
+    from kgforge.functions.textstats import rake_word_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_word_scores(docs, min_freq=3)
+
+
+@_q(
     "events_mad",
     """
     WITH v AS (

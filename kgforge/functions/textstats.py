@@ -354,3 +354,59 @@ def textrank_keywords(
     ).dropDuplicates()
     out = pagerank(edges, n_iter=n_iter, scaled=True, dedup=False)
     return out.select(F.col("id").alias("w"), F.col("rank"))
+
+
+def rake_word_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_freq: int = 1,
+) -> DataFrame:
+    """RAKE word statistics (Rose et al. 2010): candidate phrases are
+    maximal runs of content tokens between delimiters (stopwords or
+    non-alphabetic tokens), and each word accumulates
+
+        freq  = occurrences inside candidate phrases
+        deg   = Σ over those occurrences of the containing phrase's
+                length (the word's co-occurrence degree, self included)
+
+    — both exact BIGINTs; RAKE's word score deg/freq and phrase scores
+    (Σ deg/freq over a phrase's words) are read-time float expressions,
+    kept out of the hash compare (the standing float rule).
+
+    Shape: tokenization + delimiter flags are pure expressions; phrase
+    ids are ONE running-sum window over (doc, position) — the
+    gaps-and-islands trick from merge_intervals, no self-join; phrase
+    lengths ride a second window on the SAME (doc-keyed) sort; the
+    final word aggregate is map-side combining. RE2-portable alpha
+    test, so the DuckDB oracle replays the identical rule.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    d = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(doc_col).alias("__doc"), toks.alias("__t"))
+        .where(F.size("__t") >= 1)
+        .select(
+            "__doc", F.posexplode("__t").alias("__pos", "__w")
+        )
+    )
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    is_delim = (~F.col("__w").rlike("^[a-z]+$")) | F.array_contains(
+        stop, F.col("__w")
+    )
+    d = d.withColumn("__delim", is_delim.cast("long"))
+    w_run = (
+        Window.partitionBy("__doc")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__phrase", F.sum("__delim").over(w_run)).where(
+        F.col("__delim") == 0
+    )
+    w_len = Window.partitionBy("__doc", "__phrase")
+    d = d.withColumn("__plen", F.count("*").over(w_len))
+    out = d.groupBy(F.col("__w").alias("word")).agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("__plen").cast("long").alias("deg"),
+    )
+    return out.where(F.col("freq") >= int(min_freq))

@@ -47,3 +47,56 @@ def test_textrank_ranks_hub_word_highest(spark):
     top = max(out, key=out.get)
     assert top == "core"
     assert all(isinstance(v, int) for v in out.values())
+
+
+# ---------------------------------------------------------------------
+# RAKE word statistics (r5 s7)
+# ---------------------------------------------------------------------
+
+
+def test_rake_textbook_phrases(spark):
+    from kgforge.functions.textstats import rake_word_scores
+
+    d = spark.createDataFrame(
+        [(1, "deep learning of deep nets and fast learning")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.word: (r.freq, r.deg) for r in rake_word_scores(d).collect()
+    }
+    # phrases: [deep learning], [deep nets], [fast learning]
+    assert got == {
+        "deep": (2, 4),
+        "learning": (2, 4),
+        "nets": (1, 2),
+        "fast": (1, 2),
+    }
+
+
+def test_rake_non_alpha_delimits_and_phrases_stop_at_doc_edges(spark):
+    from kgforge.functions.textstats import rake_word_scores
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta 42 gamma"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.word: (r.freq, r.deg) for r in rake_word_scores(d).collect()
+    }
+    # '42' delimits doc 1; phrases never span documents
+    assert got["alpha"] == (1, 2) and got["beta"] == (1, 2)
+    assert got["gamma"] == (2, 3)  # singleton phrase + [gamma delta]
+    assert got["delta"] == (1, 2)
+
+
+def test_rake_no_python_in_plan(spark):
+    from kgforge.functions.textstats import rake_word_scores
+
+    d = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = (
+        rake_word_scores(d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
