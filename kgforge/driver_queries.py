@@ -8430,6 +8430,67 @@ def events_forecast_baseline(spark, sf_dir):
 
 
 @_q(
+    "graph_local_clustering",
+    """
+    WITH pe AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e0 AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM pe
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
+    ), mem AS (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ), t AS (
+      SELECT v, count(*)::BIGINT AS triangles FROM mem GROUP BY v
+    ), deg AS (
+      SELECT v, count(*)::BIGINT AS deg FROM (
+        SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+      ) GROUP BY v
+    )
+    SELECT deg.v::BIGINT AS id,
+           coalesce(t.triangles, 0)::BIGINT AS triangles, deg.deg
+    FROM deg LEFT JOIN t ON t.v = deg.v ORDER BY id
+    """,
+)
+def graph_local_clustering(spark, sf_dir):
+    """Per-node local clustering decomposition (plans/graph_query.py::
+    local_clustering) on the parts co-purchase graph: (id, triangles,
+    deg) all-BIGINT; C(v) = 2·tri/(deg·(deg−1)) is read-time. Node
+    triangle counts come from `_edge_support`'s degree-oriented wedge
+    join (each triangle meets a node through exactly TWO incident
+    edges → Σ incident support / 2, exact) — never a per-node
+    neighborhood enumeration. The oracle counts triangle witnesses
+    x<y<z and explodes members."""
+    from kgforge.plans.graph_query import local_clustering
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return (
+        local_clustering(pe)
+        .select(F.col("id").cast("long"), "triangles", "deg")
+        .orderBy("id")
+    )
+
+
+@_q(
     "text_rake_scores",
     f"""
     WITH dd AS (

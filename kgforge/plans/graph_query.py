@@ -1808,3 +1808,46 @@ def link_prediction_scores(
         adj, min_shared=min_common, max_dst_degree=max_degree
     ).withColumnRenamed("shared", "common")
     return sim.join(und, on=["a", "b"], how="left_anti")
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation: (id, triangles, deg) — the
+    all-BIGINT decomposition of the local clustering coefficient
+    C(v) = 2·triangles / (deg·(deg−1)), which derives at read time
+    (the betweenness_counts float-out-of-hash craft).
+
+    Reuses `_edge_support`'s degree-oriented wedge join (k-truss's
+    engine): each triangle appears in the support of its three edges;
+    summing supports over a node's INCIDENT edges counts each of the
+    node's triangles exactly twice (a triangle meets v through two
+    incident edges), so triangles(v) = Σ_incident sup / 2 — exact
+    integer division by construction. Shape: the one wedge join +
+    an explode-to-endpoints aggregate; no per-node enumeration.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    sup = _edge_support(und)
+    inc = sup.select(F.col("a").alias("id"), "sup").unionByName(
+        sup.select(F.col("b").alias("id"), "sup")
+    )
+    tri = inc.groupBy("id").agg(
+        (F.sum("sup") / 2).cast("long").alias("triangles")
+    )
+    return deg.join(tri, on="id", how="left").select(
+        "id",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        "deg",
+    )

@@ -1287,3 +1287,21 @@ def test_link_prediction_degree_cap_recomputes_degrees(spark):
     # run through nodes 1 and 2, and both pairs they witness ((1,9),
     # (2,9)) are existing edges -> zero candidates.
     assert capped == []
+
+
+def test_local_clustering_triangle_pendant_and_k4(spark):
+    from kgforge.plans.graph_query import local_clustering
+
+    got = {
+        r.id: (r.triangles, r.deg)
+        for r in local_clustering(
+            _edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4)])
+        ).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 2), 3: (1, 2), 4: (0, 1)}
+    k4 = _edges(
+        spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    )
+    assert {
+        (r.id, r.triangles, r.deg) for r in local_clustering(k4).collect()
+    } == {(i, 3, 3) for i in range(1, 5)}
