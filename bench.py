@@ -89,6 +89,10 @@ HEADLINE = [
     "text_gazetteer",
     "corpus_cdc_chunks",
     "events_winsorize",
+    # r5 session-7 additions (new rows vs earlier BENCH — not regressions)
+    "events_interval_merge",
+    "graph_local_clustering",
+    "profile_table",
 ]
 
 
