@@ -8430,6 +8430,99 @@ def events_forecast_baseline(spark, sf_dir):
 
 
 @_q(
+    "dedup_keep_best",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars AS q FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET},
+             replace(upper(text), ' ', '  '),
+             n_chars + doc_id % 7 - 3
+      FROM documents
+    ), fps AS (
+      SELECT doc_id AS id, q,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM corpus
+    ), ranked AS (
+      SELECT id, fp, q,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY q DESC, id ASC) AS rk,
+             count(*) OVER (PARTITION BY fp) AS n
+      FROM fps
+    ), kept AS (
+      SELECT fp, id AS kept_id FROM ranked WHERE rk = 1 AND n >= 2
+    )
+    SELECT f.id, k.kept_id, f.fp
+    FROM fps f JOIN kept k USING (fp)
+    WHERE f.id <> k.kept_id
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster-representative selection (functions/
+    dedup.py::keep_best): within each exact-dup cluster the HIGHEST-
+    quality member survives (ties to smallest id), everything else
+    becomes a drop row (id, kept_id, fp) — the Lee et al. "keep the
+    best copy" refinement of keep-first. The variant corpus carries a
+    doc_id-dependent quality delta so the quality argmax genuinely
+    decides (sometimes the variant wins, sometimes the original —
+    non-vacuous at both SFs); the argmax is a struct max_by (one
+    map-side-combining aggregate, no window on the Spark side), the
+    oracle replays with a rank window."""
+    from kgforge.functions.dedup import keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text", F.col("n_chars").alias("q")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(_VARIANT_OFFSET)).alias("doc_id"),
+            F.replace(
+                F.upper(F.col("text")), F.lit(" "), F.lit("  ")
+            ).alias("text"),
+            (F.col("n_chars") + F.col("doc_id") % 7 - 3).alias("q"),
+        )
+    )
+    return keep_best(corpus, "doc_id", "text", "q")
+
+
+@_q(
+    "events_quantiles",
+    """
+    WITH v AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), p AS (
+      SELECT unnest([25, 50, 75, 95]) AS pct
+    )
+    SELECT r.event_type, p.pct::BIGINT AS pct, r.value AS pick
+    FROM r JOIN p ON r.rn = greatest((r.n * p.pct + 99) // 100, 1)
+    """,
+)
+def events_quantiles(spark, sf_dir):
+    """Grouped multi-quantile summary (functions/sharding.py::
+    quantile_picks): p25/p50/p75/p95 per event_type as exact
+    discrete-percentile PICKS from ONE window pass — k percentiles
+    cost the same single Exchange as one (the winsorize/mad_stats
+    index rule generalized; a higher-order array filter replaces k
+    windows). Picks are raw doubles, hash-exact cross-engine because
+    no arithmetic ever touches them."""
+    from kgforge.functions.sharding import quantile_picks
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    out = quantile_picks(ev, ["event_type"], "value")
+    return out.select(
+        "event_type", F.col("pct").cast("long"), "pick"
+    )
+
+
+@_q(
     "graph_local_clustering",
     """
     WITH pe AS (

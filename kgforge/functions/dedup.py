@@ -811,3 +811,49 @@ def duplicate_spans(
             "span_start", "span_end", "n_shingles",
         )
     )
+
+
+def keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Cluster-representative selection: within each exact-duplicate
+    cluster keep the member with the HIGHEST ``quality_col`` (ties to
+    the smallest id — deterministic), and emit every OTHER member as a
+    drop decision: (id, kept_id, fp). Non-duplicated rows are not
+    returned (nothing to decide).
+
+    The Lee et al. "keep the best copy" refinement of keep-first exact
+    dedup (`exact_duplicates` keeps min-id regardless of quality):
+    when near-identical pages differ in truncation or boilerplate, the
+    quality signal — length, curation score — should pick the
+    survivor, not arrival order.
+
+    Shape: one fingerprint groupBy + a max_by aggregate (map-side
+    combining; the (quality, -id) argmax rides a single struct ordering
+    — no window, no second shuffle) + one equi-join back on fp.
+    """
+    fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
+    with_fp = df.select(
+        F.col(id_col).alias("id"),
+        fp.alias("fp"),
+        F.col(quality_col).cast("long").alias("__q"),
+    )
+    # argmax by (quality asc, id desc) struct ordering: max struct =
+    # highest quality, then SMALLEST id (negated) — deterministic
+    best = with_fp.groupBy("fp").agg(
+        F.max(
+            F.struct(F.col("__q"), (-F.col("id")).alias("__nid"))
+        ).alias("__b"),
+        F.count("*").alias("__n"),
+    )
+    best = best.where(F.col("__n") >= 2).select(
+        "fp", (-F.col("__b.__nid")).cast("long").alias("kept_id")
+    )
+    return (
+        with_fp.join(best, on="fp")
+        .where(F.col("id") != F.col("kept_id"))
+        .select("id", "kept_id", "fp")
+    )

@@ -543,6 +543,37 @@ def probe_media(payload: bytes) -> dict:
         return {
             "kind": "image", "format": "gif", "width": w, "height": h,
         }
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk IFD0 for ImageWidth(256)/ImageLength(257); decode
+        # stays at the extract_features(kernel=...) seam (LZW/strips)
+        bo = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+        if ifd_off + 2 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        (n_ent,) = struct.unpack(
+            bo + "H", payload[ifd_off:ifd_off + 2]
+        )
+        dims = {}
+        for k in range(n_ent):
+            ent = payload[ifd_off + 2 + 12 * k:ifd_off + 14 + 12 * k]
+            if len(ent) < 12:
+                break
+            tag, typ = struct.unpack(bo + "HH", ent[:4])
+            if tag in (256, 257):
+                if typ == 3:  # SHORT
+                    (val,) = struct.unpack(bo + "H", ent[8:10])
+                elif typ == 4:  # LONG
+                    (val,) = struct.unpack(bo + "I", ent[8:12])
+                else:
+                    continue
+                dims[tag] = val
+        if 256 not in dims or 257 not in dims:
+            raise ValueError("TIFF IFD0 carries no dimensions")
+        return {
+            "kind": "image", "format": "tiff",
+            "byte_order": "le" if bo == "<" else "be",
+            "width": dims[256], "height": dims[257],
+        }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         # header-only dims for all three WebP flavors (probe stays
         # cheap; full VP8 entropy decode is out of stdlib scope)

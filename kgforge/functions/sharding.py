@@ -552,3 +552,54 @@ def winsorize(
         )
         .drop("__plo", "__phi")
     )
+
+
+def quantile_picks(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    pcts: tuple[int, ...] = (25, 50, 75, 95),
+) -> DataFrame:
+    """Grouped multi-quantile summary in ONE window pass: for each key
+    and each requested percentile, the exact discrete-percentile PICK
+    (the winsorize index rule: the max(ceil(n·q/100), 1)-th smallest
+    value). Returns (*key_cols, pct, pick) — picks are raw data
+    values, never interpolations, so doubles hash-compare exactly
+    cross-engine.
+
+    Shape: one rank window + one count window on a single (key, value)
+    sort; each row tests its rank against the per-key index ARRAY (a
+    higher-order filter — |pcts| comparisons per row, zero joins) and
+    explodes only the matches. k percentiles cost the SAME one
+    Exchange as one percentile — the generalization of winsorize's
+    two-bound pick and mad_stats' median pick.
+    """
+    if not pcts or not all(0 <= p <= 100 for p in pcts):
+        raise ValueError("pcts must be in [0, 100]")
+    keys = list(key_cols)
+    v = F.col(value_col)
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    wn = Window.partitionBy(*keys)
+    ranked = (
+        df.where(v.isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+    )
+    idxs = F.array(
+        *[
+            F.struct(
+                F.lit(int(p)).alias("pct"),
+                F.greatest(
+                    ((F.col("__n") * int(p) + 99) / F.lit(100)).cast(
+                        "long"
+                    ),
+                    F.lit(1),
+                ).alias("idx"),
+            )
+            for p in pcts
+        ]
+    )
+    matches = F.filter(idxs, lambda x: x["idx"] == F.col("__rn"))
+    return ranked.select(
+        *keys, F.explode(matches).alias("__m"), v.alias("pick")
+    ).select(*keys, F.col("__m.pct").alias("pct"), "pick")

@@ -110,3 +110,31 @@ def test_dedup_clusters_transitive_and_rep_choice(spark):
     for r in dedup_clusters(df, pairs, quality_col="q").collect():
         reps[r.cluster] += r.is_rep
     assert all(v == 1 for v in reps.values())
+
+
+def test_keep_best_quality_argmax_and_ties(spark):
+    from kgforge.functions.dedup import keep_best
+
+    d = spark.createDataFrame(
+        [
+            (1, "same text", 5), (2, "same text", 9), (3, "same text", 9),
+            (4, "unique", 1),
+            (5, "other dup", 3), (6, "other dup", 3),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = sorted(
+        (r.id, r.kept_id) for r in keep_best(d).collect()
+    )
+    # {1,2,3}: best q=9, tie -> min id 2; {5,6}: tie -> 5; 4 absent
+    assert got == [(1, 2), (3, 2), (6, 5)]
+
+
+def test_keep_best_no_window_single_agg_plan(spark):
+    from kgforge.functions.dedup import keep_best
+
+    d = spark.createDataFrame(
+        [(1, "t", 1)], "doc_id long, text string, n_chars long"
+    )
+    plan = keep_best(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Python" not in plan

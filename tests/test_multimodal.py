@@ -583,3 +583,33 @@ def test_webp_probe_all_variants():
     }
     with pytest.raises(ValueError, match="WebP chunk"):
         probe_media(riff(b"XXXX", b"\x00" * 12))
+
+
+def test_tiff_probe_both_byte_orders():
+    from kgforge.functions.multimodal import probe_media
+
+    def tiff(bo, w, h, wide=False):
+        import struct as st
+
+        e = "<" if bo == "le" else ">"
+        magic = b"II*\x00" if bo == "le" else b"MM\x00*"
+        typ, fmt = (4, "I") if wide else (3, "H")
+        entries = b""
+        for tag, val in ((256, w), (257, h)):
+            v = st.pack(e + fmt, val)
+            v += b"\x00" * (4 - len(v))
+            entries += st.pack(e + "HHI", tag, typ, 1) + v
+        ifd = st.pack(e + "H", 2) + entries + st.pack(e + "I", 0)
+        return magic + st.pack(e + "I", 8) + ifd
+
+    assert probe_media(tiff("le", 640, 480)) == {
+        "kind": "image", "format": "tiff", "byte_order": "le",
+        "width": 640, "height": 480,
+    }
+    assert probe_media(tiff("be", 70000, 3, wide=True)) == {
+        "kind": "image", "format": "tiff", "byte_order": "be",
+        "width": 70000, "height": 3,
+    }
+    with pytest.raises(ValueError, match="no dimensions"):
+        probe_media(b"II*\x00" + struct.pack("<I", 8)
+                    + struct.pack("<H", 0) + struct.pack("<I", 0))

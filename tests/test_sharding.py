@@ -962,3 +962,29 @@ def test_winsorize_edges(spark):
     assert out[("b", 7.0)] == 7.0
     with pytest.raises(ValueError):
         winsorize(df, ["k"], "v", lo_pct=60, hi_pct=40)
+
+
+def test_quantile_picks_exact_indices_and_one_exchange(spark):
+    from kgforge.functions.sharding import quantile_picks
+
+    q = spark.createDataFrame(
+        [(1, float(v)) for v in range(1, 11)] + [(2, 7.0)],
+        "k long, v double",
+    )
+    got = {
+        (r.k, r.pct): r.pick
+        for r in quantile_picks(q, ["k"], "v").collect()
+    }
+    # n=10: ceil indices 3/5/8/10; singleton key: all picks = the value
+    assert got == {
+        (1, 25): 3.0, (1, 50): 5.0, (1, 75): 8.0, (1, 95): 10.0,
+        (2, 25): 7.0, (2, 50): 7.0, (2, 75): 7.0, (2, 95): 7.0,
+    }
+    plan = (
+        quantile_picks(q, ["k"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
