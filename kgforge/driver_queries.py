@@ -8430,6 +8430,108 @@ def events_forecast_baseline(spark, sf_dir):
 
 
 @_q(
+    "mbox_ingest",
+    """
+    WITH docs AS (
+      SELECT 'From s' || s_suppkey || '@ex.com Thu Jan  1 00:00:01 2024'
+             || chr(10) || 'From: ' || s_name || ' <s' || s_suppkey
+             || '@ex.com>' || chr(10) || 'To: list@ex.com' || chr(10)
+             || 'Subject: report ' || s_name || chr(10)
+             || 'Date: 2024-01-'
+             || lpad((s_suppkey % 27 + 1)::VARCHAR, 2, '0') || chr(10)
+             || chr(10) || 'body for ' || s_name || chr(10)
+             || '>From the vault' || chr(10) || chr(10)
+             || 'From relay@ex.com Thu Jan  2 00:00:02 2024' || chr(10)
+             || 'Message-ID: <' || s_suppkey || '@ex.com>' || chr(10)
+             || CASE WHEN s_suppkey % 3 = 0 THEN ''
+                     ELSE 'Subject: fwd ' || s_suppkey || chr(10)
+                          || chr(10) || 'short body ' || s_suppkey
+                          || chr(10) END
+               AS doc
+      FROM supplier
+    ), split AS (
+      SELECT string_split(chr(10) || doc, chr(10) || 'From ') AS l
+      FROM docs
+    ), pos AS (
+      SELECT l, unnest(range(2, len(l) + 1)) AS i FROM split
+    ), msg AS (
+      SELECT (i - 2)::BIGINT AS msg_index, l[i] AS m FROM pos
+    ), cut AS (
+      SELECT msg_index, m, strpos(m, chr(10)) AS fnl FROM msg
+    ), fl AS (
+      SELECT msg_index,
+             CASE WHEN fnl > 0 THEN substr(m, 1, fnl - 1) ELSE m END
+               AS from_line,
+             CASE WHEN fnl > 0 THEN substr(m, fnl + 1) ELSE '' END
+               AS rest
+      FROM cut
+    ), bl AS (
+      SELECT msg_index, from_line, rest,
+             strpos(rest, chr(10) || chr(10)) AS bk
+      FROM fl
+    ), parts AS (
+      SELECT msg_index, from_line,
+             CASE WHEN bk > 0 THEN substr(rest, 1, bk - 1)
+                  ELSE rest END AS hdr,
+             CASE WHEN bk > 0 THEN substr(rest, bk + 2) END AS body_raw
+      FROM bl
+    )
+    SELECT msg_index, from_line,
+           nullif(regexp_extract(hdr,
+             '(?:^|\\n)From: ([^\\n]*)', 1), '') AS hdr_from,
+           nullif(regexp_extract(hdr,
+             '(?:^|\\n)To: ([^\\n]*)', 1), '') AS hdr_to,
+           nullif(regexp_extract(hdr,
+             '(?:^|\\n)Subject: ([^\\n]*)', 1), '') AS hdr_subject,
+           nullif(regexp_extract(hdr,
+             '(?:^|\\n)Date: ([^\\n]*)', 1), '') AS hdr_date,
+           nullif(regexp_extract(hdr,
+             '(?:^|\\n)Message-ID: ([^\\n]*)', 1), '') AS hdr_message_id,
+           regexp_replace(body_raw, '(^|\\n)>From ', '\\1From ', 'g')
+             AS body
+    FROM parts
+    """,
+)
+def mbox_ingest(spark, sf_dir):
+    """mbox mailbox parsing (sources/mbox.py::parse_mbox), the
+    sitemap_ingest certification pattern: two messages per supplier —
+    a full message with mboxrd ``>From `` body escaping, and a second
+    that is HEADERS-ONLY for every third supplier (body NULL) —
+    synthesized identically from supplier columns in both engines and
+    parsed with the same literal splits + RE2 header extracts. The
+    engines' regexp_replace backreference dialects differ ($1 vs \\1,
+    'g' flag) — the one spot the oracle text can't be copied verbatim
+    from the Spark expression, pinned here."""
+    from kgforge.sources.mbox import parse_mbox
+
+    k = F.col("s_suppkey").cast("string")
+    nl = F.lit("\n")
+    doc = F.concat(
+        F.lit("From s"), k, F.lit("@ex.com Thu Jan  1 00:00:01 2024"),
+        nl,
+        F.lit("From: "), F.col("s_name"), F.lit(" <s"), k,
+        F.lit("@ex.com>"), nl,
+        F.lit("To: list@ex.com"), nl,
+        F.lit("Subject: report "), F.col("s_name"), nl,
+        F.lit("Date: 2024-01-"),
+        F.lpad((F.col("s_suppkey") % 27 + 1).cast("string"), 2, "0"), nl,
+        nl,
+        F.lit("body for "), F.col("s_name"), nl,
+        F.lit(">From the vault"), nl, nl,
+        F.lit("From relay@ex.com Thu Jan  2 00:00:02 2024"), nl,
+        F.lit("Message-ID: <"), k, F.lit("@ex.com>"), nl,
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("Subject: fwd "), k, nl, nl,
+                F.lit("short body "), k, nl,
+            )
+        ),
+    )
+    boxes = _t(spark, sf_dir, "supplier").select(doc.alias("mbox"))
+    return parse_mbox(boxes, "mbox")
+
+
+@_q(
     "dedup_keep_best",
     f"""
     WITH corpus AS (
