@@ -1358,6 +1358,69 @@ class KnowledgeGraph:
             .select("label_a", "key_a", "label_b", "key_b")
         )
 
+    def link_predictions(
+        self,
+        relation: str | None = None,
+        min_common: int = 1,
+        max_degree: int | None = None,
+    ) -> DataFrame:
+        """KG-completion shortlist: candidate SAME-neighborhood pairs
+        that are NOT yet connected, with all-integer common-neighbor /
+        degree scores (label_a, key_a, label_b, key_b, common, deg_a,
+        deg_b) — plans/graph_query.link_prediction_scores over the
+        undirected edge projection."""
+        from kgforge.plans.graph_query import link_prediction_scores as _lp
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        edges = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        cand = _lp(edges, min_common=min_common, max_degree=max_degree)
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        na = n.select(
+            F.col("id").alias("a"),
+            F.col("label").alias("label_a"),
+            F.col("key").alias("key_a"),
+        )
+        nb = n.select(
+            F.col("id").alias("b"),
+            F.col("label").alias("label_b"),
+            F.col("key").alias("key_b"),
+        )
+        return (
+            cand.join(na, on="a")
+            .join(nb, on="b")
+            .select(
+                "label_a", "key_a", "label_b", "key_b",
+                "common", "deg_a", "deg_b",
+            )
+        )
+
+    def clustering(self, relation: str | None = None) -> DataFrame:
+        """Per-node local clustering decomposition (label, key,
+        triangles, deg) over the undirected edge projection —
+        plans/graph_query.local_clustering; C = 2·tri/(deg·(deg−1))
+        derives at read time."""
+        from kgforge.plans.graph_query import local_clustering as _lc
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        edges = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        out = _lc(edges)
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        return out.join(n, on="id").select(
+            "label", "key", "triangles", "deg"
+        )
+
     def register_views(self, prefix: str | None = None) -> None:
         """Expose the graph to Spark SQL: <name>_nodes / <name>_edges."""
         p = prefix or self.name

@@ -491,3 +491,37 @@ def test_kg_facade_scc_layers_matching(spark, workdir):
     ]
     eps = [x for p in m for x in p]
     assert m and len(eps) == len(set(eps))  # disjoint, non-empty
+
+
+def test_facade_link_predictions_and_clustering(kg):
+    """kg.link_predictions (r5 s7): co-star pairs sharing a movie but
+    not directly connected are the candidates; kg.clustering: the
+    bipartite projection has zero triangles."""
+    kg.add_nodes(
+        [("Actor", {"name": n}) for n in ("A", "B", "C")]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": n}, {"title": "M"}, {})
+            for n in ("A", "B", "C")
+        ]
+    )
+    cand = {
+        frozenset([r.key_a, r.key_b]): (r.common, r.deg_a, r.deg_b)
+        for r in kg.link_predictions().collect()
+    }
+    # three co-star pairs, each sharing exactly movie M, degree 1 each
+    assert cand == {
+        frozenset(["A", "B"]): (1, 1, 1),
+        frozenset(["A", "C"]): (1, 1, 1),
+        frozenset(["B", "C"]): (1, 1, 1),
+    }
+    cl = {(r.label, r.key): (r.triangles, r.deg)
+          for r in kg.clustering().collect()}
+    assert cl == {
+        ("Actor", "A"): (0, 1),
+        ("Actor", "B"): (0, 1),
+        ("Actor", "C"): (0, 1),
+        ("Movie", "M"): (0, 3),
+    }
