@@ -8430,6 +8430,50 @@ def events_forecast_baseline(spark, sf_dir):
 
 
 @_q(
+    "text_kn_counts",
+    """
+    WITH dd AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), dd2 AS (
+      SELECT t FROM dd WHERE len(t) >= 2
+    ), pos AS (
+      SELECT t, unnest(range(1, len(t))) AS i FROM dd2
+    ), pr AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2 FROM pos
+    ), counts AS (
+      SELECT w1, w2, count(*)::BIGINT AS c FROM pr GROUP BY 1, 2
+    ), l AS (
+      SELECT w1, sum(c)::BIGINT AS c_left,
+             count(*)::BIGINT AS n_right
+      FROM counts GROUP BY 1
+    ), r AS (
+      SELECT w2, count(*)::BIGINT AS n_left FROM counts GROUP BY 1
+    ), nb AS (
+      SELECT count(*)::BIGINT AS n_bigrams FROM counts
+    )
+    SELECT c.w1, c.w2, c.c, l.c_left, l.n_right, r.n_left, nb.n_bigrams
+    FROM counts c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nb
+    WHERE c.c >= 2
+    """,
+)
+def text_kn_counts(spark, sf_dir):
+    """Kneser-Ney bigram count tables (functions/textstats.py::
+    kn_bigram_counts): per surviving bigram the exact (c, c_left,
+    N1+(w1·), N1+(·w2), total bigram types) — everything an
+    interpolated-KN LM needs; `kn_prob` derives the float model at
+    read time (pytest pins per-context mass = 1 exactly). Pair
+    generation is HOF expressions over the projected token array (no
+    exploded self-join); marginals derive from the bigram table, not a
+    second scan; min_count=2 prunes AFTER marginals so the statistics
+    stay unbiased."""
+    from kgforge.functions.textstats import kn_bigram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_bigram_counts(docs, min_count=2)
+
+
+@_q(
     "mbox_ingest",
     """
     WITH docs AS (

@@ -410,3 +410,84 @@ def rake_word_scores(
         F.sum("__plen").cast("long").alias("deg"),
     )
     return out.where(F.col("freq") >= int(min_freq))
+
+
+def kn_bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Kneser-Ney bigram sufficient statistics — the count tables an
+    interpolated-KN language model needs, all exact BIGINTs (the LM
+    itself, `kn_prob`, is read-time float arithmetic over these):
+
+        c            bigram count c(w1 w2)
+        c_left       context total c(w1 ·) = Σ_w c(w1 w)
+        n_right      N1+(w1 ·)  distinct continuations of w1
+        n_left       N1+(· w2)  distinct contexts of w2  (the KN
+                     continuation count — "how many ways has w2 been
+                     a novel continuation")
+        n_bigrams    total distinct bigram types
+
+    Shape: adjacent-pair generation is one pass of HOF expressions
+    over the projected token array (the cooccurrence_counts rule — no
+    exploded self-join); the marginals derive from the (small) bigram
+    count table, never from a second corpus scan; `min_count` prunes
+    output rows AFTER marginals so the statistics stay unbiased.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    d = (
+        df.where(F.col(text_col).isNotNull())
+        .select(toks.alias("__t"))
+        .where(F.size("__t") >= 2)
+    )
+    t = F.col("__t")
+    # GOTCHA: sequence(1, 0) DESCENDS in Spark — the size guard above
+    # keeps the range non-empty
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
+        ),
+    )
+    counts = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    counts = counts.persist()
+    left = counts.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c_left"),
+        F.count("*").cast("long").alias("n_right"),
+    )
+    right = counts.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n_left")
+    )
+    total = counts.agg(F.count("*").cast("long").alias("n_bigrams"))
+    out = (
+        counts.join(left, on="w1")
+        .join(right, on="w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c", "c_left", "n_right", "n_left", "n_bigrams"
+        )
+    )
+    return out.where(F.col("c") >= int(min_count))
+
+
+def kn_prob(counts: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Read-time interpolated Kneser-Ney probability per bigram row:
+    P(w2|w1) = max(c−d,0)/c_left + d·n_right/c_left · n_left/n_bigrams.
+    Floats appear HERE, after all counting (pytest pins that the
+    distribution sums to 1 over each context's continuations plus the
+    unseen mass)."""
+    d = float(discount)
+    disc = F.greatest(F.col("c") - F.lit(d), F.lit(0.0)) / F.col("c_left")
+    lam = F.lit(d) * F.col("n_right") / F.col("c_left")
+    cont = F.col("n_left") / F.col("n_bigrams")
+    return counts.select(
+        "*", (disc + lam * cont).alias("p_kn")
+    )

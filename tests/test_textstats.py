@@ -100,3 +100,60 @@ def test_rake_no_python_in_plan(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------
+# Kneser-Ney bigram counts (r5 s7)
+# ---------------------------------------------------------------------
+
+
+def test_kn_counts_hand_computed(spark):
+    from kgforge.functions.textstats import kn_bigram_counts
+
+    d = spark.createDataFrame([(1, "a b a b a c")], "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): (r.c, r.c_left, r.n_right, r.n_left, r.n_bigrams)
+        for r in kn_bigram_counts(d).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 3, 2, 1, 3),
+        ("b", "a"): (2, 2, 1, 1, 3),
+        ("a", "c"): (1, 3, 2, 1, 3),
+    }
+
+
+def test_kn_prob_mass_sums_to_one(spark):
+    import math
+
+    from kgforge.functions.textstats import kn_bigram_counts, kn_prob
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran to the mat")],
+        "doc_id long, text string",
+    )
+    D = 0.75
+    rows = kn_prob(kn_bigram_counts(d), discount=D).collect()
+    # for every context w1: seen-mass + lambda * unseen-continuation
+    # mass must equal exactly 1
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault(r.w1, []).append(r)
+    for w1, ctx_rows in by_ctx.items():
+        c_left = ctx_rows[0].c_left
+        n_right = ctx_rows[0].n_right
+        n_big = ctx_rows[0].n_bigrams
+        lam = D * n_right / c_left
+        seen = sum(r.p_kn for r in ctx_rows)
+        seen_cont = sum(r.n_left for r in ctx_rows) / n_big
+        assert math.isclose(seen + lam * (1 - seen_cont), 1.0,
+                            rel_tol=1e-12), w1
+
+
+def test_kn_counts_doc_boundaries_not_crossed(spark):
+    from kgforge.functions.textstats import kn_bigram_counts
+
+    d = spark.createDataFrame(
+        [(1, "x y"), (2, "y z")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2) for r in kn_bigram_counts(d).collect()}
+    assert got == {("x", "y"), ("y", "z")}  # no (y, y) bridge
