@@ -55,6 +55,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in TS.EN_STOPWORDS) + "]"
 
+from kgforge.functions.geo import geohash_sql as _geohash_sql  # noqa: E402
+
+_GH7_SQL = _geohash_sql("lat", "lon", 7)
+
 
 # =====================================================================
 # §2.2 projections / filters / predicates
@@ -8427,6 +8431,50 @@ def events_forecast_baseline(spark, sf_dir):
         & F.col("ts").isNotNull()
     )
     return forecast_error_sums(ev, ("event_type",), season=24)
+
+
+@_q(
+    "geo_geohash_buckets",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 9973) % 180000001 - 90000000 AS lat,
+             (c_custkey * 31337) % 360000001 - 180000000 AS lon
+      FROM customer
+    ), enc AS (
+      SELECT c_custkey, {_GH7_SQL} AS gh7 FROM pts
+    )
+    SELECT c_custkey, gh7, substr(gh7, 1, 4) AS gh4 FROM enc
+    """,
+)
+def geo_geohash_buckets(spark, sf_dir):
+    """Geohash spatial bucketing (functions/geo.py::geohash_col):
+    customer-derived micro-degree points encoded to precision-7 hashes
+    plus their precision-4 blocking prefix — the spatial-join blocking
+    key, all integer bit algebra in WholeStageCodegen. The oracle is
+    GENERATED by geohash_sql (the _HEX12_POLY technique): both engines
+    run the identical quantization + interleave + base32 polynomial;
+    the encoder itself is certified against the textbook bisection
+    reference in tests/test_geo.py (poles, antimeridian, randomized).
+    """
+    from kgforge.functions.geo import geohash_col
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973) % 180_000_001 - 90_000_000).alias(
+            "lat"
+        ),
+        ((F.col("c_custkey") * 31337) % 360_000_001 - 180_000_000).alias(
+            "lon"
+        ),
+    )
+    gh = geohash_col(F.col("lat"), F.col("lon"), 7)
+    return pts.select(
+        "c_custkey",
+        gh.alias("gh7"),
+        F.substring(gh, 1, 4).alias("gh4"),
+    )
 
 
 @_q(
