@@ -8478,6 +8478,59 @@ def geo_geohash_buckets(spark, sf_dir):
 
 
 @_q(
+    "geo_distance_pairs",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 37) % 2000001 - 1000000 AS lat,
+             (c_custkey * 73) % 2000001 - 1000000 AS lon
+      FROM customer
+    ), cells AS (
+      SELECT id, lat, lon,
+        least(((lat::BIGINT + 90000000) * 1024) // 180000000, 1023)
+          AS cy,
+        least(((lon::BIGINT + 180000000) * 1024) // 360000000, 1023)
+          AS cx
+      FROM pts
+    ), probe AS (
+      SELECT id AS ida, lat AS lata, lon AS lona,
+             cy + dy AS cy, cx + dx AS cx
+      FROM cells,
+           (VALUES (-1), (0), (1)) dys(dy),
+           (VALUES (-1), (0), (1)) dxs(dx)
+      WHERE cy + dy BETWEEN 0 AND 1023 AND cx + dx BETWEEN 0 AND 1023
+    ), j AS (
+      SELECT p.ida AS id_a, c.id AS id_b,
+             (p.lata - c.lat) * (p.lata - c.lat)
+               + (p.lona - c.lon) * (p.lona - c.lon) AS dist2
+      FROM probe p
+      JOIN cells c ON c.cy = p.cy AND c.cx = p.cx AND p.ida < c.id
+    )
+    SELECT id_a, id_b, dist2::BIGINT AS dist2
+    FROM j WHERE dist2 <= 10000000000
+    """,
+)
+def geo_distance_pairs(spark, sf_dir):
+    """Spatial distance self-join (functions/geo.py::neighbor_pairs):
+    customers mapped to a dense ±1° micro-degree box, all pairs within
+    a 0.1° planar radius found by geohash-CELL blocking — each point
+    probes its 3x3 cell neighborhood (cell size >= radius makes the
+    cover complete, guard-checked), equi-join on the cell key, exact
+    BIGINT squared-distance refine. Never the all-pairs cross product;
+    the oracle replays quantization, the 3x3 explode, and the refine.
+    Brute-force parity is pinned in tests/test_geo.py."""
+    from kgforge.functions.geo import neighbor_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 2_000_001 - 1_000_000).alias("lat"),
+        ((F.col("c_custkey") * 73) % 2_000_001 - 1_000_000).alias("lon"),
+    )
+    return neighbor_pairs(pts, "id", "lat", "lon", 100_000, 4)
+
+
+@_q(
     "text_kn_counts",
     """
     WITH dd AS (

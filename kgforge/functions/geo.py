@@ -148,3 +148,103 @@ def geohash_reference(lat: float, lon: float, precision: int = 7) -> str:
             out.append(_B32[ch])
             bits, ch = 0, 0
     return "".join(out)
+
+
+def _cell_cols(
+    lat_e6: Column, lon_e6: Column, precision: int
+) -> tuple[Column, Column, int, int]:
+    """Quantized (latq, lonq) cell coordinates — the integer core of
+    geohash_col, exposed for neighbor arithmetic."""
+    lon_bits, lat_bits, _ = _bit_layout(precision)
+
+    def q(shifted: Column, scale: int, rng: int) -> Column:
+        x = shifted.cast("long") * F.lit(scale)
+        v = ((x - (x % F.lit(rng))) / F.lit(rng)).cast("long")
+        return F.least(v, F.lit(scale - 1))
+
+    return (
+        q(lat_e6 + F.lit(90_000_000), 1 << lat_bits, 180_000_000),
+        q(lon_e6 + F.lit(180_000_000), 1 << lon_bits, 360_000_000),
+        lat_bits,
+        lon_bits,
+    )
+
+
+def neighbor_pairs(
+    df,  # DataFrame
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_e6: int,
+    precision: int = 4,
+):
+    """Distance self-join via geohash-cell blocking: all pairs
+    (id_a < id_b) whose PLANAR micro-degree distance satisfies
+    dlat² + dlon² <= radius², found by exploding each point into its
+    cell plus the 8 neighbors and equi-joining on the cell key — the
+    spatial analogue of the LSH band join, never the all-pairs cross
+    product. Returns (id_a, id_b, dist2) with dist2 = the exact BIGINT
+    squared distance.
+
+    Honest subset: distance is planar in degree space (no haversine —
+    floats stay out; fine for blocking-scale radii), and there is no
+    antimeridian wrap (neither does planar distance). The cell size at
+    ``precision`` must be >= radius so the 3x3 neighborhood is a
+    complete candidate cover — checked, raises otherwise.
+    """
+    lon_bits, lat_bits, _ = _bit_layout(precision)
+    cell_lat = 180_000_000 // (1 << lat_bits)
+    cell_lon = 360_000_000 // (1 << lon_bits)
+    if min(cell_lat, cell_lon) < int(radius_e6):
+        raise ValueError(
+            f"cell ({cell_lat}x{cell_lon} e6-deg) smaller than radius "
+            f"{radius_e6}: 3x3 neighborhood would miss pairs — lower "
+            "the precision"
+        )
+    latq, lonq, lat_bits, lon_bits = _cell_cols(
+        F.col(lat_col), F.col(lon_col), precision
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(lat_col).alias("__lat"),
+        F.col(lon_col).alias("__lon"),
+        latq.alias("__cy"),
+        lonq.alias("__cx"),
+    )
+    d = F.explode(
+        F.array(*[F.lit(v) for v in (-1, 0, 1)])
+    )
+    probe = (
+        base.select("*", d.alias("__dy"))
+        .select("*", F.explode(
+            F.array(*[F.lit(v) for v in (-1, 0, 1)])
+        ).alias("__dx"))
+        .select(
+            F.col("__id").alias("__ida"),
+            F.col("__lat").alias("__lata"),
+            F.col("__lon").alias("__lona"),
+            (F.col("__cy") + F.col("__dy")).alias("__cy"),
+            (F.col("__cx") + F.col("__dx")).alias("__cx"),
+        )
+        .where(
+            (F.col("__cy") >= 0)
+            & (F.col("__cy") < (1 << lat_bits))
+            & (F.col("__cx") >= 0)
+            & (F.col("__cx") < (1 << lon_bits))
+        )
+    )
+    joined = probe.join(base, on=["__cy", "__cx"]).where(
+        F.col("__ida") < F.col("__id")
+    )
+    dist2 = (
+        (F.col("__lata") - F.col("__lat"))
+        * (F.col("__lata") - F.col("__lat"))
+        + (F.col("__lona") - F.col("__lon"))
+        * (F.col("__lona") - F.col("__lon"))
+    )
+    r2 = int(radius_e6) * int(radius_e6)
+    return joined.where(dist2 <= F.lit(r2)).select(
+        F.col("__ida").alias("id_a"),
+        F.col("__id").alias("id_b"),
+        dist2.cast("long").alias("dist2"),
+    )

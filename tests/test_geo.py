@@ -88,3 +88,38 @@ def test_precision_guard_and_plan(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+def test_neighbor_pairs_matches_bruteforce(spark):
+    import random
+
+    from kgforge.functions.geo import neighbor_pairs
+
+    rng = random.Random(47)
+    pts = [
+        (i, rng.randint(-1_000_000, 1_000_000),
+         rng.randint(-1_000_000, 1_000_000))
+        for i in range(250)
+    ]
+    r = 150_000
+    df = spark.createDataFrame(pts, "id long, lat long, lon long")
+    got = {
+        (p.id_a, p.id_b): p.dist2
+        for p in neighbor_pairs(df, "id", "lat", "lon", r, 4).collect()
+    }
+    want = {}
+    for i, la, lo in pts:
+        for j, lb, lob in pts:
+            if i < j and (la - lb) ** 2 + (lo - lob) ** 2 <= r * r:
+                want[(i, j)] = (la - lb) ** 2 + (lo - lob) ** 2
+    assert got == want and len(want) > 20  # non-vacuous
+
+
+def test_neighbor_pairs_precision_guard(spark):
+    import pytest as _pt
+
+    from kgforge.functions.geo import neighbor_pairs
+
+    df = spark.createDataFrame([(1, 0, 0)], "id long, lat long, lon long")
+    with _pt.raises(ValueError, match="smaller than radius"):
+        neighbor_pairs(df, "id", "lat", "lon", 10_000_000, 9)
