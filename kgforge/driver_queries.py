@@ -8434,6 +8434,48 @@ def events_forecast_baseline(spark, sf_dir):
 
 
 @_q(
+    "events_state_runs",
+    """
+    WITH v AS (
+      SELECT user_id AS key, event_type AS state, event_id,
+             epoch_us(ts) AS ts_us
+      FROM events WHERE user_id IS NOT NULL
+    ), f AS (
+      SELECT key, state, event_id, ts_us,
+             CASE WHEN lag(state) OVER (PARTITION BY key
+                                        ORDER BY ts_us, event_id)
+                       IS DISTINCT FROM state
+                  THEN 1 ELSE 0 END AS chg
+      FROM v
+    ), r AS (
+      SELECT key, state, ts_us,
+             sum(chg) OVER (PARTITION BY key ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_index
+      FROM f
+    )
+    SELECT key, run_index::BIGINT AS run_index, min(state) AS state,
+           count(*)::BIGINT AS n_events,
+           min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us
+    FROM r GROUP BY key, run_index
+    """,
+)
+def events_state_runs(spark, sf_dir):
+    """Run-length encoding of per-user event-type sequences
+    (functions/funnel.py::state_runs): consecutive same-state events
+    collapse to (key, run_index, state, n_events, start_us, end_us) —
+    the value-change twin of the gaps-and-islands interval merge, two
+    windows on ONE sort. The lag compare is null-safe (IS DISTINCT
+    FROM / eqNullSafe), so unknown-state stretches form runs too. At
+    both SFs some users repeat an event type consecutively
+    (multi-event runs exist) and some never do — non-vacuous."""
+    from kgforge.functions.funnel import state_runs
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return state_runs(ev)
+
+
+@_q(
     "geo_geohash_buckets",
     f"""
     WITH pts AS (

@@ -32,7 +32,7 @@ fat row, not a hot reducer fan-in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -241,3 +241,53 @@ def lifecycle_snapshot(
             f"us_{a}_to_{b}", F.col(f"ts_{b}") - F.col(f"ts_{a}")
         )
     return out
+
+
+def state_runs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Run-length encoding of per-key state sequences: consecutive
+    events with the SAME state collapse into one run —
+    (key, state, run_index, n_events, start_us, end_us). The
+    state-sequence miner's first normalization (dwell-time analysis,
+    loop detection, Markov-chain construction on runs instead of raw
+    events).
+
+    The change flag ``state != lag(state)`` + a running sum is the
+    value-change twin of merge_intervals' gaps-and-islands: two window
+    functions sharing ONE (key, ts, id) sort — a single Exchange —
+    then one hash aggregate. NULL states form runs of their own (an
+    unknown-state stretch is still a stretch; lag comparison is
+    null-safe).
+    """
+    d = events.select(
+        F.col(key_col).alias("key"),
+        F.col(state_col).alias("state"),
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    prev = F.lag("state").over(
+        Window.partitionBy("key").orderBy("ts_us", id_col)
+    )
+    changed = F.when(
+        F.isnull(prev) | ~prev.eqNullSafe(F.col("state")), F.lit(1)
+    ).otherwise(F.lit(0))
+    d = d.withColumn("__chg", changed)
+    run = F.sum("__chg").over(
+        Window.partitionBy("key")
+        .orderBy("ts_us", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("run_index", run.cast("long"))
+    return d.groupBy("key", "run_index").agg(
+        # all states in a run are equal by construction; min is the
+        # order-free way to say so (all-NULL run -> NULL)
+        F.min("state").alias("state"),
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )

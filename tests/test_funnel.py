@@ -217,3 +217,39 @@ def test_lifecycle_snapshot_hand_case(spark):
         lifecycle_snapshot(ev, [])
     with pytest.raises(ValueError):
         lifecycle_snapshot(ev, ["a", "a"])
+
+
+def test_state_runs_rle_and_null_states(spark):
+    import datetime as dt
+
+    from kgforge.functions.funnel import state_runs
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, T0 + dt.timedelta(minutes=m), 100 + m, s)
+        for m, s in enumerate(["a", "a", "b", None, None, "b", "b"])
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    runs = sorted(
+        (r.run_index, r.state, r.n_events)
+        for r in state_runs(ev).collect()
+    )
+    assert runs == [
+        (1, "a", 2), (2, "b", 1), (3, None, 2), (4, "b", 2),
+    ]
+
+
+def test_state_runs_one_exchange(spark):
+    import datetime as dt
+
+    from kgforge.functions.funnel import state_runs
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "a")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    plan = state_runs(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
