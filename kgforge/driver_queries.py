@@ -8442,7 +8442,9 @@ def events_forecast_baseline(spark, sf_dir):
       FROM events WHERE user_id IS NOT NULL
     ), f AS (
       SELECT key, state, event_id, ts_us,
-             CASE WHEN lag(state) OVER (PARTITION BY key
+             CASE WHEN row_number() OVER (PARTITION BY key
+                                          ORDER BY ts_us, event_id) = 1
+                    OR lag(state) OVER (PARTITION BY key
                                         ORDER BY ts_us, event_id)
                        IS DISTINCT FROM state
                   THEN 1 ELSE 0 END AS chg

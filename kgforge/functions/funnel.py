@@ -270,11 +270,14 @@ def state_runs(
         F.col(id_col),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
     )
-    prev = F.lag("state").over(
-        Window.partitionBy("key").orderBy("ts_us", id_col)
-    )
+    order = Window.partitionBy("key").orderBy("ts_us", id_col)
+    prev = F.lag("state").over(order)
+    # a run opens on the FIRST row or on a null-safe state change —
+    # isnull(lag) alone would also split consecutive NULL states
     changed = F.when(
-        F.isnull(prev) | ~prev.eqNullSafe(F.col("state")), F.lit(1)
+        (F.row_number().over(order) == 1)
+        | ~prev.eqNullSafe(F.col("state")),
+        F.lit(1),
     ).otherwise(F.lit(0))
     d = d.withColumn("__chg", changed)
     run = F.sum("__chg").over(
