@@ -131,7 +131,9 @@ def chisq_sums(
     cells = df.select(r, c).groupBy("row_key", "col_key").agg(
         F.count("*").cast("long").alias("o")
     )
-    cells = cells.persist()
+    from kgforge.cache import persist_tracked
+
+    cells = persist_tracked(cells)
     rtot = cells.groupBy("row_key").agg(
         F.sum("o").cast("long").alias("row_tot")
     )

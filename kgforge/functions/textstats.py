@@ -458,7 +458,9 @@ def kn_bigram_counts(
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    counts = counts.persist()
+    from kgforge.cache import persist_tracked
+
+    counts = persist_tracked(counts)
     left = counts.groupBy("w1").agg(
         F.sum("c").cast("long").alias("c_left"),
         F.count("*").cast("long").alias("n_right"),

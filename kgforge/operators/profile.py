@@ -84,7 +84,9 @@ def inclusion_stats(
         .where(F.col("v").isNotNull())
         .dropDuplicates()
     )
-    c = c.persist()
+    from kgforge.cache import persist_tracked
+
+    c = persist_tracked(c)
     inter = c.join(p, on="v", how="left_semi")
     return (
         c.agg(F.count("*").cast("long").alias("n_child_distinct"))

@@ -1751,7 +1751,9 @@ def reciprocity_counts(edges: DataFrame) -> DataFrame:
     edge set persisted once, reversed-key LEFT SEMI self-join (an
     existence probe, never a row multiplication), then one global agg.
     """
-    e = edges.select("src", "dst").dropDuplicates().persist()
+    from kgforge.cache import persist_tracked
+
+    e = persist_tracked(edges.select("src", "dst").dropDuplicates())
     loops = e.where(F.col("src") == F.col("dst"))
     straight = e.where(F.col("src") != F.col("dst"))
     recip = straight.join(
@@ -1824,14 +1826,15 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     integer division by construction. Shape: the one wedge join +
     an explode-to-endpoints aggregate; no per-node enumeration.
     """
-    und = (
+    from kgforge.cache import persist_tracked
+
+    und = persist_tracked(
         edges.select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates()
-        .persist()
     )
     deg = (
         und.select(F.col("a").alias("id"))
