@@ -1854,3 +1854,106 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
         "deg",
     )
+
+
+def eccentricity(
+    edges: DataFrame, landmarks: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Bounded eccentricity per landmark: (id, ecc, n_reached).
+
+    ecc(v) = max over reached nodes of the BFS distance from v (0 for an
+    isolated landmark); max over all landmarks' ecc is the standard
+    diameter lower bound (exact when landmarks = all nodes and max_hops
+    >= the true diameter — the iFUB/sampling family's building block).
+    Reuses `landmark_distances`' landmark-parallel BFS (all landmarks
+    advance in each level's single equi-join), so the marginal cost over
+    closeness/harmonic is one extra max aggregate. All-BIGINT output —
+    cross-engine gates hash-compare it exactly.
+
+    edges(src, dst) directed; symmetrize first for undirected semantics.
+    Reference scope: the SDK has no analytics surface at all (its graph
+    queries are LLM-generated Cypher, graph_query_step.py) — this is
+    engine-new capability in the FalkorDB algo-procedure family.
+    """
+    d = landmark_distances(edges, landmarks, max_hops=max_hops)
+    agg = d.groupBy("lm").agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reached"),
+    )
+    return agg.select(F.col("lm").alias("id"), "ecc", "n_reached")
+
+
+def diameter_bound(ecc: DataFrame) -> DataFrame:
+    """1-row (diameter, radius) lower/upper summary from `eccentricity`
+    output: diameter = max ecc, radius = min nonzero ecc (min over all
+    when every landmark is isolated). Driver-scale aggregate."""
+    return ecc.agg(
+        F.max("ecc").cast("long").alias("diameter"),
+        F.coalesce(
+            F.min(F.when(F.col("ecc") > 0, F.col("ecc"))), F.max("ecc")
+        ).cast("long").alias("radius"),
+    )
+
+
+def modularity_parts(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community modularity decomposition over a SYMMETRIZED edge
+    list: (community, internal, degree_sum, contrib_num).
+
+    Newman's Q = Σ_c [ internal_c/(2m) − (degree_sum_c/(2m))² ] where
+    2m = |symmetrized edges|, internal_c = symmetrized edges with BOTH
+    endpoints in c, degree_sum_c = symmetrized edges with src in c.
+    Cross-multiplying by (2m)² gives the all-BIGINT per-community
+    numerator contrib_num = internal_c·2m − degree_sum_c², so
+    Q = Σ contrib_num / (2m)² — the float division happens once at read
+    time on exact integers (the closeness/betweenness decomposition
+    discipline; a gate hash-compares the BIGINTs).
+
+    Shape: labels joined to the edge list twice (src then dst — both
+    equi-joins on the node key; broadcast-eligible when the label table
+    is small), one count per community, plus a 1-row total broadcast.
+    No all-pairs work; survives 100× on the edge count.
+
+    edges(src, dst) symmetrized; labels(id, community).
+    """
+    lab = labels.select("id", "community")
+    e = edges.select("src", "dst")
+    src_lab = e.join(lab, e.src == lab.id).select(
+        F.col("community").alias("src_c"), "dst"
+    )
+    both = src_lab.join(
+        lab, src_lab.dst == lab.id
+    ).select("src_c", F.col("community").alias("dst_c"))
+    deg = both.groupBy(F.col("src_c").alias("community")).agg(
+        F.count("*").cast("long").alias("degree_sum")
+    )
+    internal = (
+        both.filter(F.col("src_c") == F.col("dst_c"))
+        .groupBy(F.col("src_c").alias("community"))
+        .agg(F.count("*").cast("long").alias("internal"))
+    )
+    two_m = e.count()
+    return (
+        deg.join(internal, on="community", how="left")
+        .select(
+            "community",
+            F.coalesce("internal", F.lit(0)).cast("long").alias("internal"),
+            "degree_sum",
+            (
+                F.coalesce("internal", F.lit(0)) * F.lit(two_m)
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("long").alias("contrib_num"),
+        )
+    )
+
+
+def modularity_score(edges: DataFrame, labels: DataFrame) -> float:
+    """Scalar Q from `modularity_parts` — one exact-integer sum divided
+    once (driver-side float; use the parts table in gates)."""
+    parts = modularity_parts(edges, labels)
+    two_m = edges.count()
+    if two_m == 0:
+        return 0.0
+    num = parts.agg(F.sum("contrib_num")).collect()[0][0] or 0
+    return float(num) / float(two_m * two_m)

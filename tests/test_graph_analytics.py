@@ -1305,3 +1305,88 @@ def test_local_clustering_triangle_pendant_and_k4(spark):
     assert {
         (r.id, r.triangles, r.deg) for r in local_clustering(k4).collect()
     } == {(i, 3, 3) for i in range(1, 5)}
+
+
+def test_eccentricity_path_graph(spark):
+    # path 1-2-3-4-5: ecc = [4,3,2,3,4], all reach the other 4 nodes
+    from kgforge.plans.graph_query import diameter_bound, eccentricity
+
+    e = symmetrize(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    lm = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    out = {r.id: (r.ecc, r.n_reached) for r in eccentricity(e, lm).collect()}
+    assert out == {1: (4, 4), 2: (3, 4), 3: (2, 4), 4: (3, 4), 5: (4, 4)}
+    d = diameter_bound(eccentricity(e, lm)).collect()[0]
+    assert (d.diameter, d.radius) == (4, 2)
+
+
+def test_eccentricity_disconnected_and_isolated(spark):
+    # component {1,2} + isolated landmark 9: ecc 0, n_reached 0
+    from kgforge.plans.graph_query import eccentricity
+
+    e = symmetrize(_edges(spark, [(1, 2)]))
+    lm = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    out = {r.id: (r.ecc, r.n_reached) for r in eccentricity(e, lm).collect()}
+    assert out == {1: (1, 1), 2: (1, 1), 9: (0, 0)}
+
+
+def test_eccentricity_max_hops_truncates(spark):
+    from kgforge.plans.graph_query import eccentricity
+
+    e = symmetrize(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    lm = spark.createDataFrame([(1,)], "id long")
+    out = eccentricity(e, lm, max_hops=2).collect()[0]
+    assert (out.ecc, out.n_reached) == (2, 2)
+
+
+def test_modularity_two_cliques_exact(spark):
+    # Two triangles joined by one bridge edge, communities = the
+    # triangles. 2m = 14. Per community: internal = 6, degree_sum = 7.
+    # contrib_num = 6*14 - 49 = 35 each; Q = 70/196 = 5/14.
+    from kgforge.plans.graph_query import modularity_parts, modularity_score
+
+    e = symmetrize(
+        _edges(
+            spark,
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        )
+    )
+    lab = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)],
+        "id long, community long",
+    )
+    parts = {
+        r.community: (r.internal, r.degree_sum, r.contrib_num)
+        for r in modularity_parts(e, lab).collect()
+    }
+    assert parts == {0: (6, 7, 35), 1: (6, 7, 35)}
+    assert modularity_score(e, lab) == pytest.approx(5.0 / 14.0)
+
+
+def test_modularity_single_community_zero(spark):
+    # everything in one community: internal = 2m, degree_sum = 2m,
+    # contrib_num = 2m*2m - (2m)^2 = 0 -> Q = 0
+    from kgforge.plans.graph_query import modularity_parts, modularity_score
+
+    e = symmetrize(_edges(spark, [(1, 2), (2, 3)]))
+    lab = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], "id long, community long"
+    )
+    rows = modularity_parts(e, lab).collect()
+    assert len(rows) == 1 and rows[0].contrib_num == 0
+    assert modularity_score(e, lab) == 0.0
+
+
+def test_modularity_internal_vs_degree_asymmetry(spark):
+    # bridge-heavy split: community {1,2} vs {3}: internal counts only
+    # both-endpoint edges — a swapped-column bug would flip these.
+    from kgforge.plans.graph_query import modularity_parts
+
+    e = symmetrize(_edges(spark, [(1, 2), (2, 3)]))
+    lab = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "id long, community long"
+    )
+    parts = {
+        r.community: (r.internal, r.degree_sum)
+        for r in modularity_parts(e, lab).collect()
+    }
+    assert parts == {0: (2, 3), 1: (0, 1)}
