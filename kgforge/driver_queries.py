@@ -9610,6 +9610,60 @@ def graph_modularity(spark, sf_dir):
     return out.orderBy("community")
 
 
+@_q(
+    "text_phrase_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+      FROM toks
+    ), ph(phrase, i, n, w) AS (
+      VALUES ('table scan', 0, 2, 'table'), ('table scan', 1, 2, 'scan'),
+             ('hash join', 0, 2, 'hash'), ('hash join', 1, 2, 'join'),
+             ('table scan merge', 0, 3, 'table'),
+             ('table scan merge', 1, 3, 'scan'),
+             ('table scan merge', 2, 3, 'merge')
+    ), m AS (
+      SELECT p.phrase, p.n, t.doc_id, t.pos - p.i AS start, p.i
+      FROM tok t JOIN ph p ON p.w = t.w
+    ), hit AS (
+      SELECT phrase, doc_id, start FROM m
+      GROUP BY phrase, n, doc_id, start HAVING count(DISTINCT i) = n
+    )
+    SELECT phrase, doc_id, count(*)::BIGINT AS n_hits,
+           min(start)::BIGINT AS first_pos
+    FROM hit GROUP BY phrase, doc_id ORDER BY phrase, doc_id
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over positional postings
+    (functions/retrieval.py::phrase_search, r5 s8): each token
+    occurrence equal to phrase term i votes for anchor (doc, pos−i);
+    anchors collecting all n distinct i's are hits — the Lucene
+    positional-query evaluation as two hash aggregates, with the token
+    stream filtered to the phrase's terms at the SCAN (never a full
+    corpus substring pass). Three phrases in one gate: two bigrams with
+    corpus-wide hits at both SFs plus the trigram 'table scan merge'
+    (1-5 docs — pins the n≥3 distinct-i logic non-vacuously). Oracle
+    replays the vote/anchor shape via generate_subscripts."""
+    from kgforge.functions.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    outs = []
+    for ph in ["table scan", "hash join", "table scan merge"]:
+        outs.append(
+            phrase_search(docs, ph).withColumn("phrase", F.lit(ph))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("phrase", "doc_id", "n_hits", "first_pos").orderBy(
+        "phrase", "doc_id"
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

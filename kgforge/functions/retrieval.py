@@ -235,3 +235,64 @@ def bm25_reference(
             out.append((i, s))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out[:k]
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase match over positional postings: (doc_id, n_hits,
+    first_pos) for every document containing the token sequence
+    `phrase` (lowercase whitespace tokenization, same as `term_stats`).
+    Positions are 1-based; n_hits counts distinct start positions
+    (overlapping hits of a self-repeating phrase each count).
+
+    The positional-index formulation — NOT a substring scan: each token
+    occurrence equal to phrase term i votes for anchor (doc, pos − i); an
+    anchor collecting all n distinct i's is a hit. Scale shape: the token
+    stream is filtered to the phrase's distinct terms BEFORE any shuffle
+    (a scan-side isin over |phrase| literals — on a real corpus that
+    drops ~all tokens), the per-occurrence term→index expansion is a HOF
+    filter over an n-element literal array (no join), and the only
+    shuffle keys on fine-grained (doc, anchor). Substring LIKE would scan
+    every byte of every document and can't use an inverted index; this
+    shape is exactly how Lucene positional queries evaluate, expressed
+    as two hash aggregates.
+
+    Reference scope: engine-new (the SDK has no lexical index at all —
+    retrieval is LLM-generated Cypher, graph_query_step.py); phrase
+    queries complete the term/BM25 surface of `term_stats`/`bm25_topk`.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    n = len(terms)
+    phrase_arr = F.array(*[F.lit(t) for t in terms])
+    idx_arr = F.array(*[F.lit(i) for i in range(n)])
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.lower(F.col(text_col)))).alias(
+            "pos0", "term"
+        ),
+    ).filter(F.col("term").isin(terms))
+    votes = tok.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.explode(
+            F.filter(
+                idx_arr,
+                lambda i: F.element_at(phrase_arr, i + 1) == F.col("term"),
+            )
+        ).alias("i"),
+    )
+    hits = (
+        votes.groupBy("doc_id", (F.col("pos") - F.col("i")).alias("start"))
+        .agg(F.count_distinct("i").alias("k"))
+        .filter(F.col("k") == n)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("start").cast("long").alias("first_pos"),
+    )

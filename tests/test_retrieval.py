@@ -112,3 +112,58 @@ def test_build_postings_sorted_and_blocked(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         build_postings(_df(spark), block_size=0)
+
+
+def _phrase(spark, docs, phrase):
+    from kgforge.functions.retrieval import phrase_search
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in phrase_search(df, phrase).collect()
+    }
+
+
+def test_phrase_search_basic_and_case(spark):
+    out = _phrase(
+        spark,
+        [
+            (0, "Big Join keys and big join again"),
+            (1, "join big"),                 # reversed order: no hit
+            (2, "big x join"),               # gap: no hit
+            (3, "big join"),
+        ],
+        "big join",
+    )
+    assert out == {0: (2, 1), 3: (1, 1)}
+
+
+def test_phrase_search_overlapping_self_repeat(spark):
+    # 'batch batch' in 'batch batch batch' hits at starts 1 AND 2
+    out = _phrase(spark, [(0, "batch batch batch")], "batch batch")
+    assert out == {0: (2, 1)}
+
+
+def test_phrase_search_repeated_term_needs_both_positions(spark):
+    # phrase 'the data the': doc 0 has it, doc 1 only 'the data'
+    out = _phrase(
+        spark,
+        [(0, "x the data the y"), (1, "the data x the")],
+        "the data the",
+    )
+    assert out == {0: (1, 2)}
+
+
+def test_phrase_search_single_term_and_empty(spark):
+    out = _phrase(spark, [(0, "a b a"), (1, "c")], "a")
+    assert out == {0: (2, 1)}
+    with pytest.raises(ValueError):
+        _phrase(spark, [(0, "a")], "   ")
+
+
+def test_phrase_search_plan_has_no_python(spark):
+    from kgforge.functions.retrieval import phrase_search
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = phrase_search(df, "a b")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
