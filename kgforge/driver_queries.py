@@ -9664,6 +9664,51 @@ def text_phrase_search(spark, sf_dir):
     )
 
 
+@_q(
+    "layout_compaction",
+    """
+    WITH f AS (
+      SELECT 'f' || lpad((doc_id // 50)::VARCHAR, 6, '0') AS path,
+             sum(length(text))::BIGINT AS bytes
+      FROM documents GROUP BY 1
+    ), c AS (
+      SELECT path, bytes,
+             COALESCE(sum(bytes) OVER (
+               ORDER BY path
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prior
+      FROM f
+    )
+    SELECT path, bytes, (prior // 40000)::BIGINT AS bin
+    FROM c ORDER BY path
+    """,
+)
+def layout_compaction(spark, sf_dir):
+    """Small-file compaction planning (sinks/compact.py::plan_bins, r5
+    s8) — the Iceberg rewriteDataFiles/OPTIMIZE bin-packing math as
+    SQL-replayable expressions: files in path order, bin = prior running
+    bytes div target (greedy next-fit; a boundary-straddling file joins
+    the earlier bin). The prefix sum is the two-phase distributed
+    `sharding._prior_running` (one row per PARTITION to the driver — no
+    global single-partition window). Fixture = a simulated manifest (10
+    'files' of 50 documents each, bytes = summed text lengths) so the
+    gate is data-driven at both SFs; the real file mover
+    (compact_parquet: broadcast manifest join on input_file_name, one
+    shuffle keyed on bin, exactly one output file per bin) is pinned on
+    real parquet files in tests/test_compact.py."""
+    from kgforge.sinks.compact import plan_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        F.concat(
+            F.lit("f"),
+            F.lpad(F.expr("doc_id div 50").cast("string"), 6, "0"),
+        ).alias("path")
+    ).agg(F.sum(F.length("text")).cast("long").alias("bytes"))
+    out = plan_bins(files, 40000)
+    return out.select("path", "bytes", "bin").orderBy("path")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================
