@@ -9709,6 +9709,64 @@ def layout_compaction(spark, sf_dir):
     return out.select("path", "bytes", "bin").orderBy("path")
 
 
+@_q(
+    "embedding_pq_codes",
+    """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             floor(unnest(embedding) * 8)::BIGINT AS x
+      FROM embeddings
+    ), cb_ids AS (
+      SELECT vec_id AS cid,
+             row_number() OVER (
+               ORDER BY md5('pq|' || vec_id::VARCHAR), vec_id
+             ) - 1 AS r
+      FROM embeddings
+      QUALIFY r < 8
+    ), cb AS (
+      SELECT c.r, q.i, q.x FROM cb_ids c JOIN q ON q.vec_id = c.cid
+    ), d AS (
+      SELECT q.vec_id, q.i // 8 AS sub, cb.r,
+             sum((q.x - cb.x) * (q.x - cb.x))::BIGINT AS dist
+      FROM q JOIN cb ON cb.i = q.i
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, sub::BIGINT AS sub, r::BIGINT AS code, dist
+    FROM d
+    QUALIFY row_number() OVER (
+      PARTITION BY vec_id, sub ORDER BY dist, r
+    ) = 1
+    ORDER BY vec_id, sub
+    """,
+)
+def embedding_pq_codes(spark, sf_dir):
+    """Product quantization (embeddings.pq_fit/pq_encode, r5 s8) — the
+    billion-vector compression path (Jégou et al.): 64-dim vectors ->
+    8 subspace codes against an 8-centroid codebook. The codebook is the
+    8 rows with smallest md5('pq|'||vec_id) (deterministic draw, no
+    engine RNG — the random_walks discipline) and vectors are quantized
+    floor(x*8) (exponent shift, exact in any float width — the
+    embedding_covariance craft), so assignment distances are exact
+    BIGINTs and argmin ties break to the smallest centroid rank:
+    cross-engine row-for-row replayable. Spark side is pure flat
+    expression arithmetic (no joins, no Python — the codebook rides as
+    literals); the oracle replays the draw, the quantization, and the
+    argmin via a positional self-join. ADC query scoring over the codes
+    (pq_adc_scores m×k lookup table) is pinned vs an independent Python
+    replay in tests/test_embeddings.py."""
+    from kgforge.functions.embeddings import pq_encode, pq_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_fit(emb, m=8, k=8)
+    out = pq_encode(emb, cb)
+    return out.select(
+        "vec_id",
+        F.col("sub").cast("long"),
+        F.col("code").cast("long"),
+        F.col("dist").cast("long"),
+    ).orderBy("vec_id", "sub")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

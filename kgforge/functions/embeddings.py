@@ -357,3 +357,166 @@ def random_projection(
         for j in range(out_dim)
     ]
     return base.select("id", F.array(*outs).alias("proj"))
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "pq",
+    scale: int = 8,
+) -> list:
+    """Sampled product-quantization codebook: ``codebook[j][r]`` is the
+    j-th subvector (dim d/m) of the r-th sampled row, integer-quantized
+    as ``floor(x * scale)``.
+
+    The k codebook rows are the corpus rows with the SMALLEST
+    ``md5(seed|id)`` — a deterministic uniform draw with no engine RNG
+    (the `random_walks`/`stratified_sample` discipline), so a SQL oracle
+    replays the fit exactly. Sampled codebooks are the classic
+    random-codebook PQ baseline (Jégou et al., TPAMI 2011 note the small
+    recall gap vs k-means codebooks); for the quality path at
+    production scale, fit centroids with `similarity.ivf_build`'s
+    k-means per subspace and pass them here — `pq_encode` only needs the
+    nested list. Driver-side state is k×d integers (tiny, broadcast in
+    the encode expressions).
+    """
+    if m <= 0 or k <= 0:
+        raise ValueError("pq_fit: m and k must be positive")
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x * scale).cast("long"),
+            ).alias("q"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(seed + "|"), F.col("id").cast("string"))),
+            "id",
+        )
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"pq_fit: need >= {k} rows, have {len(rows)}")
+    d = len(rows[0]["q"])
+    if d % m != 0:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    sd = d // m
+    return [
+        [list(r["q"][j * sd:(j + 1) * sd]) for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 8,
+) -> DataFrame:
+    """Product-quantization codes: one row per (id, sub) with the
+    assigned centroid ``code`` and its exact integer distance ``dist``.
+
+    The 100 TB story: PQ is how billion-vector corpora fit in memory —
+    64 float32 dims (256 B) become m uint8 codes (m B, 32x at m=8), and
+    ANN scans then score candidates from an m×k lookup table
+    (`pq_adc_scores`) without touching raw vectors. Everything here is
+    built-in expressions: the vector is integer-quantized ONCE into a
+    materialized column (HOF-CSE rule), each subspace's k candidate
+    distances are flat literal-index arithmetic (no joins, no Python),
+    and argmin is `array_min` over (dist, rank) structs — ties break to
+    the smallest rank, so the result is a pure function of (data,
+    codebook) and a DuckDB oracle replays it row-for-row.
+    """
+    m = len(codebook)
+    k = len(codebook[0])
+    sd = len(codebook[0][0])
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x * scale).cast("long")
+        ).alias("__q"),
+    )
+    subs = []
+    for j in range(m):
+        cands = []
+        for r in range(k):
+            dist = None
+            for i in range(sd):
+                t = F.element_at(F.col("__q"), j * sd + i + 1) - F.lit(
+                    int(codebook[j][r][i])
+                )
+                dist = t * t if dist is None else dist + t * t
+            cands.append(
+                F.struct(
+                    dist.cast("long").alias("d"),
+                    F.lit(r).cast("long").alias("r"),
+                )
+            )
+        best = F.array_min(F.array(*cands))
+        subs.append(
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                best["r"].alias("code"),
+                best["d"].alias("dist"),
+            )
+        )
+    return q.select(
+        id_col, F.explode(F.array(*subs)).alias("s")
+    ).select(
+        id_col,
+        F.col("s.sub").alias("sub"),
+        F.col("s.code").alias("code"),
+        F.col("s.dist").alias("dist"),
+    )
+
+
+def pq_adc_scores(
+    codes: DataFrame,
+    codebook: list,
+    query: list,
+    id_col: str = "vec_id",
+    scale: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) scores for one query over PQ codes:
+    (id, adc_dist) where adc_dist = Σ_j table[j][code_j] and
+    table[j][r] = exact integer distance between the query's quantized
+    j-th subvector and centroid r. The table is m×k literals folded into
+    an `element_at` lookup — scoring a billion codes is one expression
+    scan plus a fine-grained (id) sum, no joins."""
+    import math
+
+    m = len(codebook)
+    k = len(codebook[0])
+    sd = len(codebook[0][0])
+    if len(query) != m * sd:
+        raise ValueError("pq_adc_scores: query dim mismatch")
+    qq = [int(math.floor(x * scale)) for x in query]
+    table = [
+        [
+            sum(
+                (qq[j * sd + i] - int(codebook[j][r][i])) ** 2
+                for i in range(sd)
+            )
+            for r in range(k)
+        ]
+        for j in range(m)
+    ]
+    lut = F.array(
+        *[
+            F.array(*[F.lit(table[j][r]) for r in range(k)])
+            for j in range(m)
+        ]
+    )
+    w = F.element_at(
+        F.element_at(lut, (F.col("sub") + 1).cast("int")),
+        (F.col("code") + 1).cast("int"),
+    )
+    return codes.groupBy(id_col).agg(
+        F.sum(w).cast("long").alias("adc_dist")
+    )
