@@ -274,6 +274,18 @@ def load_source(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     low = path.lower()
     if low.startswith("http://") or low.startswith("https://"):
         return load_url(spark, [path], **kwargs)
+    if (
+        low.endswith(".tar")
+        or low.endswith(".tar.gz")
+        or low.endswith(".tgz")
+    ):
+        from kgforge.sources.tar import tar_text_documents
+
+        return tar_text_documents(spark, [path]).select(
+            "source",
+            F.lit(0).cast("long").alias("doc_id"),
+            F.col("text").alias("content"),
+        )
     if low.endswith(".warc") or low.endswith(".warc.gz"):
         from kgforge.sources.warc import warc_text_documents
 
