@@ -9821,6 +9821,79 @@ def tar_ingest(spark, sf_dir):
     ).orderBy("member")
 
 
+@_q(
+    "ann_pq_adc_topk",
+    """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             floor(unnest(embedding) * 8)::BIGINT AS x
+      FROM embeddings
+    ), cb_ids AS (
+      SELECT vec_id AS cid,
+             row_number() OVER (
+               ORDER BY md5('pq|' || vec_id::VARCHAR), vec_id
+             ) - 1 AS r
+      FROM embeddings
+      QUALIFY r < 8
+    ), cb AS (
+      SELECT c.r, q.i, q.x FROM cb_ids c JOIN q ON q.vec_id = c.cid
+    ), d AS (
+      SELECT q.vec_id, q.i // 8 AS sub, cb.r,
+             sum((q.x - cb.x) * (q.x - cb.x))::BIGINT AS dist
+      FROM q JOIN cb ON cb.i = q.i
+      GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id, sub, r AS code
+      FROM d
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, sub ORDER BY dist, r
+      ) = 1
+    ), lut AS (
+      SELECT cb.i // 8 AS sub, cb.r,
+             sum((qq.x - cb.x) * (qq.x - cb.x))::BIGINT AS w
+      FROM cb JOIN q qq ON qq.vec_id = 7 AND qq.i = cb.i
+      GROUP BY 1, 2
+    )
+    SELECT c.vec_id, sum(l.w)::BIGINT AS adc_dist
+    FROM codes c JOIN lut l ON l.sub = c.sub AND l.r = c.code
+    GROUP BY c.vec_id
+    ORDER BY adc_dist, vec_id
+    LIMIT 20
+    """,
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (embeddings.pq_adc_scores, r5 s8)
+    — the first ORACLE-EXACT ANN gate (the brute/LSH/IVF gates are
+    rows-only + recall pytest, because float cosine sums are
+    order-sensitive; PQ's integer quantization makes the entire search
+    cross-engine exact). Query = vec_id 7's vector; its m×k distance
+    table is folded into element_at lookups on the Spark side (scoring
+    is one expression scan + a per-id sum — no joins over raw vectors),
+    while the oracle recomputes the table relationally from the same
+    codebook CTE. Ties break (adc_dist, vec_id) so top-20 is
+    deterministic. Note the query vector itself is in the corpus: its
+    own code reconstruction need not be at distance 0 (sampled
+    codebook), which the gate inherently cross-checks."""
+    from kgforge.functions.embeddings import (
+        pq_adc_scores,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_fit(emb, m=8, k=8)
+    codes = pq_encode(emb, cb)
+    query = list(
+        emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    )
+    out = pq_adc_scores(codes, cb, query)
+    return (
+        out.select("vec_id", F.col("adc_dist").cast("long"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(20)
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================
