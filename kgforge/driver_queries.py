@@ -9894,6 +9894,76 @@ def ann_pq_adc_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_feature_prop",
+    """
+    WITH chain AS (
+      SELECT n_name AS src,
+             lead(n_name) OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey
+             ) AS dst
+      FROM nation
+    ), pairs AS (
+      SELECT src, dst FROM chain WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst, src FROM chain WHERE dst IS NOT NULL
+    ), f0 AS (
+      SELECT n_name AS id, n_nationkey::BIGINT AS f_sum,
+             1::BIGINT AS f_cnt
+      FROM nation
+    ), s1 AS (
+      SELECT n.n_name AS id,
+             COALESCE(sum(f.f_sum), 0)::BIGINT AS f_sum,
+             COALESCE(sum(f.f_cnt), 0)::BIGINT AS f_cnt
+      FROM nation n
+      LEFT JOIN pairs p ON p.dst = n.n_name
+      LEFT JOIN f0 f ON f.id = p.src
+      GROUP BY 1
+    ), s2 AS (
+      SELECT n.n_name AS id,
+             COALESCE(sum(f.f_sum), 0)::BIGINT AS f_sum,
+             COALESCE(sum(f.f_cnt), 0)::BIGINT AS f_cnt
+      FROM nation n
+      LEFT JOIN pairs p ON p.dst = n.n_name
+      LEFT JOIN s1 f ON f.id = p.src
+      GROUP BY 1
+    )
+    SELECT id AS nation, f_sum, f_cnt FROM s2 ORDER BY nation
+    """,
+)
+def graph_feature_prop(spark, sf_dir):
+    """GNN-style 2-round neighborhood aggregation
+    (graph_query.feature_propagation, r5 s8) over the symmetrized
+    nation chains, feature = nationkey. State per round is the exact
+    BIGINT (sum, support-count) pair — the mean aggregator of
+    GraphSAGE/SGC derives at read time, keeping float division OUT of
+    the iterated state (the pagerank-fixed-point discipline). One
+    equi-join + one hash aggregate per round; the oracle unrolls both
+    rounds as LEFT-JOIN aggregates so empty in-neighborhoods pin the
+    zero-out semantics (chain endpoints after round 1 never hit zero,
+    but f_cnt varies 1..2 per round — interior vs endpoint — so the
+    support arithmetic is load-bearing)."""
+    from pyspark.sql import Window
+
+    from kgforge.plans.graph_query import feature_propagation
+
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = nation.select(
+        F.col("n_name").alias("src"), F.lead("n_name").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    feats = nation.select(
+        F.col("n_name").alias("id"), F.col("n_nationkey").alias("f")
+    )
+    out = feature_propagation(edges, feats, n_rounds=2)
+    return out.select(
+        F.col("id").alias("nation"), "f_sum", "f_cnt"
+    ).orderBy("nation")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -1957,3 +1957,59 @@ def modularity_score(edges: DataFrame, labels: DataFrame) -> float:
         return 0.0
     num = parts.agg(F.sum("contrib_num")).collect()[0][0] or 0
     return float(num) / float(two_m * two_m)
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    n_rounds: int = 2,
+    feat_col: str = "f",
+) -> DataFrame:
+    """GNN-style neighborhood aggregation, k rounds: (id, f_sum, f_cnt)
+    where round t replaces every node's state with the element-wise SUM
+    of its in-neighbors' round-(t-1) states (self excluded; sources
+    with no in-neighbors zero out). Unrolled, that is exactly the A^k
+    walk semantics: after k rounds f_sum = Σ over length-k walks ending
+    at v of f(walk start) and f_cnt = the number of such walks — the
+    un-normalized SGC/"simplified GCN" propagation. The walk-averaged
+    feature (GraphSAGE-mean analogue) is f_sum/f_cnt at read time —
+    kept OUT of the stored state so every intermediate stays an exact
+    BIGINT and a fixed-round gate hash-compares across engines (the
+    pagerank fixed_point / closeness decomposition discipline; a stored
+    mean would compound float division error round over round).
+
+    Per round: ONE equi-join on src + one (dst) hash aggregate — the
+    standard message-passing shape whose cost is |E| per round
+    regardless of feature magnitude; `localCheckpoint` truncates
+    lineage. edges(src, dst) directed (symmetrize for undirected);
+    features(id, <feat_col>) integer-valued for the exact contract.
+
+    Reference scope: engine-new — the feature side of the analytics
+    family (random_walks generates DeepWalk corpora; this generates
+    propagation features for the same downstream encoders).
+    """
+    state = features.select(
+        "id",
+        F.col(feat_col).cast("long").alias("f_sum"),
+        F.lit(1).cast("long").alias("f_cnt"),
+    ).localCheckpoint()
+    e = edges.select("src", "dst")
+    ids = features.select("id")
+    for _ in range(n_rounds):
+        msgs = state.join(e, state.id == e.src).select(
+            F.col("dst").alias("id"), "f_sum", "f_cnt"
+        )
+        agg = msgs.groupBy("id").agg(
+            F.sum("f_sum").cast("long").alias("f_sum"),
+            F.sum("f_cnt").cast("long").alias("f_cnt"),
+        )
+        state = (
+            ids.join(agg, on="id", how="left")
+            .select(
+                "id",
+                F.coalesce("f_sum", F.lit(0)).cast("long").alias("f_sum"),
+                F.coalesce("f_cnt", F.lit(0)).cast("long").alias("f_cnt"),
+            )
+            .localCheckpoint()
+        )
+    return state

@@ -1390,3 +1390,43 @@ def test_modularity_internal_vs_degree_asymmetry(spark):
         for r in modularity_parts(e, lab).collect()
     }
     assert parts == {0: (2, 3), 1: (0, 1)}
+
+
+def test_feature_propagation_path_two_rounds(spark):
+    # path 1-2-3 (symmetrized), f = id. Round 1: n1 <- {2}: (2,1);
+    # n2 <- {1,3}: (4,2); n3 <- {2}: (2,1).
+    # Round 2: n1 <- n2 state (4,2); n2 <- n1+n3 (4,2); n3 <- (4,2).
+    from kgforge.plans.graph_query import feature_propagation
+
+    e = symmetrize(_edges(spark, [(1, 2), (2, 3)]))
+    f = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, f long")
+    r1 = {
+        r.id: (r.f_sum, r.f_cnt)
+        for r in feature_propagation(e, f, n_rounds=1).collect()
+    }
+    assert r1 == {1: (2, 1), 2: (4, 2), 3: (2, 1)}
+    r2 = {
+        r.id: (r.f_sum, r.f_cnt)
+        for r in feature_propagation(e, f, n_rounds=2).collect()
+    }
+    assert r2 == {1: (4, 2), 2: (4, 2), 3: (4, 2)}
+
+
+def test_feature_propagation_source_zeroes_out(spark):
+    # directed 1->2: node 1 has no in-neighbors -> (0,0) after round 1;
+    # round 2 at node 2 counts length-2 WALKS ending there — none exist
+    # (f_cnt sums neighbor supports, not message counts), so (0,0).
+    from kgforge.plans.graph_query import feature_propagation
+
+    e = _edges(spark, [(1, 2)])
+    f = spark.createDataFrame([(1, 5), (2, 7)], "id long, f long")
+    r1 = {
+        r.id: (r.f_sum, r.f_cnt)
+        for r in feature_propagation(e, f, n_rounds=1).collect()
+    }
+    assert r1 == {1: (0, 0), 2: (5, 1)}
+    r2 = {
+        r.id: (r.f_sum, r.f_cnt)
+        for r in feature_propagation(e, f, n_rounds=2).collect()
+    }
+    assert r2 == {1: (0, 0), 2: (0, 0)}
