@@ -9964,6 +9964,53 @@ def graph_feature_prop(spark, sf_dir):
     ).orderBy("nation")
 
 
+@_q(
+    "crawl_schedule",
+    f"""
+    WITH f AS (
+      SELECT 'https://' || source || '/doc/' || doc_id::VARCHAR AS url,
+             source AS host
+      FROM documents
+    ), hm AS (
+      SELECT url, host, md5('fr|' || host) AS h FROM f
+    ), x AS (
+      SELECT url, host, ({_HEX12_POLY}) AS hv,
+             row_number() OVER (PARTITION BY host ORDER BY url) - 1
+               AS slot
+      FROM hm
+    )
+    SELECT url, host, (hv % 4)::BIGINT AS worker, slot::BIGINT AS slot,
+           ((hv % 30) + slot * 30)::BIGINT AS fetch_offset_s
+    FROM x ORDER BY url
+    """,
+)
+def crawl_schedule(spark, sf_dir):
+    """Crawl-frontier politeness scheduling
+    (sources/frontier.py::schedule_frontier, r5 s8) — the Mercator/
+    Heritrix host-partitioned plan as pure expressions: worker =
+    md5-hash(host) mod workers (host affinity — politeness becomes
+    worker-local), slot = URL-ordered queue position per host,
+    fetch_offset = host phase (hash mod delay — de-synchronizes hosts)
+    + slot·delay. One window over one host-keyed shuffle; no RNG, so
+    the oracle replays the schedule row-for-row with the 12-hex strpos
+    polynomial. Frontier = one URL per document against its source
+    host, 4 workers / 30 s delay."""
+    from kgforge.sources.frontier import schedule_frontier
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+    )
+    out = schedule_frontier(frontier, n_workers=4, delay_s=30)
+    return out.orderBy("url")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================
