@@ -736,6 +736,101 @@ class KnowledgeGraph:
             )
         )
 
+    def eccentricity(
+        self,
+        relation: str | None = None,
+        max_hops: int = 8,
+    ) -> DataFrame:
+        """Bounded eccentricity over the undirected projection:
+        (label, key, ecc, n_reached) — max BFS distance per node
+        (diameter lower bound = max ecc; graph_query.diameter_bound).
+        Same landmark-parallel BFS as `closeness`/`harmonic`."""
+        from kgforge.plans.graph_query import eccentricity as _ecc
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        out = _ecc(edges, n.select("id"), max_hops=max_hops)
+        return n.join(out, on="id").select(
+            "label", "key", "ecc", "n_reached"
+        )
+
+    def modularity(
+        self, relation: str | None = None, n_iter: int = 5
+    ) -> float:
+        """Newman modularity Q of the LPA communities (`communities`)
+        over the undirected projection — the standard partition-quality
+        check after community detection. Exact-integer decomposition
+        inside (graph_query.modularity_parts); one float division at
+        the end."""
+        from kgforge.plans.graph_query import (
+            label_propagation,
+            modularity_score,
+        )
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nodes = self.nodes().select(F.col("node_id").alias("id"))
+        labels = label_propagation(edges, nodes, n_iter=n_iter)
+        return modularity_score(edges, labels)
+
+    def feature_prop(
+        self,
+        prop: str,
+        n_rounds: int = 2,
+        relation: str | None = None,
+        directed: bool = False,
+    ) -> DataFrame:
+        """GNN-style neighborhood aggregation of a numeric node
+        property: (label, key, f_sum, f_cnt) — after k rounds the
+        length-k walk sums/counts of `prop`
+        (graph_query.feature_propagation); f_sum/f_cnt is the
+        walk-averaged feature. Non-numeric/missing props count 0."""
+        from kgforge.plans.graph_query import feature_propagation
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        edges = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        if not directed:
+            edges = edges.unionByName(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+        n = self.nodes().select(
+            F.col("node_id").alias("id"),
+            "label",
+            "key",
+            F.coalesce(
+                F.col("props")[prop].try_cast("long"), F.lit(0)
+            ).alias("f"),
+        )
+        out = feature_propagation(
+            edges, n.select("id", "f"), n_rounds=n_rounds
+        )
+        return n.select("id", "label", "key").join(out, on="id").select(
+            "label", "key", "f_sum", "f_cnt"
+        )
+
     def betweenness(
         self,
         relation: str | None = None,

@@ -525,3 +525,73 @@ def test_facade_link_predictions_and_clustering(kg):
         ("Actor", "C"): (0, 1),
         ("Movie", "M"): (0, 3),
     }
+
+
+def test_facade_eccentricity_and_modularity(kg):
+    """kg.eccentricity / kg.modularity (r5 s8): path A-M-B undirected;
+    ecc(M)=1, ecc(ends)=2; LPA on a 3-path converges to one community
+    -> Q = 0."""
+    kg.add_nodes(
+        [("Actor", {"name": n}) for n in ("A", "B")]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "B"}, {"title": "M"}, {}),
+        ]
+    )
+    out = {
+        (r.label, r.key): (r.ecc, r.n_reached)
+        for r in kg.eccentricity().collect()
+    }
+    assert out == {
+        ("Actor", "A"): (2, 2),
+        ("Actor", "B"): (2, 2),
+        ("Movie", "M"): (1, 2),
+    }
+    assert kg.modularity() == pytest.approx(0.0)
+
+
+def test_facade_feature_prop(spark, workdir):
+    """kg.feature_prop (r5 s8): numeric prop propagates as walk sums
+    over the undirected projection; missing/non-numeric props count 0."""
+    onto = Ontology(
+        entities=[
+            Entity(
+                "Actor",
+                [
+                    Attribute("name", "string", True, True),
+                    Attribute("wins", "string"),
+                ],
+            ),
+            Entity("Movie", [Attribute("title", "string", True, True)]),
+        ],
+        relations=[
+            Relation("ACTED_IN", "Actor", "Movie", []),
+        ],
+    )
+    kg = KnowledgeGraph(spark, onto, workdir)
+    kg.add_nodes(
+        [
+            ("Actor", {"name": "A", "wins": "4"}),
+            ("Actor", {"name": "B", "wins": "oops"}),
+            ("Movie", {"title": "M"}),
+        ]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "B"}, {"title": "M"}, {}),
+        ]
+    )
+    out = {
+        (r.label, r.key): (r.f_sum, r.f_cnt)
+        for r in kg.feature_prop("wins", n_rounds=1).collect()
+    }
+    # M's neighbors: A(4) + B(0 — non-numeric) with 2 walks; ends see M(0)
+    assert out == {
+        ("Actor", "A"): (0, 1),
+        ("Actor", "B"): (0, 1),
+        ("Movie", "M"): (4, 2),
+    }
