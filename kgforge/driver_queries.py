@@ -10011,6 +10011,93 @@ def crawl_schedule(spark, sf_dir):
     return out.orderBy("url")
 
 
+_N2V_STEP_SQL = """
+    , c{j} AS (
+      SELECT s.walk_id, s.start, s.prev, s.cur, s.route, p.dst,
+             CASE WHEN s.prev IS NULL THEN 1
+                  WHEN p.dst = s.prev THEN 1
+                  WHEN EXISTS (SELECT 1 FROM pairs x
+                               WHERE x.src = s.prev AND x.dst = p.dst)
+                    THEN 2
+                  ELSE 4 END AS w
+      FROM s{j} s JOIN pairs p ON p.src = s.cur
+    ), t{j} AS (
+      SELECT *, sum(w) OVER (PARTITION BY walk_id ORDER BY dst
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+             sum(w) OVER (PARTITION BY walk_id) AS tot,
+             md5('kgforge|' || walk_id || '|{j}') AS h
+      FROM c{j}
+    ), u{j} AS (
+      SELECT *, (({poly}) % tot) AS u FROM t{j}
+    ), s{j1} AS (
+      SELECT walk_id, start, cur AS prev, dst AS cur,
+             route || '->' || dst AS route
+      FROM u{j} WHERE cum - w <= u AND u < cum
+      UNION ALL
+      SELECT walk_id, start, prev, cur, route FROM s{j} s
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.src = s.cur)
+    )"""
+
+
+@_q(
+    "graph_node2vec_walks",
+    """
+    WITH pairs AS (
+      SELECT a.n_name AS src, b.n_name AS dst
+      FROM nation a JOIN nation b
+        ON abs(a.n_nationkey - b.n_nationkey) IN (1, 2)
+    ), s0 AS (
+      SELECT n_name || '#' || w::VARCHAR AS walk_id, n_name AS start,
+             NULL::VARCHAR AS prev, n_name AS cur, n_name AS route
+      FROM nation, unnest(range(0, 2)) AS u(w)
+    )"""
+    + _N2V_STEP_SQL.format(j=0, j1=1, poly=_HEX12_POLY)
+    + _N2V_STEP_SQL.format(j=1, j1=2, poly=_HEX12_POLY)
+    + _N2V_STEP_SQL.format(j=2, j1=3, poly=_HEX12_POLY)
+    + """
+    SELECT walk_id, start, route FROM s3 ORDER BY walk_id
+    """,
+)
+def graph_node2vec_walks(spark, sf_dir):
+    """node2vec-biased walk corpus (graph_query.node2vec_walks, r5 s8):
+    2 walks x 3 steps over the nationkey SKIP graph (i±1, i±2 — the
+    graph_betweenness fixture, chosen because it has triangles, so ALL
+    THREE 2nd-order weight classes fire: return=1, triangle-step
+    common=2, far=4 — DFS-leaning). The hop is a deterministic
+    inverse-CDF pick: dst-ordered cumulative integer weights, u =
+    md5(seed|walk_id|step) 48-bit mod total — no engine RNG, which is
+    exactly what lets the oracle unroll each step as a candidate
+    CASE-classification (EXISTS against the edge set = the adjacency
+    marker join) + window cumsum + range pick. Every Spark-side draw is
+    additionally replayed hop-for-hop in pure Python in
+    tests/test_graph_analytics.py."""
+    from pyspark.sql import Window
+
+    from kgforge.plans.graph_query import node2vec_walks
+
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.orderBy("n_nationkey")
+    legs = []
+    for k in (1, 2):
+        legs.append(
+            nation.select(
+                F.col("n_name").alias("src"),
+                F.lead("n_name", k).over(w).alias("dst"),
+            ).filter(F.col("dst").isNotNull())
+        )
+    fwd = legs[0].unionByName(legs[1])
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = node2vec_walks(
+        edges, walk_len=3, n_walks=2, w_return=1, w_common=2, w_far=4
+    )
+    return out.select(
+        "walk_id", "start", F.array_join("path", "->").alias("route")
+    ).orderBy("walk_id")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

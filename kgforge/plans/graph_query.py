@@ -2013,3 +2013,136 @@ def feature_propagation(
             .localCheckpoint()
         )
     return state
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int,
+    n_walks: int = 1,
+    w_return: int = 1,
+    w_common: int = 1,
+    w_far: int = 1,
+    seed: str = "kgforge",
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """node2vec-biased walk corpus (Grover & Leskovec): (walk_id,
+    start, path) — like `random_walks` but the hop from (prev -> cur)
+    weights each candidate w by the 2nd-order class: `w_return` if
+    w == prev, `w_common` if w is adjacent to prev (a triangle step),
+    `w_far` otherwise (BFS-ish when return/common dominate, DFS-ish
+    when far dominates — the p/q dials as INTEGER weights, which is
+    what keeps the draw cross-engine exact). First hop is uniform
+    (no prev).
+
+    The weighted draw replaces random_walks' argmin with a
+    deterministic inverse-CDF pick: candidates sorted by dst id,
+    cumulative integer weights, u = md5(seed|walk_id|step) as a 48-bit
+    integer mod the walk's total weight, take the candidate whose
+    [cum-w, cum) range holds u. No engine RNG anywhere — a pure
+    function of (graph, seed), layout-independent, SQL-replayable.
+
+    Per step: one frontier-edge equi-join + one LEFT join against the
+    adjacency marker keyed on (prev, dst) — the classic node2vec
+    adjacency-intersection cost, equi-join-shaped so it scales like
+    every other per-round join here — plus one walk-partitioned window
+    for the cumulative weights. Sinks carry their walk forward
+    unchanged (early stop). edges(src, dst), symmetrize for
+    undirected; duplicate edges are dropped (they would double a
+    candidate's probability mass silently).
+    """
+    from pyspark.sql import Window
+
+    if min(w_return, w_common, w_far) < 1:
+        raise ValueError("node2vec_walks: weights must be >= 1 integers")
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).dropDuplicates()
+    adj = e.select(
+        F.col("src").alias("__a"),
+        F.col("dst").alias("__b"),
+        F.lit(1).alias("__adj"),
+    )
+    if nodes is None:
+        starts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        starts = nodes.select(F.col("id").cast("string").alias("id"))
+    walks = starts.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w")
+    ).select(
+        F.concat(F.col("id"), F.lit("#"), F.col("w").cast("string")).alias(
+            "walk_id"
+        ),
+        F.col("id").alias("start"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("id").alias("cur"),
+        F.array(F.col("id")).alias("path"),
+    ).localCheckpoint()
+    win_cum = (
+        Window.partitionBy("walk_id")
+        .orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win_tot = Window.partitionBy("walk_id")
+    for step in range(walk_len):
+        cand = (
+            walks.join(e, walks.cur == e.src)
+            .join(
+                adj,
+                (F.col("prev") == F.col("__a"))
+                & (F.col("dst") == F.col("__b")),
+                "left",
+            )
+            .select(
+                "walk_id", "start", "prev", "cur", "dst", "path",
+                F.when(F.col("prev").isNull(), 1)
+                .when(F.col("dst") == F.col("prev"), w_return)
+                .when(F.col("__adj").isNotNull(), w_common)
+                .otherwise(w_far)
+                .cast("long")
+                .alias("__w"),
+            )
+        )
+        t = cand.withColumns(
+            {
+                "__cum": F.sum("__w").over(win_cum),
+                "__tot": F.sum("__w").over(win_tot),
+            }
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed), F.lit("|"), F.col("walk_id"),
+                            F.lit("|"), F.lit(str(step)),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("__tot")
+        )
+        picked = t.withColumn("__u", u).filter(
+            (F.col("__cum") - F.col("__w") <= F.col("__u"))
+            & (F.col("__u") < F.col("__cum"))
+        )
+        moved = picked.select(
+            "walk_id",
+            "start",
+            F.col("cur").alias("prev"),
+            F.col("dst").alias("cur"),
+            F.concat("path", F.array("dst")).alias("path"),
+        )
+        stuck = walks.join(
+            picked.select("walk_id"), on="walk_id", how="left_anti"
+        ).select("walk_id", "start", "prev", "cur", "path")
+        walks = moved.unionByName(stuck).localCheckpoint()
+    return walks.select("walk_id", "start", "path")

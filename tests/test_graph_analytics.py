@@ -1430,3 +1430,95 @@ def test_feature_propagation_source_zeroes_out(spark):
         for r in feature_propagation(e, f, n_rounds=2).collect()
     }
     assert r2 == {1: (0, 0), 2: (0, 0)}
+
+
+def _n2v_replay(edge_pairs, starts, walk_len, n_walks, wr, wc, wf, seed):
+    import hashlib
+
+    out_nbrs = {}
+    eset = set()
+    for a, b in edge_pairs:
+        a, b = str(a), str(b)
+        if (a, b) not in eset:
+            eset.add((a, b))
+            out_nbrs.setdefault(a, []).append(b)
+    walks = {}
+    for s in starts:
+        for w in range(n_walks):
+            wid = f"{s}#{w}"
+            prev, cur, path = None, str(s), [str(s)]
+            for step in range(walk_len):
+                nbrs = sorted(out_nbrs.get(cur, []))
+                if not nbrs:
+                    break
+                weights = []
+                for d in nbrs:
+                    if prev is None:
+                        weights.append(1)
+                    elif d == prev:
+                        weights.append(wr)
+                    elif (prev, d) in eset:
+                        weights.append(wc)
+                    else:
+                        weights.append(wf)
+                tot = sum(weights)
+                u = (
+                    int(
+                        hashlib.md5(
+                            f"{seed}|{wid}|{step}".encode()
+                        ).hexdigest()[:12],
+                        16,
+                    )
+                    % tot
+                )
+                cum = 0
+                for d, w_ in zip(nbrs, weights):
+                    cum += w_
+                    if u < cum:
+                        prev, cur = cur, d
+                        path.append(d)
+                        break
+            walks[wid] = path
+    return walks
+
+
+def test_node2vec_walks_match_python_replay(spark):
+    from kgforge.plans.graph_query import node2vec_walks
+
+    # triangle 1-2-3 plus tail 3-4, symmetrized: all three weight
+    # classes occur (return, common=triangle step, far)
+    base = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    pairs = base + [(b, a) for a, b in base]
+    e = _edges(spark, pairs)
+    for wr, wc, wf in [(1, 1, 1), (1, 2, 4), (6, 1, 1), (1, 1, 9)]:
+        got = {
+            r.walk_id: list(r.path)
+            for r in node2vec_walks(
+                e, walk_len=4, n_walks=2,
+                w_return=wr, w_common=wc, w_far=wf, seed="t",
+            ).collect()
+        }
+        want = _n2v_replay(
+            pairs, [1, 2, 3, 4], 4, 2, wr, wc, wf, "t"
+        )
+        assert got == want, (wr, wc, wf)
+
+
+def test_node2vec_sink_stops_and_duplicates_dropped(spark):
+    from kgforge.plans.graph_query import node2vec_walks
+
+    # directed chain with a duplicated edge: 3 is a sink
+    e = _edges(spark, [(1, 2), (1, 2), (2, 3)])
+    got = {
+        r.walk_id: list(r.path)
+        for r in node2vec_walks(e, walk_len=5, seed="t").collect()
+    }
+    assert got["1#0"] == ["1", "2", "3"]
+    assert got["3#0"] == ["3"]
+
+
+def test_node2vec_validates_weights(spark):
+    from kgforge.plans.graph_query import node2vec_walks
+
+    with pytest.raises(ValueError):
+        node2vec_walks(_edges(spark, [(1, 2)]), 2, w_return=0)
