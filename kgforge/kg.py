@@ -654,6 +654,47 @@ class KnowledgeGraph:
             edges, walk_len=walk_len, n_walks=n_walks, seed=seed,
             nodes=n.select(F.col("node_id").alias("id")),
         )
+        return self._walks_to_routes(walks, n)
+
+    def node2vec(
+        self,
+        walk_len: int,
+        n_walks: int = 1,
+        w_return: int = 1,
+        w_common: int = 1,
+        w_far: int = 1,
+        relation: str | None = None,
+        seed: str = "kgforge",
+    ) -> DataFrame:
+        """node2vec-biased walk corpus over the undirected projection:
+        (walk_id, start_label, start_key, route) — `random_walks` with
+        the 2nd-order integer weight dials (return / triangle-step /
+        far; see plans/graph_query.py::node2vec_walks). far > common >
+        return leans DFS (structural-equivalence embeddings); the
+        reverse leans BFS (homophily)."""
+        from kgforge.plans.graph_query import node2vec_walks
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = self.nodes()
+        walks = node2vec_walks(
+            edges, walk_len=walk_len, n_walks=n_walks,
+            w_return=w_return, w_common=w_common, w_far=w_far,
+            seed=seed, nodes=n.select(F.col("node_id").alias("id")),
+        )
+        return self._walks_to_routes(walks, n)
+
+    def _walks_to_routes(self, walks: DataFrame, n: DataFrame) -> DataFrame:
+        """(walk_id, start, path) -> (walk_id, start_label, start_key,
+        route) with node ids translated to keys — shared by
+        random_walks/node2vec."""
         id2key = n.select(
             F.col("node_id").cast("string").alias("__pid"),
             F.col("key").alias("__pkey"),

@@ -595,3 +595,27 @@ def test_facade_feature_prop(spark, workdir):
         ("Actor", "B"): (0, 1),
         ("Movie", "M"): (4, 2),
     }
+
+
+def test_facade_node2vec(kg):
+    """kg.node2vec (r5 s8): biased walk corpus — same route contract as
+    kg.random_walks; on the A-M-B path every hop is legal and weights
+    only re-rank legal hops."""
+    kg.add_nodes(
+        [("Actor", {"name": n}) for n in ("A", "B")]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "B"}, {"title": "M"}, {}),
+        ]
+    )
+    out = kg.node2vec(walk_len=2, n_walks=2, w_return=1, w_far=9).collect()
+    assert len(out) == 6
+    legal = {("A", "M"), ("B", "M"), ("M", "A"), ("M", "B")}
+    for r in out:
+        hops = r.route.split("->")
+        assert hops[0] == r.start_key and len(hops) == 3
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in legal
