@@ -93,6 +93,10 @@ HEADLINE = [
     "events_interval_merge",
     "graph_local_clustering",
     "profile_table",
+    # r5 session-8 additions (new rows vs earlier BENCH — not regressions)
+    "text_phrase_search",
+    "embedding_pq_codes",
+    "graph_node2vec_walks",
 ]
 
 
