@@ -10098,6 +10098,57 @@ def graph_node2vec_walks(spark, sf_dir):
     ).orderBy("walk_id")
 
 
+@_q(
+    "zip_ingest",
+    """
+    SELECT source || '/' || doc_id::VARCHAR || '.txt' AS member,
+           length(text)::BIGINT AS size,
+           md5(text) AS text_md5
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY member
+    """,
+)
+def zip_ingest(spark, sf_dir):
+    """ZIP-archive ingest round trip (sources/ziparc.py, r5 s8) — the
+    warc/tar pattern for the last archive leg: documents rows become
+    members of 4 deterministic DEFLATE zips (build_zip pins DOS-epoch
+    timestamps), re-ingested distributed (binaryFile -> stdlib zipfile
+    in mapInPandas) and md5+size-compared against oracle expectations
+    computed straight from the table."""
+    import os
+
+    from kgforge.sources.ziparc import build_zip, zip_text_documents
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    out_dir = f"/root/repo/.work/zip_gate/{os.path.basename(sf_dir)}"
+    os.makedirs(out_dir, exist_ok=True)
+    shards: dict[int, list] = {i: [] for i in range(4)}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        shards[r["doc_id"] % 4].append(
+            (
+                f"{r['source']}/{r['doc_id']}.txt",
+                r["text"].encode("utf-8"),
+            )
+        )
+    paths = []
+    for i, members in shards.items():
+        p = f"{out_dir}/part{i}.zip"
+        with open(p, "wb") as f:
+            f.write(build_zip(members, compress=True))
+        paths.append(p)
+    docs = zip_text_documents(spark, paths)
+    return docs.select(
+        "member",
+        F.length(F.col("text")).cast("long").alias("size"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    ).orderBy("member")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

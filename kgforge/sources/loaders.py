@@ -274,6 +274,14 @@ def load_source(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     low = path.lower()
     if low.startswith("http://") or low.startswith("https://"):
         return load_url(spark, [path], **kwargs)
+    if low.endswith(".zip"):
+        from kgforge.sources.ziparc import zip_text_documents
+
+        return zip_text_documents(spark, [path]).select(
+            "source",
+            F.lit(0).cast("long").alias("doc_id"),
+            F.col("text").alias("content"),
+        )
     if (
         low.endswith(".tar")
         or low.endswith(".tar.gz")
