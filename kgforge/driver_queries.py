@@ -10149,6 +10149,34 @@ def zip_ingest(spark, sf_dir):
     ).orderBy("member")
 
 
+@_q(
+    "cypher_with_distinct",
+    """
+    SELECT DISTINCT r.r_name AS region
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY region
+    """,
+)
+def cypher_with_distinct(spark, sf_dir):
+    """WITH DISTINCT at a stage boundary (r5 s8 — freezing behavior the
+    executor supported incidentally): `WITH DISTINCT r.name AS region`
+    collapses the 25 (nation, region) rows to 5 BEFORE the final
+    projection — without the DISTINCT this query returns 25 rows, so
+    the dedup is load-bearing, and the same collapse feeding an
+    aggregate (count over the deduped relation) is pinned in
+    tests/test_cypher_exec.py."""
+    from kgforge.plans.cypher_exec import run_cypher
+
+    nodes, edges = _nation_region_graph(spark, sf_dir)
+    return run_cypher(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "WITH DISTINCT r.name AS region "
+        "RETURN region ORDER BY region",
+        nodes,
+        edges,
+    )
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

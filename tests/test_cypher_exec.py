@@ -2500,3 +2500,34 @@ def test_arithmetic_at_with_boundaries(graph):
     ).collect()
     # Ana v Bo: (12-1)+(7-1)=17; Bo v Cy: (7-1)+(3-1)=8; both -> Open 1
     assert [(r.ev, r.tot) for r in agg] == [("Open 1", 25.0)]
+
+
+def test_with_distinct_collapses_before_aggregate(spark):
+    """WITH DISTINCT (r5 s8): dedup happens at the boundary, so a
+    downstream count sees the collapsed relation; without DISTINCT the
+    same query counts multiplicities."""
+    nodes = spark.createDataFrame(
+        [(1, "P", "a", {"city": "X"}), (2, "P", "b", {"city": "X"}),
+         (3, "P", "c", {"city": "Y"})],
+        "node_id long, label string, key string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [], "src_id long, label string, dst_id long, props map<string,string>"
+    )
+    from kgforge.plans.cypher_exec import run_cypher
+
+    dedup = run_cypher(
+        "MATCH (p:P) WITH DISTINCT p.city AS city RETURN count(city) AS n",
+        nodes, edges,
+    ).collect()
+    assert [tuple(r) for r in dedup] == [(2,)]
+    keep = run_cypher(
+        "MATCH (p:P) WITH p.city AS city RETURN count(city) AS n",
+        nodes, edges,
+    ).collect()
+    assert [tuple(r) for r in keep] == [(3,)]
+    rows = run_cypher(
+        "MATCH (p:P) WITH DISTINCT p.city AS city RETURN city ORDER BY city",
+        nodes, edges,
+    ).collect()
+    assert [r.city for r in rows] == ["X", "Y"]
