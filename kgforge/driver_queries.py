@@ -10177,6 +10177,75 @@ def cypher_with_distinct(spark, sf_dir):
     )
 
 
+@_q(
+    "events_asof_nearest",
+    """
+    WITH b AS (
+      SELECT l.event_id, l.user_id, l.ts AS lts,
+             r.event_id AS pid, r.ts AS rts
+      FROM (SELECT * FROM events WHERE event_type = 'signup') l
+      ASOF LEFT JOIN
+           (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    ), f AS (
+      SELECT l.event_id, r.event_id AS pid, r.ts AS rts
+      FROM (SELECT * FROM events WHERE event_type = 'signup') l
+      ASOF LEFT JOIN
+           (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+    ), j AS (
+      SELECT b.event_id, b.user_id, b.lts,
+             CASE WHEN epoch_us(b.lts) - epoch_us(b.rts)
+                       <= 259200000000 THEN b.pid END AS bpid,
+             CASE WHEN epoch_us(b.lts) - epoch_us(b.rts)
+                       <= 259200000000 THEN b.rts END AS brts,
+             CASE WHEN epoch_us(f.rts) - epoch_us(b.lts)
+                       <= 259200000000 THEN f.pid END AS fpid,
+             CASE WHEN epoch_us(f.rts) - epoch_us(b.lts)
+                       <= 259200000000 THEN f.rts END AS frts
+      FROM b JOIN f ON f.event_id = b.event_id
+    )
+    SELECT event_id, user_id,
+           CASE WHEN brts IS NOT NULL AND (frts IS NULL OR
+                     epoch_us(lts) - epoch_us(brts)
+                     <= epoch_us(frts) - epoch_us(lts))
+                THEN bpid ELSE fpid END AS near_purchase,
+           CASE WHEN brts IS NOT NULL AND (frts IS NULL OR
+                     epoch_us(lts) - epoch_us(brts)
+                     <= epoch_us(frts) - epoch_us(lts))
+                THEN brts ELSE frts END AS ts_r
+    FROM j ORDER BY event_id
+    """,
+)
+def events_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (operators/asof.py::asof_nearest,
+    r5 s8) — pandas merge_asof direction='nearest' parity: each signup
+    matches whichever purchase (same user) is closer in time within
+    ±3 days, exact ties to the earlier row. Composition of the two
+    union-sort directional passes (backward, then forward over its
+    output — two Exchanges, zero joins) + one row-local CASE; the
+    tolerance applies INSIDE each pass before the choice, so a nearer
+    out-of-tolerance match can't shadow an in-tolerance one (the
+    asymmetry is unit-pinned). Oracle = two native DuckDB ASOF joins +
+    the same CASE."""
+    from kgforge.operators.asof import asof_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    out = asof_nearest(
+        ev.where(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "ts"),
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("near_purchase")),
+        on="user_id",
+        tolerance=3 * 86_400_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", "near_purchase_r", "ts_r"
+    ).withColumnsRenamed(
+        {"near_purchase_r": "near_purchase"}
+    ).orderBy("event_id")
+
+
 # =====================================================================
 # driver-verification rotation (verdict r04 #1)
 # =====================================================================

@@ -310,3 +310,63 @@ def range_join(
         & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("__b")
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tolerance: int | None = None,
+    time_split: str | int | None = None,
+) -> DataFrame:
+    """pandas merge_asof ``direction='nearest'`` parity: every left
+    row plus whichever of its backward/forward as-of matches is closer
+    in time; EXACT ties take the backward (earlier) row. `tolerance`
+    is applied inside each directional join BEFORE the choice, so a
+    nearer-but-out-of-tolerance match on one side never shadows an
+    in-tolerance match on the other.
+
+    Built as the backward union-sort join followed by the forward one
+    over its output (the forward pass treats the backward payload as
+    opaque left columns), then one row-local CASE on the two matched
+    timestamps — two Exchanges total, still zero joins and no row
+    explosion; `time_split` hot-key bounding flows through both
+    passes. Requires a timestamp or numeric ts (the distance compare
+    needs arithmetic — same restriction as forward)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys + [right_ts]
+        ]
+    b = asof_join(
+        left, right, on, left_ts=left_ts, right_ts=right_ts,
+        right_cols=right_cols, suffix="__b", tolerance=tolerance,
+        time_split=time_split,
+    )
+    f = asof_join(
+        b, right, on, left_ts=left_ts, right_ts=right_ts,
+        right_cols=right_cols, suffix="__f", direction="forward",
+        tolerance=tolerance, time_split=time_split,
+    )
+
+    def ep(name):
+        if str(f.schema[name].dataType).startswith("Timestamp"):
+            return F.unix_micros(F.col(name).cast("timestamp"))
+        return F.col(name).cast("long")
+
+    bts, fts = right_ts + "__b", right_ts + "__f"
+    take_b = F.col(bts).isNotNull() & (
+        F.col(fts).isNull()
+        | ((ep(left_ts) - ep(bts)) <= (ep(fts) - ep(left_ts)))
+    )
+    picked = [
+        F.when(take_b, F.col(c + "__b"))
+        .otherwise(F.col(c + "__f"))
+        .alias(c + suffix)
+        for c in right_cols + [right_ts]
+    ]
+    return f.select(*[F.col(c) for c in left.columns], *picked)

@@ -988,3 +988,66 @@ def test_quantile_picks_exact_indices_and_one_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+def test_asof_nearest_semantics(spark):
+    """asof_nearest (r5 s8): closer side wins, exact ties take the
+    BACKWARD row (pandas parity), tolerance applies per-direction
+    BEFORE the choice, all-null when neither side matches."""
+    from kgforge.operators.asof import asof_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 140),   # b=100 (d40), f=200 (d60) -> backward
+            (2, "u1", 180),   # b=100 (d80), f=200 (d20) -> forward
+            (3, "u1", 150),   # exact tie d50/d50 -> backward
+            (4, "u2", 300),   # no right rows -> nulls
+            (5, "u1", 5),     # no backward; f=100 (d95) -> forward
+        ],
+        "event_id long, user string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "r100"), ("u1", 200, "r200")],
+        "user string, ts long, rtag string",
+    )
+    out = {
+        r.event_id: (r.rtag_r, r.ts_r)
+        for r in asof_nearest(left, right, on="user").collect()
+    }
+    assert out == {
+        1: ("r100", 100),
+        2: ("r200", 200),
+        3: ("r100", 100),
+        4: (None, None),
+        5: ("r100", 100),
+    }
+
+
+def test_asof_nearest_tolerance_asymmetry(spark):
+    """A nearer but OUT-of-tolerance forward match must not shadow an
+    in-tolerance backward match — tolerance is applied inside each
+    directional pass, then the choice runs over survivors."""
+    from kgforge.operators.asof import asof_nearest
+
+    left = spark.createDataFrame(
+        [(1, "u1", 150)], "event_id long, user string, ts long"
+    )
+    # backward at d=50 (in tolerance 60), forward at d=30 BUT we set
+    # tolerance 40: forward d=30 in, backward d=50 out -> forward wins
+    right = spark.createDataFrame(
+        [("u1", 100, "b"), ("u1", 180, "f")],
+        "user string, ts long, rtag string",
+    )
+    near60 = asof_nearest(left, right, on="user", tolerance=60).collect()[0]
+    assert (near60.rtag_r, near60.ts_r) == ("f", 180)  # d30 < d50
+    near40 = asof_nearest(left, right, on="user", tolerance=40).collect()[0]
+    assert (near40.rtag_r, near40.ts_r) == ("f", 180)
+    near20 = asof_nearest(left, right, on="user", tolerance=20).collect()[0]
+    assert (near20.rtag_r, near20.ts_r) == (None, None)
+    # backward-only survivor: forward farther than tolerance
+    right2 = spark.createDataFrame(
+        [("u1", 120, "b"), ("u1", 300, "f")],
+        "user string, ts long, rtag string",
+    )
+    near = asof_nearest(left, right2, on="user", tolerance=40).collect()[0]
+    assert (near.rtag_r, near.ts_r) == ("b", 120)
