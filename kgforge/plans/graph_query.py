@@ -2146,3 +2146,78 @@ def node2vec_walks(
         ).select("walk_id", "start", "prev", "cur", "path")
         walks = moved.unionByName(stuck).localCheckpoint()
     return walks.select("walk_id", "start", "path")
+
+
+def coreness(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int | None = None,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Full core decomposition: (id, c) with c converging to the node's
+    coreness (the largest k with the node inside the k-core) — the
+    whole k-core profile in one run instead of one `k_core` call per k.
+
+    Montresor et al.'s distributed h-index iteration: c0(v) = deg(v);
+    each round c(v) = H-index of its neighbors' values (the largest h
+    such that >= h neighbors have c >= h), which is monotonically
+    non-increasing and reaches the exact coreness at a fixpoint. The
+    H-index is pure relational algebra: rank each node's neighbor
+    values descending, h = max(least(rank, value)) — one equi-join +
+    one (node)-keyed window + one aggregate per round, the same
+    per-round shape as LPA. Tie order inside the window cannot change
+    the result (equal values at adjacent ranks give the same
+    max-least). Fixed `n_rounds` is the cross-engine unroll contract
+    (the k_core/LPA discipline); n_rounds=None iterates to the
+    fixpoint with an anti-join convergence probe, `localCheckpoint`
+    per round. Isolated nodes sit at 0. edges symmetrized by caller.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst")
+    ids = nodes.select("id")
+    deg = (
+        ids.join(
+            e.groupBy(F.col("src").alias("id")).agg(
+                F.count("*").cast("long").alias("c")
+            ),
+            on="id",
+            how="left",
+        )
+        .select("id", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    cur = deg
+    w = Window.partitionBy("id").orderBy(F.col("cu").desc())
+    rounds = n_rounds if n_rounds is not None else max_rounds
+    for _ in range(rounds):
+        nbr = cur.join(e, cur.id == e.src).select(
+            F.col("dst").alias("id"), F.col("c").alias("cu")
+        )
+        h = (
+            nbr.withColumn("rk", F.row_number().over(w))
+            .groupBy("id")
+            .agg(
+                F.max(F.least(F.col("rk"), F.col("cu")))
+                .cast("long")
+                .alias("c")
+            )
+        )
+        nxt = (
+            ids.join(h, on="id", how="left")
+            .select(
+                "id", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+            )
+            .localCheckpoint()
+        )
+        if n_rounds is None:
+            changed = nxt.alias("a").join(
+                cur.alias("b"),
+                (F.col("a.id") == F.col("b.id"))
+                & (F.col("a.c") != F.col("b.c")),
+            )
+            if changed.isEmpty():
+                cur = nxt
+                break
+        cur = nxt
+    return cur

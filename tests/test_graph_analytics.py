@@ -1522,3 +1522,34 @@ def test_node2vec_validates_weights(spark):
 
     with pytest.raises(ValueError):
         node2vec_walks(_edges(spark, [(1, 2)]), 2, w_return=0)
+
+
+def test_coreness_triangle_tail_converges(spark):
+    # triangle {1,2,3} + tail 3-4-5: coreness 2 on the triangle, 1 on
+    # the tail; isolated 9 stays 0
+    from kgforge.plans.graph_query import coreness
+
+    e = symmetrize(_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]))
+    n = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 9)], "id long")
+    out = {r.id: r.c for r in coreness(e, n).collect()}
+    assert out == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1, 9: 0}
+
+
+def test_coreness_clique_and_fixed_rounds_monotone(spark):
+    from kgforge.plans.graph_query import coreness
+
+    k4 = symmetrize(
+        _edges(spark, [(a, b) for a in range(4) for b in range(4) if a < b])
+    )
+    n = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    assert {r.c for r in coreness(k4, n).collect()} == {3}
+    # round 0 state is the degree; fixed rounds never increase values
+    r0 = {r.id: r.c for r in coreness(k4, n, n_rounds=0).collect()}
+    assert r0 == {i: 3 for i in range(4)}
+    star = symmetrize(_edges(spark, [(0, i) for i in range(1, 6)]))
+    sn = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    s0 = {r.id: r.c for r in coreness(star, sn, n_rounds=0).collect()}
+    s1 = {r.id: r.c for r in coreness(star, sn, n_rounds=1).collect()}
+    assert s0[0] == 5 and s1[0] == 1  # hub's h-index collapses
+    assert all(s1[i] <= s0[i] for i in s0)
+    assert {r.c for r in coreness(star, sn).collect()} == {1}
