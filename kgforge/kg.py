@@ -805,6 +805,30 @@ class KnowledgeGraph:
             "label", "key", "ecc", "n_reached"
         )
 
+    def coreness(self, relation: str | None = None) -> DataFrame:
+        """Full core decomposition over the undirected projection:
+        (label, key, coreness) — every node's largest-k k-core
+        membership in one run (graph_query.coreness h-index iteration
+        to the fixpoint), complementing the single-k `k_core`."""
+        from kgforge.plans.graph_query import coreness as _coreness
+
+        e = self.edges()
+        if relation is not None:
+            e = e.filter(F.col("label") == relation)
+        fwd = e.select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n = self.nodes().select(
+            F.col("node_id").alias("id"), "label", "key"
+        )
+        out = _coreness(edges, n.select("id"))
+        return n.join(out, on="id").select(
+            "label", "key", F.col("c").alias("coreness")
+        )
+
     def modularity(
         self, relation: str | None = None, n_iter: int = 5
     ) -> float:

@@ -619,3 +619,23 @@ def test_facade_node2vec(kg):
         assert hops[0] == r.start_key and len(hops) == 3
         for a, b in zip(hops, hops[1:]):
             assert (a, b) in legal
+
+
+def test_facade_coreness(kg):
+    """kg.coreness (r5 s8): path A-M-B is a 1-core everywhere."""
+    kg.add_nodes(
+        [("Actor", {"name": n}) for n in ("A", "B")]
+        + [("Movie", {"title": "M"})]
+    )
+    kg.add_edges(
+        [
+            ("ACTED_IN", "Actor", "Movie", {"name": "A"}, {"title": "M"}, {}),
+            ("ACTED_IN", "Actor", "Movie", {"name": "B"}, {"title": "M"}, {}),
+        ]
+    )
+    out = {(r.label, r.key): r.coreness for r in kg.coreness().collect()}
+    assert out == {
+        ("Actor", "A"): 1,
+        ("Actor", "B"): 1,
+        ("Movie", "M"): 1,
+    }
